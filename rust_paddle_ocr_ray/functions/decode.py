@@ -1,0 +1,231 @@
+"""Span canonicalization + CTC-greedy decode (the recognition math).
+
+This module is the batch/vectorized re-expression of the reference's
+recognizer inner loop (/root/reference/src/rec.rs:341-400) and
+preprocessing (src/rec.rs:226-251), specified for *text spans* instead
+of glyph rasters.  The semantics below are THE spec; the independent
+oracle in ``tests/oracle_impl.py`` implements the same spec with naive
+per-character loops and the goldens assert byte-identical output.
+
+Canonicalize (M8 analog, src/rec.rs:226-251):
+  1. trim a leading partial tag:  if the first ``>`` occurs before the
+     first ``<`` (border expansion sliced into a tag, the analog of
+     border pixels around a crop), drop through it;
+  2. trim a trailing partial tag symmetrically (last ``<`` after last ``>``);
+  3. remove HTML comments, then replace every remaining tag with one space;
+  4. decode HTML entities (``html.unescape``);
+  5. NFKC-normalize for the zh/ja charset routes;
+  6. collapse all whitespace runs to single spaces and strip the ends.
+
+Encode (the "model forward" analog): each canonical character is one
+CTC timestep; a blank (index 0) timestep is emitted at span start and
+between adjacent *equal non-punctuation* characters (standard CTC
+encoding of a string, so decode round-trips genuine repeats).  The
+per-timestep confidence is a deterministic pseudo-score (our stand-in
+for the SVTR/CRNN softmax; no learned model exists for web text):
+
+    u(ch, p) = (((cp(ch) * 2654435761 + (p + 1) * 97) & 0xFFFFFFFF) >> 16) / 65536
+    score    = 0.05 + 0.90 * u   if ch is punctuation    (exercises the
+               punct threshold / rescue / drop paths deterministically)
+             = 0.62 + 0.38 * u   otherwise               (always > min_score)
+
+where ``p`` is the timestep index within the span (0 = leading blank).
+
+Decode (M9, bit-faithful to src/rec.rs:341-400):
+  - index 0 / out-of-charset  -> skip, last_char = None           (:359, :380-382)
+  - score > threshold         -> push unless repeat of last_char
+                                 and not punctuation; last_char = ch (:367-371)
+    (threshold = punct_min_score for punctuation else min_score,   :361-365)
+  - punctuation with score > 0.8 * punct_min_score -> push WITHOUT
+    updating last_char (the rescue path)                           (:373-374)
+  - otherwise                 -> drop, last_char = None            (:375-377)
+  - final pass: collapse runs of identical punctuation, keep first  (:385-398)
+  - confidence = mean of kept per-char scores, 0.0 for empty       (:175-186)
+
+Everything is vectorized with numpy across a whole Arrow batch of
+spans; the only per-row Python is the regex canonicalization.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+import unicodedata
+
+import numpy as np
+
+from ..charset import Charset, get_charset
+
+# The reference's 49-char punctuation set, verbatim values
+# (/root/reference/src/rec.rs:27-31).
+PUNCTUATIONS = frozenset(
+    ",.!?;:\"'()[]{}-_/\\|@#$%&*+=~"
+    "，。！？；：、「」『』（）【】《》—…·～"
+)
+assert len(PUNCTUATIONS) == 49
+
+_PUNCT_LUT = np.zeros(0x10000, dtype=bool)
+for _ch in PUNCTUATIONS:
+    _PUNCT_LUT[ord(_ch)] = True
+
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+# decode timestep categories
+_B, _R, _P, _S, _D = 0, 1, 2, 3, 4
+
+
+def is_punctuation(ch: str) -> bool:
+    return ch in PUNCTUATIONS
+
+
+def canonicalize(raw: str, route: str) -> str:
+    """M8 canonicalization of one raw html slice (see module docstring)."""
+    s = raw
+    i_gt, i_lt = s.find(">"), s.find("<")
+    if i_gt != -1 and (i_lt == -1 or i_gt < i_lt):
+        s = s[i_gt + 1 :]
+    j_lt, j_gt = s.rfind("<"), s.rfind(">")
+    if j_lt != -1 and (j_gt == -1 or j_gt < j_lt):
+        s = s[:j_lt]
+    s = _COMMENT_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    s = _htmlmod.unescape(s)
+    if route in ("zh", "ja"):
+        s = unicodedata.normalize("NFKC", s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def _codepoints(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated codepoint array + per-text lengths."""
+    joined = "".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    return cp, lens
+
+
+def timestep_scores(cp: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """Deterministic pseudo-confidence per (codepoint, timestep-index)."""
+    h = (cp * 2654435761 + (p + 1) * 97) & 0xFFFFFFFF
+    u = (h >> 16).astype(np.float64) / 65536.0
+    punct = _PUNCT_LUT[np.where(cp < 0x10000, cp, 0)]
+    return np.where(punct, 0.05 + 0.90 * u, 0.62 + 0.38 * u)
+
+
+def decode_spans(
+    texts: list[str],
+    route: str,
+    min_score: float = 0.6,
+    punct_min_score: float = 0.1,
+) -> tuple[list[str], np.ndarray]:
+    """Decode a batch of canonical span texts through one charset route.
+
+    Returns (decoded_texts, confidences) aligned with ``texts``.
+    """
+    n = len(texts)
+    if n == 0:
+        return [], np.zeros(0, dtype=np.float64)
+    charset: Charset = get_charset(route)
+    cp, lens = _codepoints(texts)
+    confs = np.zeros(n, dtype=np.float64)
+    if cp.size == 0:
+        return [""] * n, confs
+
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    span_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    span_start = np.repeat(starts, lens)
+    pos_in_span = np.arange(cp.size, dtype=np.int64) - span_start
+
+    bmp = np.where(cp < 0x10000, cp, 0)
+    punct = _PUNCT_LUT[bmp]
+    idx = charset.indices(cp)
+
+    # --- encode: blanks at span start and between equal adjacent non-punct ---
+    ib = np.zeros(cp.size, dtype=bool)  # inserted blank immediately before char i
+    if cp.size > 1:
+        ib[1:] = (cp[1:] == cp[:-1]) & ~punct[1:]
+    ib &= pos_in_span > 0  # span-adjacency only
+    ins_before = np.cumsum(ib) - ib  # inserted blanks strictly before i (global)
+    ins_at_start = ins_before[span_start]
+    # timestep index within span: leading blank is 0, so char timesteps start at 1
+    p = pos_in_span + 1 + (ins_before - ins_at_start)
+
+    scores = timestep_scores(cp, p)
+    return greedy_decode(
+        cp, idx, punct, scores, span_of, span_start, pos_in_span, ib, n,
+        min_score=min_score, punct_min_score=punct_min_score,
+    )
+
+
+def greedy_decode(
+    cp: np.ndarray,
+    idx: np.ndarray,
+    punct: np.ndarray,
+    scores: np.ndarray,
+    span_of: np.ndarray,
+    span_start: np.ndarray,
+    pos_in_span: np.ndarray,
+    ib: np.ndarray,
+    n_spans: int,
+    min_score: float = 0.6,
+    punct_min_score: float = 0.1,
+) -> tuple[list[str], np.ndarray]:
+    """The vectorized M9 scan over explicit char-timestep arrays.
+
+    ``ib`` marks positions preceded by an inserted blank; a leading blank is
+    implicit at every span start.  Exposed separately so tests can feed
+    crafted score matrices at the branch level (FIXTURES.md §4).
+    """
+    confs = np.zeros(n_spans, dtype=np.float64)
+
+    # --- per-timestep category ---
+    typ = np.full(cp.size, _D, dtype=np.int8)
+    blank = idx == 0
+    typ[blank] = _B
+    keep_thresh = np.where(punct, punct_min_score, min_score)
+    above = scores > keep_thresh
+    typ[~blank & above & ~punct] = _R
+    typ[~blank & above & punct] = _P
+    rescue = ~blank & ~above & punct & (scores > punct_min_score * 0.8)
+    typ[rescue] = _S
+
+    # --- last_char propagation (see module docstring) ---
+    # pointer to the most recent non-S char timestep at-or-before each position
+    non_s = typ != _S
+    anchor = np.maximum.accumulate(np.where(non_s, np.arange(cp.size), -1))
+    prev_val = np.full(cp.size, -1, dtype=np.int64)  # -1 == None
+    if cp.size > 1:
+        j = anchor[:-1]
+        valid = (j >= 0) & (j >= span_start[1:])
+        jj = np.where(valid, j, 0)
+        from_rp = valid & ((typ[jj] == _R) | (typ[jj] == _P))
+        prev_val[1:] = np.where(from_rp, cp[jj], -1)
+    # a blank (leading or inserted) immediately before i resets last_char
+    reset = ib | (pos_in_span == 0)
+    prev_val[reset] = -1
+
+    pushed = (typ == _P) | (typ == _S) | ((typ == _R) & (prev_val != cp))
+
+    # --- final punctuation-run dedup over the pushed sequence ---
+    p_cp = cp[pushed]
+    p_sc = scores[pushed]
+    p_punct = punct[pushed]
+    p_span = span_of[pushed]
+    drop = np.zeros(p_cp.size, dtype=bool)
+    if p_cp.size > 1:
+        drop[1:] = p_punct[1:] & (p_cp[1:] == p_cp[:-1]) & (p_span[1:] == p_span[:-1])
+    f_cp = p_cp[~drop]
+    f_sc = p_sc[~drop]
+    f_span = p_span[~drop]
+
+    # --- per-span assembly: one big utf-32 decode + slicing ---
+    counts = np.bincount(f_span, minlength=n_spans)
+    sums = np.bincount(f_span, weights=f_sc, minlength=n_spans)
+    np.divide(sums, counts, out=confs, where=counts > 0)
+    big = f_cp.astype("<u4").tobytes().decode("utf-32-le")
+    bounds = np.zeros(n_spans + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    out = [big[bounds[i] : bounds[i + 1]] for i in range(n_spans)]
+    return out, confs

@@ -1,0 +1,228 @@
+"""Deterministic synthetic Common-Crawl-style pages corpus (seed=42).
+
+The golden-fixture generator demanded by FIXTURES.md §2: pages of
+exactly the ``BASELINE.json.input_hint`` shape
+(url, warc_ts, html, text, lang) built from a fixed template grammar —
+link-dense nav/footer boilerplate, 1-N text-dense content blocks,
+sub-threshold noise blocks, duplicate urls with differing warc_ts,
+pathological heavy pages, empty html, and pages with zero
+above-threshold blocks.
+
+Each page is a pure function of ``(seed, i)`` so generation can be
+distributed (a `ray.data.range(n).map_batches(pages_batch)` source
+scales to any corpus size without a driver-side loop).
+
+This module is test/bench INPUT ONLY — the expected outputs come from
+the independent oracle in tests/oracle_impl.py.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyarrow as pa
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_EPOCH_US = 1735689600_000_000  # 2025-01-01T00:00:00Z in microseconds
+_VARIANT_OFFSET = 10_000_019  # id offset for duplicate-url variant content
+
+_EN_WORDS = (
+    "stream batch query filter window merge sort join table column row value "
+    "data engine cluster shard block worker schedule memory vector hash scan "
+    "index spill lineage partition shuffle actor arrow parquet object store "
+    "backpressure throughput latency pipeline operator aggregate checkpoint"
+).split()
+
+_LATIN_WORDS = (
+    "données fenêtre requête colonne mémoire sérialisé déjà très étape "
+    "función tabla consulta línea señal años índice número también través "
+    "größe straße müssen zwölf fähig übersicht wörter häufig grün schlüssel"
+).split()
+
+_ZH_CHARS = "数据查询流处理引擎集群分片块工作节点调度内存向量哈希扫描索引溢出血统分区洗牌执行器箭头对象存储吞吐量延迟管道算子聚合检查点合并排序连接表列行值窗口过滤批"
+_JA_KANA = "データクエリストリームエンジンかきくけこさしすせそたちつてとなにぬねのはひふへほまみむめも"
+
+_PUNCT_EN = [". ", ", ", "! ", "? ", "... ", "; ", ": "]
+_PUNCT_CJK = ["。", "，", "！", "？", "……", "、", "。。。"]
+
+_ENTITIES = ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;"]
+
+
+def _rng_for(seed: int, i: int) -> random.Random:
+    return random.Random((seed * 1_000_003 + i) & 0xFFFFFFFF)
+
+
+def _word(rng: random.Random, lang: str) -> str:
+    if lang == "zh":
+        k = rng.randint(1, 3)
+        return "".join(rng.choice(_ZH_CHARS) for _ in range(k))
+    if lang == "ja":
+        if rng.random() < 0.5:
+            k = rng.randint(2, 4)
+            return "".join(rng.choice(_JA_KANA) for _ in range(k))
+        k = rng.randint(1, 2)
+        return "".join(rng.choice(_ZH_CHARS) for _ in range(k))
+    if lang == "en":
+        return rng.choice(_EN_WORDS)
+    return rng.choice(_LATIN_WORDS + _EN_WORDS)
+
+
+def _sentence(rng: random.Random, lang: str) -> str:
+    cjk = lang in ("zh", "ja")
+    n = rng.randint(5, 14)
+    words = [_word(rng, lang) for _ in range(n)]
+    if rng.random() < 0.12:
+        words[rng.randrange(len(words))] = rng.choice(_ENTITIES)
+    sep = "" if cjk else " "
+    body = sep.join(words)
+    end = rng.choice(_PUNCT_CJK) if cjk else rng.choice(_PUNCT_EN)
+    return body + end.strip() + ("" if cjk else " ")
+
+
+def _paragraph(rng: random.Random, lang: str, n_sentences: int | None = None) -> str:
+    n = n_sentences if n_sentences is not None else rng.randint(2, 5)
+    return "".join(_sentence(rng, lang) for _ in range(n)).strip()
+
+
+def build_page(seed: int, i: int) -> dict:
+    """One deterministic page row (pure function of seed and i)."""
+    rng = _rng_for(seed, i)
+    r = rng.random()
+    lang = "en" if r < 0.4 else ("fr" if r < 0.55 else ("es" if r < 0.65 else (
+        "de" if r < 0.7 else ("zh" if r < 0.85 else "ja"))))
+    url = f"https://site{i % 50}.example.test/p/{i:07d}"
+    ts = _EPOCH_US + i * 7_000_000
+
+    if i % 101 == 100:  # empty-html edge row
+        return {"url": url, "warc_ts": ts, "html": b"", "text": "", "lang": lang}
+
+    heavy = i % 97 == 96
+    barren = i % 53 == 52  # boilerplate only: zero above-threshold blocks
+    n_paras = 300 if heavy else (0 if barren else rng.randint(1, 8))
+
+    nav_links = " | ".join(
+        f'<a href="/s/{rng.randint(0, 99)}">{_word(rng, "en")} {_word(rng, "en")}</a>'
+        for _ in range(rng.randint(3, 6))
+    )
+    title = " ".join(_word(rng, lang) for _ in range(rng.randint(2, 5)))
+    parts = [
+        "<html><head><title>", title, "</title>",
+        "<style>body { margin: 0; color: #222; }</style>",
+        '<script type="text/javascript">var t = "<p>not content</p>"; if (t.length > 3) { t = t; }</script>',
+        "</head>\n<body>\n<header><nav>", nav_links, "</nav></header>\n",
+    ]
+    paras = []
+    for p in range(n_paras):
+        para = _paragraph(rng, lang, 2 if heavy else None)
+        paras.append(para)
+        deco = rng.random()
+        if deco < 0.15:
+            cut = para.find(" ", 10)
+            if cut > 0:
+                para = f"{para[:cut]} <b>{para[cut + 1 :]}</b>"
+        elif deco < 0.25:
+            para = f'{para} <a href="/ref/{rng.randint(0, 999)}">{_word(rng, lang)}</a>'
+        tag = "p" if rng.random() < 0.8 else rng.choice(["blockquote", "li", "td"])
+        if p == 0 and rng.random() < 0.7:
+            h1 = " ".join(_word(rng, lang) for _ in range(rng.randint(4, 9)))
+            parts.append(f"<h1>{h1}</h1>\n")
+            paras.insert(0, h1)
+        if tag == "li":
+            parts.append(f"<ul><li>{para}</li></ul>\n")
+        elif tag == "td":
+            parts.append(f"<table><tr><td>{para}</td></tr></table>\n")
+        else:
+            parts.append(f"<{tag}>{para}</{tag}>\n")
+        if rng.random() < 0.2:
+            parts.append(f"<p>{_word(rng, 'en')[:4]}</p>\n")  # sub-threshold noise
+        if rng.random() < 0.1:
+            parts.append("<br>\n")
+    if i % 71 == 70:  # exact min-size boundary probe (6 visible chars > MIN_BOX_SIZE=5)
+        parts.append("<p>abcdef</p>\n")
+        paras.append("abcdef")
+    parts.append(
+        f'<footer><a href="/terms">terms of use</a> <a href="/privacy">privacy policy</a>'
+        f" <noscript>enable javascript for the full experience</noscript></footer>\n</body></html>"
+    )
+    html_text = "".join(parts)
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": html_text.encode("utf-8"),
+        "text": " ".join(paras),
+        "lang": lang,
+    }
+
+
+def generate_pages(n: int, seed: int = 42, dup_every: int = 20) -> pa.Table:
+    """Deterministic pages table; every ``dup_every``-th row duplicates the
+    previous row's url with a later warc_ts and a variant html (for D3)."""
+    rows = []
+    for i in range(n):
+        row = build_page(seed, i)
+        if dup_every and i % dup_every == 3 and i > 0:
+            prev = build_page(seed, i - 1)
+            extra = build_page(seed, _VARIANT_OFFSET + i)  # deterministic variant
+            row = {
+                "url": prev["url"],
+                "warc_ts": prev["warc_ts"] + 86_400_000_000,  # +1 day
+                "html": extra["html"],
+                "text": extra["text"],
+                "lang": extra["lang"],
+            }
+        rows.append(row)
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def pages_batch(batch: dict, seed: int = 42, dup_every: int = 20) -> pa.Table:
+    """Distributed source body: map a ``ray.data.range(n)`` id batch to pages."""
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    rows = []
+    for i in ids.tolist():
+        row = build_page(seed, i)
+        if dup_every and i % dup_every == 3 and i > 0:
+            prev = build_page(seed, i - 1)
+            extra = build_page(seed, _VARIANT_OFFSET + i)
+            row = {
+                "url": prev["url"],
+                "warc_ts": prev["warc_ts"] + 86_400_000_000,
+                "html": extra["html"],
+                "text": extra["text"],
+                "lang": extra["lang"],
+            }
+        rows.append(row)
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def write_corpus(out_dir: str, n: int, seed: int = 42, shards: int = 8) -> list[str]:
+    """Write the corpus as ``shards`` parquet files (a resumable layout)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    per = (n + shards - 1) // shards
+    for s in range(shards):
+        lo, hi = s * per, min((s + 1) * per, n)
+        if lo >= hi:
+            break
+        tbl = pa.Table.from_pylist(
+            [build_page(seed, i) for i in range(lo, hi)], schema=PAGES_SCHEMA
+        )
+        # keep dup rows only via generate_pages for small test corpora; the
+        # sharded bench corpus stays duplicate-free for clean throughput math
+        path = os.path.join(out_dir, f"pages-{s:05d}.parquet")
+        pq.write_table(tbl, path)
+        paths.append(path)
+    return paths

@@ -1,0 +1,67 @@
+"""Recognition stage: span rows -> text + confidence (actor pool).
+
+The analog of ``Rec`` (/root/reference/src/rec.rs): a stateful stage
+whose per-worker state — the four charset LUTs (the 18k-char keys-file
+analog, src/rec.rs:51-70) and compiled canonicalization regexes — is
+built ONCE per actor in ``__init__`` and reused per batch
+(``map_batches(Recognizer, concurrency=N, batch_size=B)``, SURVEY.md
+§2.3 ST2).
+
+Per batch: slice each span's tight interior out of its raw crop,
+canonicalize (M8), then group rows by charset route (``lang`` routing,
+zh/en/ja/latin) and run the vectorized CTC-greedy decode (M9/M10) per
+group.  The bulky ``raw`` column is dropped from the output — after
+recognition only the text travels to the merge shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..charset import get_charset, route_for_lang
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from ..functions.decode import canonicalize, decode_spans
+
+
+class Recognizer:
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        # materialize all charset LUTs once per actor (ST2)
+        for route in ("en", "zh", "ja", "latin"):
+            get_charset(route)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+        raws = batch["raw"].to_pylist()
+        starts = batch["start"].to_numpy(zero_copy_only=False)
+        tstarts = batch["tstart"].to_numpy(zero_copy_only=False)
+        tends = batch["tend"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_pylist()
+
+        routes = [route_for_lang(lang) for lang in langs]
+        canon: list[str] = [""] * n
+        for i in range(n):
+            raw = raws[i]
+            if not raw:
+                continue  # M11 zero-dim guard (src/main.rs:169-172)
+            lo = int(tstarts[i] - starts[i])
+            hi = int(tends[i] - starts[i])
+            canon[i] = canonicalize(raw[lo:hi], routes[i])
+
+        texts: list[str] = [""] * n
+        confs = np.zeros(n, dtype=np.float64)
+        route_arr = np.array(routes)
+        for route in np.unique(route_arr):
+            sel = np.flatnonzero(route_arr == route)
+            group = [canon[i] for i in sel]
+            out, c = decode_spans(group, str(route), cfg.min_score, cfg.punct_min_score)
+            for k, i in enumerate(sel):
+                texts[i] = out[k]
+            confs[sel] = c
+
+        out_tbl = batch.drop_columns(["raw"])
+        out_tbl = out_tbl.append_column("text", pa.array(texts, type=pa.string()))
+        out_tbl = out_tbl.append_column("confidence", pa.array(confs, type=pa.float64()))
+        return out_tbl

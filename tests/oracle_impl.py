@@ -1,0 +1,440 @@
+"""Independent straight-line oracle for the extraction spec (no Ray).
+
+Implements the same spec as rust_paddle_ocr_ray/functions/{html,decode,
+geometry}.py but independently: segmentation uses the stdlib
+``html.parser.HTMLParser`` (vs the engine's regex tokenizer) and the
+CTC decode is a naive per-character loop translated from the
+reference's control flow (/root/reference/src/rec.rs:341-400) (vs the
+engine's vectorized numpy scan).  Goldens generated from this module
+are committed and asserted byte-identical against the Ray pipeline
+(FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+import unicodedata
+from html.parser import HTMLParser
+
+PUNCT = set(
+    ",.!?;:\"'()[]{}-_/\\|@#$%&*+=~"
+    "，。！？；：、「」『』（）【】《》—…·～"
+)
+
+BLOCK_TAGS = set(
+    "html head body p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody "
+    "tr td th title nav footer header aside article section main blockquote pre "
+    "form figure figcaption fieldset select option textarea button noscript "
+    "template".split()
+)
+VOID_BOUNDARY = {"br", "hr"}
+RAWTEXT = {"script", "style"}
+DROP_CONTAINER = {"noscript", "template"}
+BOILER = {"nav", "footer", "header", "aside"}
+
+
+class _Seg(HTMLParser):
+    """Collect raw text runs + block boundaries with absolute offsets.
+
+    Runs are (start, end, in_link) with offsets into the page string.
+    """
+
+    def __init__(self, page: str):
+        super().__init__(convert_charrefs=False)
+        self.page = page
+        self.line_starts = [0]
+        for k, ch in enumerate(page):
+            if ch == "\n":
+                self.line_starts.append(k + 1)
+        self.stack: list[str] = []
+        self.link = 0
+        self.boiler = 0
+        self.drop = 0
+        self.rawtext = False
+        self.blocks: list[dict] = []
+        self.cur_runs: list[tuple[int, int, bool]] = []
+
+    def _abs(self) -> int:
+        line, col = self.getpos()
+        return self.line_starts[line - 1] + col
+
+    # --- text events ---
+    def _text(self, raw_len: int) -> None:
+        if self.drop > 0 or self.rawtext:
+            return
+        a = self._abs()
+        self.cur_runs.append((a, a + raw_len, self.link > 0))
+
+    def handle_data(self, data: str) -> None:
+        self._text(len(data))
+
+    def handle_entityref(self, name: str) -> None:
+        a = self._abs()
+        ln = 1 + len(name)
+        if a + ln < len(self.page) and self.page[a + ln] == ";":
+            ln += 1
+        self._text(ln)
+
+    def handle_charref(self, name: str) -> None:
+        a = self._abs()
+        ln = 2 + len(name)
+        if a + ln < len(self.page) and self.page[a + ln] == ";":
+            ln += 1
+        self._text(ln)
+
+    # --- structure events ---
+    def _flush(self) -> None:
+        if self.cur_runs:
+            vis = 0
+            link = 0
+            for a, b, in_link in self.cur_runs:
+                decoded = _htmlmod.unescape(self.page[a:b])
+                v = sum(1 for ch in decoded if not ch.isspace())
+                vis += v
+                if in_link:
+                    link += v
+            if vis > 0:
+                self.blocks.append(
+                    {
+                        "runs": [(a, b) for a, b, _ in self.cur_runs],
+                        "vis": vis,
+                        "link": link,
+                        "tag": self.stack[-1] if self.stack else "",
+                        "depth": len(self.stack),
+                        "boiler": self.boiler > 0,
+                    }
+                )
+        self.cur_runs = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in RAWTEXT:
+            self._flush()
+            self.rawtext = True  # HTMLParser delivers CDATA content via
+            return               # handle_data; _text suppresses it
+        if tag == "a":
+            self.link += 1
+            return
+        if tag in VOID_BOUNDARY:
+            self._flush()
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self.stack.append(tag)
+            if tag in BOILER:
+                self.boiler += 1
+            if tag in DROP_CONTAINER:
+                self.drop += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in RAWTEXT:
+            self.rawtext = False
+            return
+        if tag == "a":
+            self.link = max(0, self.link - 1)
+            return
+        if tag in VOID_BOUNDARY:
+            self._flush()
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag in self.stack:
+                while self.stack:
+                    t = self.stack.pop()
+                    if t in BOILER:
+                        self.boiler = max(0, self.boiler - 1)
+                    if t in DROP_CONTAINER:
+                        self.drop = max(0, self.drop - 1)
+                    if t == tag:
+                        break
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in VOID_BOUNDARY:
+            self._flush()
+
+    def finish(self) -> None:
+        self.close()
+        self._flush()
+
+
+def segment(page: str, cfg) -> list[dict]:
+    """Oracle block segmentation -> span dicts (same keys as the engine)."""
+    if not page:
+        return []
+    parser = _Seg(page)
+    parser.feed(page)
+    parser.finish()
+    blocks = parser.blocks
+
+    kept = []
+    for blk in blocks:
+        vis, link = blk["vis"], blk["link"]
+        if vis <= 0:
+            continue
+        link_density = link / vis
+        floor = cfg.density_length_floor
+        lf = min(1.0, vis / cfg.density_length_norm)
+        p = (1.0 - link_density) * (floor + (1.0 - floor) * lf)
+        if blk["boiler"]:
+            p *= cfg.boiler_penalty
+        score = min(int(p * 255.0), 255)
+        if score > cfg.threshold and vis > cfg.min_box_size:
+            kept.append((blk, score))
+            if len(kept) >= cfg.max_spans_per_page:
+                break
+
+    n = len(page)
+    boxes = []
+    for blk, score in kept:
+        first = last = -1
+        for a, b in blk["runs"]:
+            for k in range(a, b):
+                if not page[k].isspace():
+                    first = k
+                    break
+            if first != -1:
+                break
+        for a, b in reversed(blk["runs"]):
+            for k in range(b - 1, a - 1, -1):
+                if not page[k].isspace():
+                    last = k
+                    break
+            if last != -1:
+                break
+        if first == -1:
+            continue
+        left = max(first - cfg.rect_border_size, 0)
+        right = min(last + cfg.rect_border_size, n - 1)
+        top = page.count("\n", 0, left)
+        bottom = page.count("\n", 0, right)
+        boxes.append(
+            {
+                "left": left, "right": right, "top": top, "bottom": bottom,
+                "tfirst": first, "tlast": last,
+                "tag": blk["tag"], "depth": blk["depth"], "score": score,
+            }
+        )
+
+    if cfg.merge_boxes and boxes:
+        boxes = _merge(boxes, cfg.merge_threshold)
+
+    spans = []
+    for order, b in enumerate(boxes):
+        spans.append(
+            {
+                "block_id": order,
+                "start": b["left"],
+                "end": b["right"] + 1,
+                "tstart": b["tfirst"],
+                "tend": b["tlast"] + 1,
+                "line_start": b["top"],
+                "line_end": b["bottom"],
+                "tag": b["tag"],
+                "depth": b["depth"],
+                "order": order,
+                "score": float(b["score"]),
+                "raw": page[b["left"] : b["right"] + 1],
+            }
+        )
+    return spans
+
+
+def _overlap(a, b, thr) -> bool:
+    horizontal = not (a["right"] + thr < b["left"] - thr or b["right"] + thr < a["left"] - thr)
+    ah = a["bottom"] - a["top"] + 1
+    bh = b["bottom"] - b["top"] + 1
+    vt = int(min(ah, bh) * 0.4)
+    if a["top"] <= b["top"]:
+        vertical = a["bottom"] + vt >= b["top"]
+    else:
+        vertical = b["bottom"] + vt >= a["top"]
+    return horizontal and vertical
+
+
+def _merge(boxes, thr):
+    result = []
+    queue = [dict(b) for b in boxes]
+    originals = [dict(b) for b in boxes]
+    claimed = [False] * len(originals)
+    while queue:
+        cur = queue.pop(0)
+        merged_any = False
+        i = 0
+        while i < len(queue):
+            if _overlap(cur, queue[i], thr):
+                o = queue.pop(i)
+                cur = {
+                    "left": min(cur["left"], o["left"]),
+                    "right": max(cur["right"], o["right"]),
+                    "top": min(cur["top"], o["top"]),
+                    "bottom": max(cur["bottom"], o["bottom"]),
+                }
+                merged_any = True
+            else:
+                i += 1
+        if merged_any:
+            queue.insert(0, cur)
+        else:
+            result.append(cur)
+    out = []
+    for mb in result:
+        contained = [
+            k
+            for k, ob in enumerate(originals)
+            if ob["left"] >= mb["left"] and ob["right"] <= mb["right"]
+            and ob["top"] >= mb["top"] and ob["bottom"] <= mb["bottom"]
+        ]
+        pick = None
+        tfirst, tlast = mb["left"], mb["right"]
+        if contained:
+            tfirst = min(originals[k]["tfirst"] for k in contained)
+            tlast = max(originals[k]["tlast"] for k in contained)
+            for k in contained:
+                if not claimed[k]:
+                    pick = k
+                    break
+        rec = {
+            "left": mb["left"], "right": mb["right"],
+            "top": mb["top"], "bottom": mb["bottom"],
+            "tfirst": tfirst, "tlast": tlast,
+            "tag": "", "depth": 0, "score": 0,
+        }
+        if pick is not None:
+            claimed[pick] = True
+            rec["tag"] = originals[pick]["tag"]
+            rec["depth"] = originals[pick]["depth"]
+            rec["score"] = originals[pick]["score"]
+        out.append(rec)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# recognition oracle
+# ---------------------------------------------------------------------------
+
+def build_keys(route: str) -> tuple[list[str], dict[str, int]]:
+    """Same sentinel layout as the engine's Charset (src/rec.rs:55-59)."""
+    from rust_paddle_ocr_ray.charset import charset_body  # charset TABLE is shared spec data
+
+    body = charset_body(route)
+    keys = [" "] + list(body) + [" "]
+    index = {}
+    for k, ch in enumerate(body):
+        index[ch] = k + 1
+    index[" "] = len(body) + 1
+    return keys, index
+
+
+def canonicalize(raw: str, route: str) -> str:
+    s = raw
+    i_gt, i_lt = s.find(">"), s.find("<")
+    if i_gt != -1 and (i_lt == -1 or i_gt < i_lt):
+        s = s[i_gt + 1 :]
+    j_lt, j_gt = s.rfind("<"), s.rfind(">")
+    if j_lt != -1 and (j_gt == -1 or j_gt < j_lt):
+        s = s[:j_lt]
+    s = re.sub(r"<!--.*?-->", " ", s, flags=re.S)
+    s = re.sub(r"<[^>]*>", " ", s)
+    s = _htmlmod.unescape(s)
+    if route in ("zh", "ja"):
+        s = unicodedata.normalize("NFKC", s)
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def score_of(ch: str, p: int) -> float:
+    h = (ord(ch) * 2654435761 + (p + 1) * 97) & 0xFFFFFFFF
+    u = (h >> 16) / 65536.0
+    if ch in PUNCT:
+        return 0.05 + 0.90 * u
+    return 0.62 + 0.38 * u
+
+
+def decode(text: str, route: str, min_score: float = 0.6, punct_min: float = 0.1):
+    """Naive per-char decode: the control flow of src/rec.rs:341-400."""
+    keys, index = build_keys(route)
+    # encode: leading blank + blank between adjacent equal non-punct chars
+    timesteps: list[tuple[int, str]] = [(0, "")]
+    prev = None
+    for ch in text:
+        if prev is not None and ch == prev and ch not in PUNCT:
+            timesteps.append((0, ""))
+        timesteps.append((index.get(ch, 0), ch))
+        prev = ch
+
+    results: list[tuple[str, float]] = []
+    last_char: str | None = None
+    for p, (idx, ch) in enumerate(timesteps):
+        if idx > 0 and idx < len(keys):
+            score = score_of(ch, p)
+            threshold = punct_min if ch in PUNCT else min_score
+            if score > threshold:
+                if last_char != ch or ch in PUNCT:
+                    results.append((ch, score))
+                last_char = ch
+            else:
+                if ch in PUNCT and score > punct_min * 0.8:
+                    results.append((ch, score))
+                else:
+                    last_char = None
+        else:
+            last_char = None
+
+    final: list[tuple[str, float]] = []
+    i = 0
+    while i < len(results):
+        ch, score = results[i]
+        final.append((ch, score))
+        if ch in PUNCT:
+            while i + 1 < len(results) and results[i + 1][0] == ch:
+                i += 1
+        i += 1
+
+    if not final:
+        return "", 0.0
+    conf = sum(s for _, s in final) / len(final)
+    return "".join(ch for ch, _ in final), conf
+
+
+def route_of(lang: str) -> str:
+    return lang if lang in ("en", "zh", "ja") else "latin"
+
+
+def extract_page(url: str, warc_ts: int, html_bytes: bytes, lang: str, cfg) -> dict:
+    """Full det->rec->merge for one page (the per-url golden)."""
+    page = html_bytes[: cfg.max_html_bytes].decode("utf-8", errors="replace")
+    spans = segment(page, cfg)
+    route = route_of(lang)
+    texts = []
+    confs = []
+    out_spans = []
+    for s in spans:
+        interior = s["raw"][s["tstart"] - s["start"] : s["tend"] - s["start"]]
+        canon = canonicalize(interior, route)
+        t, c = decode(canon, route, cfg.min_score, cfg.punct_min_score)
+        out_spans.append({**s, "text": t, "confidence": c})
+        if t:
+            texts.append(t)
+            confs.append(c)
+    return {
+        "url": url,
+        "warc_ts": warc_ts,
+        "lang": lang,
+        "extracted_text": "\n".join(texts),
+        "n_spans": len(spans),
+        "confidence": (sum(confs) / len(confs)) if confs else 0.0,
+        "spans": out_spans,
+    }
+
+
+def extract_corpus(rows: list[dict], cfg) -> list[dict]:
+    """Dedup (keep max warc_ts per url; ties by larger html) + extract, sorted by url."""
+    best: dict[str, dict] = {}
+    for r in rows:
+        cur = best.get(r["url"])
+        if cur is None or (r["warc_ts"], r["html"]) > (cur["warc_ts"], cur["html"]):
+            best[r["url"]] = r
+    out = []
+    for url in sorted(best):
+        r = best[url]
+        out.append(extract_page(r["url"], r["warc_ts"], r["html"], r["lang"], cfg))
+    return out

@@ -1,0 +1,113 @@
+"""Detection segmentation/scoring unit tests (spec in functions/html.py)."""
+
+from __future__ import annotations
+
+from rust_paddle_ocr_ray.config import CLI_CONFIG, ExtractConfig
+from rust_paddle_ocr_ray.functions.html import block_score, segment_page
+
+CFG = CLI_CONFIG
+
+CONTENT = "This sentence has plenty of visible characters to pass the threshold."
+
+
+def wrap(body: str) -> str:
+    return f"<html><body>{body}</body></html>"
+
+
+def test_empty_page():
+    assert segment_page("", CFG) == []
+
+
+def test_content_block_kept_nav_dropped():
+    page = wrap(
+        f'<nav><a href="/">home sweet home</a> <a href="/x">about this site</a></nav>'
+        f"<p>{CONTENT}</p>"
+    )
+    spans = segment_page(page, CFG)
+    assert len(spans) == 1
+    assert spans[0]["tag"] == "p"
+
+
+def test_min_size_boundary():
+    # MIN_BOX_SIZE=5 (det.rs:37): 5 visible chars dropped, 6 kept — but only
+    # if the density score clears the threshold, so isolate with long pages
+    cfg = ExtractConfig(density_length_norm=1.0)  # length factor saturates fast
+    five = wrap("<p>abcde</p>")
+    six = wrap("<p>abcdef</p>")
+    assert segment_page(five, cfg) == []
+    assert len(segment_page(six, cfg)) == 1
+
+
+def test_script_style_content_skipped():
+    page = wrap(f"<script>var x = '<p>{CONTENT}</p>';</script><p>{CONTENT}</p>")
+    spans = segment_page(page, CFG)
+    assert len(spans) == 1
+    page2 = wrap(f"<style>p {{ color: red }}</style><p>{CONTENT}</p>")
+    assert len(segment_page(page2, CFG)) == 1
+
+
+def test_noscript_content_dropped():
+    page = wrap(f"<noscript><p>{CONTENT}</p></noscript><p>{CONTENT}</p>")
+    spans = segment_page(page, CFG)
+    assert len(spans) == 1
+
+
+def test_entities_counted_decoded():
+    # '&amp;' counts as one visible char
+    assert block_score(6, 0, False, CFG) > 0
+    page = wrap("<p>a &amp; b &lt; c &gt; d</p>")  # 7 visible chars > 5
+    spans = segment_page(page, ExtractConfig(density_length_norm=1.0))
+    assert len(spans) == 1
+
+
+def test_link_density_kills_score():
+    assert block_score(100, 100, False, CFG) == 0
+    assert block_score(100, 0, False, CFG) == 255
+    assert block_score(100, 50, False, CFG) == 127  # (1-0.5)*1.0*255 truncated
+
+
+def test_boiler_penalty():
+    s_plain = block_score(100, 0, False, CFG)
+    s_boiler = block_score(100, 0, True, CFG)
+    assert s_boiler == s_plain // 2
+
+
+def test_border_expansion_offsets():
+    page = wrap(f"<p>{CONTENT}</p>")
+    spans = segment_page(page, CFG)
+    s = spans[0]
+    assert s["tstart"] - s["start"] == min(CFG.rect_border_size, s["tstart"])
+    assert s["raw"] == page[s["start"] : s["end"]]
+    interior = s["raw"][s["tstart"] - s["start"] : s["tend"] - s["start"]]
+    assert interior == CONTENT
+
+
+def test_order_is_document_order():
+    page = wrap(f"<p>{CONTENT}</p><p>{CONTENT} again and again.</p><h1>{CONTENT}</h1>")
+    spans = segment_page(page, CFG)
+    assert [s["order"] for s in spans] == [0, 1, 2]
+    assert [s["tag"] for s in spans] == ["p", "p", "h1"]
+    assert spans[0]["start"] < spans[1]["start"] < spans[2]["start"]
+
+
+def test_br_splits_blocks():
+    cfg = ExtractConfig(density_length_norm=1.0)
+    page = wrap("<p>first half before<br>second half after</p>")
+    spans = segment_page(page, cfg)
+    assert len(spans) == 2
+
+
+def test_max_spans_cap():
+    cfg = ExtractConfig(max_spans_per_page=3)
+    page = wrap("".join(f"<p>{CONTENT}</p>" for _ in range(10)))
+    assert len(segment_page(page, cfg)) == 3
+
+
+def test_merge_boxes_on_same_line():
+    cfg = ExtractConfig(merge_boxes=True, rect_border_size=12, density_length_norm=1.0)
+    # two blocks on one html line, close enough for expanded boxes to overlap
+    page = wrap("<p>first block text</p><p>second block text</p>")
+    spans = segment_page(page, cfg)
+    assert len(spans) == 1
+    merged = spans[0]
+    assert "first block text" in merged["raw"] and "second block text" in merged["raw"]
