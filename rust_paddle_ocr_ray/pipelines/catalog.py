@@ -1,0 +1,566 @@
+"""The query catalog: every operator/pipeline exposed to the driver
+(`__ray_entry__.py: queries()/oracle_sql()`), one entry per SURVEY.md §2
+line plus the training-data operator family.
+
+Each Ray implementation has a DuckDB-SQL twin with IDENTICAL column
+names and integer-safe arithmetic wherever the driver's value-hash
+compares them; genuinely non-SQL operators (the extraction pipeline,
+MinHash/SimHash, LSH ANN) carry ``None`` SQL and get the driver's
+rows-only check — their rigor comes from the committed goldens and
+unit tests instead.
+
+Column-name discipline: every computed/aggregate column is aliased the
+SAME on both sides (driver hashes sort columns by name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..config import CLI_CONFIG
+from ..functions.textstats import (
+    JA_RANGE,
+    STOPWORDS,
+    ZH_RANGE,
+    langid_frame,
+    md5_hex,
+    quality_frame,
+)
+from ..sources.synth import pages_from_documents
+from ..stages.dedup import minhash_dedup_pairs, ngram_jaccard_pairs, simhash_pairs
+from ..stages.join import broadcast_lookup, native_join
+from ..stages.multimodal import featurize_media
+from ..stages.similarity import embedding_dup_pairs, knn_bruteforce, knn_lsh
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# ===========================================================================
+# relational core (engine breadth: filter/project/agg/sort/join/distinct)
+# ===========================================================================
+
+def q01_filter_project(sf_dir: str):
+    """M1-M4 analog: pruned read + vectorized filter + computed column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["l_shipdate"], pa.scalar(pd.Timestamp("1995-09-01"))))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.Table.from_arrays(
+            [b["l_orderkey"], b["l_linenumber"], rev],
+            names=["l_orderkey", "l_linenumber", "revenue"],
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_Q01 = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-09-01'
+"""
+
+
+def q02_groupby_agg(sf_dir: str):
+    """A1/A3 analog: TPC-H-Q1-style grouped aggregate with partial
+    pre-aggregation done by Ray's hash aggregate."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Count(alias_name="n"),
+    )
+
+    def r(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_qty"] = b["sum_qty"].round(2)
+        b["sum_price"] = b["sum_price"].round(2)
+        return b
+
+    return out.map_batches(r, batch_format="pandas")
+
+
+SQL_Q02 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_sort_limit(sf_dir: str):
+    """§2.6: global sort + limit (top-k)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_Q03 = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q04_join_broadcast(sf_dir: str):
+    """§2.4: broadcast-small-side join (ray.put once, dict lookup per
+    batch) — no shuffle for the dimension tables."""
+    nation = pq.read_table(_t(sf_dir, "nation")).to_pandas()
+    region = pq.read_table(_t(sf_dir, "region")).to_pandas()
+    r_name = dict(zip(region["r_regionkey"], region["r_name"]))
+    nat_to_region = {
+        int(nk): r_name[rk] for nk, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
+    }
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
+    with_region = broadcast_lookup(cust, nat_to_region, "c_nationkey", "r_name")
+    out = with_region.groupby("r_name").aggregate(
+        Count(alias_name="n_cust"), Sum("c_acctbal", alias_name="sum_bal")
+    )
+
+    def r(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_bal"] = b["sum_bal"].round(2)
+        return b
+
+    return out.map_batches(r, batch_format="pandas")
+
+
+SQL_Q04 = """
+SELECT r_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q05_join_hash(sf_dir: str):
+    """§2.4: large-large hash-partitioned join (native Dataset.join)."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    joined = native_join(orders, cust.rename_columns({"c_custkey": "o_custkey"}),
+                         on="o_custkey", num_partitions=16)
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
+    )
+
+    def r(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_price"] = b["sum_price"].round(2)
+        return b
+
+    return out.map_batches(r, batch_format="pandas")
+
+
+SQL_Q05 = """
+SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q06_distinct(sf_dir: str):
+    """§2.7: distinct over a column pair (shuffle)."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_returnflag", "l_linestatus"])
+    grouped = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="c"))
+    return grouped.drop_columns(["c"])
+
+
+SQL_Q06 = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q07_agg_events(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value", "ts"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value"), Max("ts", alias_name="max_ts")
+    )
+
+    def r(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = b["sum_value"].round(2)
+        return b
+
+    return out.map_batches(r, batch_format="pandas")
+
+
+SQL_Q07 = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value, MAX(ts) AS max_ts
+FROM events GROUP BY event_type
+"""
+
+
+def q08_window_bucket(sf_dir: str):
+    """§2.9: tumbling event-time window as an explicit bucket column +
+    grouped aggregate (the Ray-native windowing pattern)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["hour_epoch"] = (b["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000) * 3600
+        return b[["user_id", "hour_epoch", "value"]]
+
+    out = ds.map_batches(bucket, batch_format="pandas").groupby(["user_id", "hour_epoch"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+
+    def r(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = b["sum_value"].round(2)
+        return b
+
+    return out.map_batches(r, batch_format="pandas")
+
+
+SQL_Q08 = """
+SELECT user_id, epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q09_topk_per_group(sf_dir: str):
+    """§2.6: per-group sort + head (top-3 orders per priority)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderpriority", "o_orderkey", "o_totalprice"]
+    )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True],
+                             kind="stable").head(3)
+
+    return ds.groupby("o_orderpriority").map_groups(top3, batch_format="pandas")
+
+
+SQL_Q09 = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q10_union(sf_dir: str):
+    """Dataset.union of two filtered streams (S-ops breadth)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderstatus", "o_totalprice"])
+
+    def pick(status: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["o_orderstatus"], pa.scalar(status)))
+
+        return _f
+
+    a = ds.map_batches(pick("O"), batch_format="pyarrow")
+    b = ds.map_batches(pick("F"), batch_format="pyarrow")
+    out = a.union(b).groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+    return out
+
+
+SQL_Q10 = """
+SELECT o_orderstatus, COUNT(*) AS n FROM orders
+WHERE o_orderstatus IN ('O', 'F') GROUP BY o_orderstatus
+"""
+
+
+# ===========================================================================
+# text analysis over documents
+# ===========================================================================
+
+def q11_langid(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"], "pred_lang": langid_frame(b["text"])})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+SQL_Q11 = f"""
+SELECT doc_id,
+  CASE
+    WHEN regexp_matches(text, '{JA_RANGE}') THEN 'ja'
+    WHEN regexp_matches(text, '{ZH_RANGE}') THEN 'zh'
+    WHEN len(regexp_extract_all(lower(text), '{STOPWORDS["en"]}')) >= len(regexp_extract_all(lower(text), '{STOPWORDS["fr"]}'))
+     AND len(regexp_extract_all(lower(text), '{STOPWORDS["en"]}')) >= len(regexp_extract_all(lower(text), '{STOPWORDS["es"]}'))
+     AND len(regexp_extract_all(lower(text), '{STOPWORDS["en"]}')) >= len(regexp_extract_all(lower(text), '{STOPWORDS["de"]}')) THEN 'en'
+    WHEN len(regexp_extract_all(lower(text), '{STOPWORDS["fr"]}')) >= len(regexp_extract_all(lower(text), '{STOPWORDS["es"]}'))
+     AND len(regexp_extract_all(lower(text), '{STOPWORDS["fr"]}')) >= len(regexp_extract_all(lower(text), '{STOPWORDS["de"]}')) THEN 'fr'
+    WHEN len(regexp_extract_all(lower(text), '{STOPWORDS["es"]}')) >= len(regexp_extract_all(lower(text), '{STOPWORDS["de"]}')) THEN 'es'
+    ELSE 'de'
+  END AS pred_lang
+FROM documents
+"""
+
+
+def q12_quality(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        q = quality_frame(b["text"])
+        q.insert(0, "doc_id", b["doc_id"].to_numpy())
+        return q
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+SQL_Q12 = r"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+  len(regexp_extract_all(text, '[,.!?;:]')) AS n_punct,
+  len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+  (10 * (length(text) - len(regexp_extract_all(text, '\S+')) + 1))
+     // greatest(len(regexp_extract_all(text, '\S+')), 1) AS mean_tok_len_x10,
+  (len(regexp_extract_all(text, '\S+')) >= 10
+   AND len(regexp_extract_all(text, '\S+')) <= 100000
+   AND len(regexp_extract_all(text, '[,.!?;:]')) * 5
+       <= len(regexp_extract_all(text, '\S+')) * 2 + 10) AS is_quality
+FROM documents
+"""
+
+
+def q13_tokens_by_source(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "toks": b["text"].str.count(r"\S+").astype("int64"),
+                "chars": b["text"].str.len().astype("int64"),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pandas").groupby("source").aggregate(
+        Count(alias_name="docs"), Sum("toks", alias_name="total_tokens"),
+        Sum("chars", alias_name="total_chars"),
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        # DuckDB SUM(BIGINT) is HUGEINT -> cast both sides to int64
+        b["total_tokens"] = b["total_tokens"].astype("int64")
+        b["total_chars"] = b["total_chars"].astype("int64")
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_Q13 = r"""
+SELECT source, COUNT(*) AS docs,
+       SUM(len(regexp_extract_all(text, '\S+')))::BIGINT AS total_tokens,
+       SUM(length(text))::BIGINT AS total_chars
+FROM documents GROUP BY source
+"""
+
+
+def q14_fingerprint(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"], "fp": md5_hex(b["text"])})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+SQL_Q14 = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+# ===========================================================================
+# dedup family
+# ===========================================================================
+
+def q15_dedup_exact(sf_dir: str):
+    """D3 pattern on a key with real duplicates: keep min doc_id per
+    (lang, n_chars) group."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+    out = ds.groupby(["lang", "n_chars"]).aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="dupes")
+    )
+    return out
+
+
+SQL_Q15 = """
+SELECT lang, n_chars, MIN(doc_id) AS doc_id, COUNT(*) AS dupes
+FROM documents GROUP BY lang, n_chars
+"""
+
+
+def q16_dedup_exact_text(sf_dir: str):
+    """Exact content-hash dedup: md5 in map_batches -> ONE shuffle on the
+    hash -> per-group min id (content itself never shuffles twice)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"], "h": md5_hex(b["text"])})
+
+    hashed = ds.map_batches(f, batch_format="pandas")
+    return hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+SQL_Q16 = "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
+
+def q17_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs (non-SQL; verified by unit tests with
+    planted near-duplicates)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.5)
+    return pairs[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q18_simhash_pairs(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    res = simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+    return res[["a", "b", "hamming"]].sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q19_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard within (lang, n_chars) buckets (the brute
+    verify; bucketed so the quadratic term is bounded)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars", "text"])
+    out = ngram_jaccard_pairs(ds, "text", "doc_id", ["lang", "n_chars"], threshold=0.5, k=1)
+    return out.drop_columns(["jaccard"])
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+
+def _load_queries(sf_dir: str, n: int = 3) -> dict:
+    tbl = pq.read_table(_t(sf_dir, "embeddings")).to_pandas()
+    q = tbl[tbl["vec_id"] < n].sort_values("vec_id")
+    return {"ids": q["vec_id"].to_numpy(), "mat": np.stack(q["embedding"].to_numpy())}
+
+
+def q20_knn_bruteforce(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_bruteforce(ds, _load_queries(sf_dir), "vec_id", "embedding", k=5)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+SQL_Q20 = """
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       ROW_NUMBER() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                  e.vec_id) AS rank
+FROM (SELECT * FROM embeddings WHERE vec_id < 3) q, embeddings e
+WHERE e.vec_id != q.vec_id
+QUALIFY rank <= 5
+"""
+
+
+def q21_knn_lsh(sf_dir: str):
+    """ANN scale path: hyperplane-LSH buckets, probe own bucket only
+    (approximate -> no SQL oracle; recall asserted in unit tests)."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_lsh(ds, _load_queries(sf_dir), "vec_id", "embedding", k=5, dim=64, bits=8)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def q22_embedding_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs within label buckets."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    out = embedding_dup_pairs(ds, "vec_id", "embedding", "label", tau=0.3)
+    return out.drop_columns(["cos"])
+
+
+SQL_Q22 = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a, embeddings b
+WHERE a.label = b.label AND a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3
+"""
+
+
+# ===========================================================================
+# extraction pipeline over driver tables (rows-only; goldens carry rigor)
+# ===========================================================================
+
+def _doc_pages(sf_dir: str):
+    docs = rd.read_parquet(_t(sf_dir, "documents"))
+    return docs.map_batches(pages_from_documents, batch_format="pyarrow")
+
+
+def q23_extract(sf_dir: str):
+    """Flagship det->rec->merge over pages synthesized from documents."""
+    from .extract import ExtractPipeline
+
+    return ExtractPipeline(CLI_CONFIG).run(_doc_pages(sf_dir))
+
+
+def q24_detect_spans(sf_dir: str):
+    """Detection stage only: flat span rows (offsets + scores)."""
+    from .extract import ExtractPipeline
+
+    pipe = ExtractPipeline(CLI_CONFIG)
+    return pipe.detect(_doc_pages(sf_dir)).drop_columns(["raw"])
+
+
+def q25_media_meta(sf_dir: str):
+    """Multimodal plumbing over binary payloads (documents.text as bytes);
+    SQL twin checks the honest part (sizes + digests)."""
+    import pyarrow as pa
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_blob(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [b["doc_id"], pc.cast(b["text"], pa.binary())], names=["doc_id", "payload"]
+        )
+
+    media = docs.map_batches(to_blob, batch_format="pyarrow")
+    out = featurize_media(media, "payload", "doc_id")
+    return out.select_columns(["media_id", "n_bytes", "sha16"])
+
+
+SQL_Q25 = """
+SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+       substr(sha256(text), 1, 16) AS sha16
+FROM documents
+"""
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES: dict[str, tuple] = {
+    "q01_filter_project": (q01_filter_project, SQL_Q01),
+    "q02_groupby_agg": (q02_groupby_agg, SQL_Q02),
+    "q03_sort_limit": (q03_sort_limit, SQL_Q03),
+    "q04_join_broadcast": (q04_join_broadcast, SQL_Q04),
+    "q05_join_hash": (q05_join_hash, SQL_Q05),
+    "q06_distinct": (q06_distinct, SQL_Q06),
+    "q07_agg_events": (q07_agg_events, SQL_Q07),
+    "q08_window_bucket": (q08_window_bucket, SQL_Q08),
+    "q09_topk_per_group": (q09_topk_per_group, SQL_Q09),
+    "q10_union": (q10_union, SQL_Q10),
+    "q11_langid": (q11_langid, SQL_Q11),
+    "q12_quality": (q12_quality, SQL_Q12),
+    "q13_tokens_by_source": (q13_tokens_by_source, SQL_Q13),
+    "q14_fingerprint": (q14_fingerprint, SQL_Q14),
+    "q15_dedup_exact": (q15_dedup_exact, SQL_Q15),
+    "q16_dedup_exact_text": (q16_dedup_exact_text, SQL_Q16),
+    "q17_minhash_pairs": (q17_minhash_pairs, None),
+    "q18_simhash_pairs": (q18_simhash_pairs, None),
+    "q19_jaccard_pairs": (q19_jaccard_pairs, None),
+    "q20_knn_bruteforce": (q20_knn_bruteforce, SQL_Q20),
+    "q21_knn_lsh": (q21_knn_lsh, None),
+    "q22_embedding_dups": (q22_embedding_dups, SQL_Q22),
+    "q23_extract": (q23_extract, None),
+    "q24_detect_spans": (q24_detect_spans, None),
+    "q25_media_meta": (q25_media_meta, SQL_Q25),
+}

@@ -204,6 +204,38 @@ def pages_batch(batch: dict, seed: int = 42, dup_every: int = 20) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
+def pages_from_documents(batch: pa.Table) -> pa.Table:
+    """Deterministically wrap ``documents`` rows (doc_id, text, lang, source)
+    into Common-Crawl-style pages so the extraction pipeline can run over
+    the driver's test tables.  Pure function of the row (no RNG)."""
+    rows = []
+    for doc_id, text, lang, source in zip(
+        batch["doc_id"].to_pylist(),
+        batch["text"].to_pylist(),
+        batch["lang"].to_pylist(),
+        batch["source"].to_pylist(),
+    ):
+        words = (text or "").split()
+        paras = [" ".join(words[i : i + 25]) for i in range(0, len(words), 25)]
+        body = "\n".join(f"<p>{p}.</p>" for p in paras if p)
+        html_text = (
+            f"<html><head><title>doc {doc_id}</title></head>\n<body>\n"
+            f'<nav><a href="/">home page</a> | <a href="/{source}">{source} index</a></nav>\n'
+            f"{body}\n"
+            f'<footer><a href="/terms">terms of use</a></footer>\n</body></html>'
+        )
+        rows.append(
+            {
+                "url": f"https://docs.test/{source}/{doc_id:08d}",
+                "warc_ts": _EPOCH_US + int(doc_id) * 1_000_000,
+                "html": html_text.encode("utf-8"),
+                "text": text or "",
+                "lang": lang or "en",
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
 def write_corpus(out_dir: str, n: int, seed: int = 42, shards: int = 8) -> list[str]:
     """Write the corpus as ``shards`` parquet files (a resumable layout)."""
     import os

@@ -1,0 +1,93 @@
+"""Joins: native hash-partitioned join + the portable explicit fallback.
+
+``native_join`` wraps ``Dataset.join`` (hash-partitioned on the key;
+available in this Ray release).  ``hash_join`` is the version-proof
+pattern from the Ray Data playbook: bucket both sides on
+``key % num_buckets``, tag, union, ONE ``groupby(bucket)`` shuffle,
+pandas-merge inside each group.  Hot keys can be pre-salted by the
+caller into finer buckets.
+
+Partitioning assumption (documented per SURVEY.md custom-operator
+rule): a single bucket's rows from both sides fit in one task's heap —
+pick ``num_buckets`` so (|L| + |R|) / B stays at a few hundred MB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def native_join(left, right, on: str, join_type: str = "inner",
+                num_partitions: int = 32):
+    return left.join(right, join_type=join_type, num_partitions=num_partitions,
+                     on=(on,))
+
+
+def _nullable_dtype(t: pa.DataType) -> str:
+    if pa.types.is_integer(t):
+        return "Int64"
+    if pa.types.is_floating(t):
+        return "Float64"
+    if pa.types.is_timestamp(t):
+        return "datetime64[ns]"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    return "object"
+
+
+def hash_join(left, right, on: str, num_buckets: int = 32, how: str = "inner",
+              suffix: str = "_r"):
+    """Explicit partitioned hash join of two Datasets on integer key ``on``."""
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    dtypes: dict[str, str] = {}
+    for name, t in zip(l_schema.names, l_schema.types):
+        dtypes[name] = _nullable_dtype(t)
+    for name, t in zip(r_schema.names, r_schema.types):
+        dtypes.setdefault(name, _nullable_dtype(t))
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+
+    def tag(side: str, own: list[str]):
+        def _t(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(index=batch.index)
+            for c in all_cols:
+                if c in own:
+                    out[c] = batch[c].astype(dtypes[c])
+                else:
+                    out[c] = pd.Series([pd.NA] * len(batch), index=batch.index,
+                                       dtype=dtypes[c])
+            out["__bucket"] = (batch[on].astype("int64") % num_buckets).astype("int64")
+            out["__side"] = side
+            return out
+
+        return _t
+
+    both = left.map_batches(tag("l", l_cols), batch_format="pandas").union(
+        right.map_batches(tag("r", r_cols), batch_format="pandas")
+    )
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == "l", l_cols]
+        rg = g.loc[g["__side"] == "r", r_cols]
+        return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
+
+    return both.groupby("__bucket").map_groups(join_group, batch_format="pandas")
+
+
+def broadcast_lookup(ds, mapping: dict, key_col: str, out_col: str):
+    """Broadcast-small-side join: ``mapping`` (key -> value) is put in the
+    object store ONCE and read per task (never re-shipped per batch);
+    the lookup is a C-speed ``Series.map`` per batch.  No shuffle."""
+    import ray
+
+    ref = ray.put(mapping)
+
+    def _lk(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[out_col] = batch[key_col].map(ray.get(ref))
+        return batch
+
+    return ds.map_batches(_lk, batch_format="pandas")

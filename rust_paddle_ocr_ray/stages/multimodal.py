@@ -1,0 +1,114 @@
+"""Multimodal plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata.
+
+The decode kernels themselves are STUBS (no image/audio libraries in
+this environment — clearly marked below); everything Ray-side is real
+and tested: schema, actor-pool signature, small batch sizes for large
+payloads, and deterministic fake features so pipelines are end-to-end
+runnable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_META_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("n_bytes", pa.int64()),
+        ("sha16", pa.string()),
+        ("width", pa.int32()),      # fake (deterministic) until a real decoder exists
+        ("height", pa.int32()),
+        ("feature", pa.list_(pa.float32())),
+    ]
+)
+
+
+def real_decode(payload: bytes):
+    """The real decode hook.  STUB: image/audio libs are not available in
+    this environment; wire Pillow/ffmpeg here when present."""
+    raise NotImplementedError(
+        "media decode requires an image/audio library not present in this "
+        "environment; the pipeline uses the deterministic fake decoder"
+    )
+
+
+def _fake_decode(payload: bytes, feat_dim: int) -> tuple[int, int, np.ndarray]:
+    """Deterministic stand-in for decode + feature extraction: dimensions
+    and features derived from the payload digest (stable across workers)."""
+    d = hashlib.blake2b(payload, digest_size=32).digest()
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    raw = np.frombuffer(
+        hashlib.blake2b(payload, digest_size=feat_dim, person=b"feat").digest(),
+        dtype=np.uint8,
+    )
+    feature = (raw.astype(np.float32) - 127.5) / 127.5
+    return width, height, feature
+
+
+class MediaFeaturizer:
+    """Actor-pool stage over binary payloads.  Use SMALL ``batch_size``
+    (payloads are large) and ``batch_format='pyarrow'`` (binary columns
+    don't round-trip pandas cleanly)."""
+
+    def __init__(self, payload_col: str, id_col: str, feat_dim: int = 64,
+                 use_real_decoder: bool = False):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.feat_dim = feat_dim
+        self.use_real = use_real_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        payloads = batch[self.payload_col].to_pylist()
+        rows = {k: [] for k in MEDIA_META_SCHEMA.names}
+        for mid, payload in zip(ids, payloads):
+            payload = payload or b""
+            if self.use_real:
+                real_decode(payload)  # raises NotImplementedError by design
+            w, h, feat = _fake_decode(payload, self.feat_dim)
+            rows["media_id"].append(mid)
+            rows["n_bytes"].append(len(payload))
+            rows["sha16"].append(hashlib.sha256(payload).hexdigest()[:16])
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["feature"].append(feat.tolist())
+        return pa.Table.from_pydict(rows, schema=MEDIA_META_SCHEMA)
+
+
+def featurize_media(ds, payload_col: str, id_col: str, feat_dim: int = 64,
+                    batch_size: int = 64, concurrency=None):
+    """Decode / feature-extract as an actor-pool map_batches stage."""
+    return ds.map_batches(
+        MediaFeaturizer,
+        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col,
+                               "feat_dim": feat_dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,  # large binary rows -> small batches
+        concurrency=concurrency or (1, 4),
+    )
+
+
+def frame_sample(ds, payload_col: str, id_col: str, every_n: int = 10,
+                 batch_size: int = 16):
+    """Video frame-sampling plumbing: emits one row per sampled frame with
+    a deterministic fake frame digest (decode itself is the stub above)."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_no": [], "frame_sha16": []}
+        for mid, payload in zip(batch[id_col].to_pylist(), batch[payload_col].to_pylist()):
+            payload = payload or b""
+            n_frames = max(1, len(payload) // 1024)  # fake: 1 frame per KiB
+            for f in range(0, n_frames, every_n):
+                d = hashlib.blake2b(payload + f.to_bytes(4, "little"), digest_size=8)
+                out["media_id"].append(mid)
+                out["frame_no"].append(f)
+                out["frame_sha16"].append(d.hexdigest())
+        return pa.Table.from_pydict(out)
+
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=batch_size)

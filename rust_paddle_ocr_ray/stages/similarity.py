@@ -1,0 +1,178 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- Brute-force cosine top-k: the query matrix is broadcast ONCE via
+  ``ray.put`` and read in every task (never re-shipped per batch);
+  each batch computes a numpy matmul and emits only its LOCAL top-k
+  per query, so the global merge handles k*num_batches rows, not the
+  corpus.
+- LSH-bucketed variant (random hyperplanes): the scale path — queries
+  only touch same-bucket rows; recall/cost traded via code bits.
+- Embedding near-dup: cosine > tau pairs inside explicit buckets.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """Actor-pool stage: pulls the broadcast query matrix once per actor."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        import ray
+
+        q = ray.get(queries_ref)  # {"ids": (Q,), "mat": (Q, D)}
+        self.q_ids = np.asarray(q["ids"])
+        self.q_mat = _norm_rows(np.asarray(q["mat"], dtype=np.float64))
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_col].to_numpy()
+        mat = _norm_rows(np.stack(batch[self.vec_col].to_numpy()).astype(np.float64))
+        sims = self.q_mat @ mat.T  # (Q, B)
+        # self-matches excluded by id, not by similarity
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        k = min(self.k, mat.shape[0])
+        for qi, qid in enumerate(self.q_ids):
+            row = sims[qi]
+            mask = ids != qid
+            cand = np.flatnonzero(mask)
+            if cand.size == 0:
+                continue
+            top = cand[np.argsort(-row[cand], kind="stable")[:k]]
+            out["query_id"].extend([qid] * top.size)
+            out["neighbor_id"].extend(ids[top].tolist())
+            out["sim"].extend(row[top].tolist())
+        return pd.DataFrame(out)
+
+
+def knn_bruteforce(embeddings, queries: dict, id_col: str, vec_col: str, k: int,
+                   concurrency=None):
+    """Global top-k per query: per-batch local top-k -> tiny global merge.
+
+    ``queries`` = {"ids": array, "mat": 2-D array}; broadcast via ray.put.
+    Returns a Dataset of (query_id, neighbor_id, rank, sim).
+    """
+    import ray
+
+    ref = ray.put(queries)
+    partial = embeddings.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "id_col": id_col,
+                               "vec_col": vec_col, "k": k},
+        batch_format="pandas",
+        concurrency=concurrency or (1, 4),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signer: ``bits``-bit bucket code per row."""
+
+    def __init__(self, dim: int, bits: int = 12, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((bits, dim))
+
+    def code(self, mat: np.ndarray) -> np.ndarray:
+        proj = mat @ self.planes.T  # (N, bits)
+        bits = (proj > 0).astype(np.uint64)
+        return (bits << np.arange(bits.shape[1], dtype=np.uint64)[None, :]).sum(axis=1)
+
+
+def add_lsh_bucket(embeddings, vec_col: str, dim: int, bits: int = 12, seed: int = 7):
+    """The scale path for ANN: assign each row an LSH bucket; queries probe
+    only their own bucket (plus optional multiprobe neighbors)."""
+
+    def _code(batch: pd.DataFrame) -> pd.DataFrame:
+        lsh = HyperplaneLSH(dim, bits, seed)  # deterministic per seed
+        mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        batch["bucket"] = lsh.code(mat).astype(np.int64)
+        return batch
+
+    return embeddings.map_batches(_code, batch_format="pandas")
+
+
+def knn_lsh(embeddings, queries: dict, id_col: str, vec_col: str, k: int,
+            dim: int, bits: int = 12, seed: int = 7):
+    """ANN via shared LSH buckets: exact cosine only within the bucket of
+    each query.  Returns (query_id, neighbor_id, rank, sim)."""
+    lsh = HyperplaneLSH(dim, bits, seed)
+    q_mat = np.asarray(queries["mat"], dtype=np.float64)
+    q_codes = lsh.code(q_mat)
+    by_bucket: dict[int, list[int]] = {}
+    for qi, c in enumerate(q_codes):
+        by_bucket.setdefault(int(c), []).append(qi)
+
+    bucketed = add_lsh_bucket(embeddings, vec_col, dim, bits, seed)
+    import ray
+
+    ref = ray.put({"by_bucket": by_bucket, "ids": np.asarray(queries["ids"]),
+                   "mat": _norm_rows(q_mat)})
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(ref)
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for bucket, sub in batch.groupby("bucket"):
+            qis = q["by_bucket"].get(int(bucket))
+            if not qis:
+                continue
+            ids = sub[id_col].to_numpy()
+            mat = _norm_rows(np.stack(sub[vec_col].to_numpy()).astype(np.float64))
+            sims = q["mat"][qis] @ mat.T
+            for row, qi in zip(sims, qis):
+                qid = q["ids"][qi]
+                mask = ids != qid
+                cand = np.flatnonzero(mask)
+                top = cand[np.argsort(-row[cand], kind="stable")[: min(k, cand.size)]]
+                out["query_id"].extend([qid] * top.size)
+                out["neighbor_id"].extend(ids[top].tolist())
+                out["sim"].extend(row[top].tolist())
+        return pd.DataFrame(out)
+
+    partial = bucketed.map_batches(probe, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def embedding_dup_pairs(embeddings, id_col: str, vec_col: str, bucket_col: str,
+                        tau: float = 0.95, max_bucket: int = 2000):
+    """Embedding-cosine near-dup: all pairs with cosine > tau inside each
+    bucket (e.g. a label or an LSH bucket)."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > max_bucket:
+            return pd.DataFrame({"a": [], "b": [], "cos": []})
+        g = g.sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy()
+        mat = _norm_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        sims = mat @ mat.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] > tau
+        return pd.DataFrame({"a": ids[ii[keep]], "b": ids[jj[keep]],
+                             "cos": sims[ii[keep], jj[keep]]})
+
+    return embeddings.groupby(bucket_col).map_groups(pairs, batch_format="pandas")

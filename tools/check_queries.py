@@ -1,0 +1,124 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry and its ``oracle_sql()`` twin at a given sf and
+compare row-count + column names + sorted values.
+
+    python tools/check_queries.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+
+    try:
+        from ray.data import Dataset
+
+        if isinstance(obj, Dataset):
+            return obj.to_pandas()
+    except ImportError:
+        pass
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype(bool)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64").round(9)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
+    if sorted(ray_df.columns) != sorted(sql_df.columns):
+        return f"SCHEMA MISMATCH ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}"
+    if len(ray_df) != len(sql_df):
+        return f"ROWCOUNT MISMATCH ray={len(ray_df)} sql={len(sql_df)}"
+    a, b = normalize(ray_df), normalize(sql_df)
+    if not a.equals(b):
+        diff_cols = [c for c in a.columns if not a[c].equals(b[c])]
+        for c in diff_cols:
+            neq = a[c] != b[c]
+            if pd.api.types.is_float_dtype(a[c]):
+                neq = ~np.isclose(a[c], b[c], atol=1e-9, equal_nan=True)
+            if neq.any():
+                k = int(np.flatnonzero(neq.to_numpy())[0])
+                return (f"VALUE MISMATCH col={c} row={k}: "
+                        f"ray={a[c].iloc[k]!r} sql={b[c].iloc[k]!r}")
+        return "OK (float-tolerance)"
+    return "OK"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    import __ray_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            ray_df = to_pandas(fn(sf_dir))
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name:24s} RAY ERROR: {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name in oracles:
+            try:
+                sql_df = con.execute(oracles[name]).fetchdf()
+            except Exception as ex:  # noqa: BLE001
+                print(f"{name:24s} SQL ERROR: {ex}")
+                failures += 1
+                continue
+            verdict = compare(name, ray_df, sql_df)
+        else:
+            verdict = f"rows-only ({len(ray_df)} rows)"
+        status = "ok" if verdict.startswith(("OK", "rows-only")) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{name:24s} {dt:6.1f}s  {verdict}")
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
