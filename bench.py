@@ -1,0 +1,255 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: run every catalog query over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "catalog_total_sec", "value": N, "unit": "sec",
+     "queries": {"q01_filter_project": sec, ...}, "sf": 0.1, "num_cpus": 32,
+     "extract": {"docs": D, "wall_s": W, "docs_per_sec": R, "html_mb_per_sec": B}}
+
+``--scaling``: run the flagship extraction pipeline twice in FRESH
+processes (num_cpus=8 then num_cpus=32) over the same on-disk synthetic
+corpus — the sandbox stand-in for N- vs 4N-node clusters
+(BASELINE.json ``north_rule``) — and print one JSON line with both
+throughputs plus the scaling efficiency.
+
+Internal modes (used by --scaling subprocesses):
+    --prep-corpus DIR N    distributed corpus write (once, cached)
+    --extract-corpus DIR   run extract over DIR, print per-run JSON
+
+This script OWNS its Ray session (ray.init/shutdown) — the library and
+__ray_entry__.py never do (driver contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_DIR = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/graft_bench_corpus")
+CORPUS_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "24000"))
+SCALING_CPUS = (8, 32)
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _drain(obj) -> int:
+    """Fully execute a query result without materializing it on the driver."""
+    import pandas as pd
+    import pyarrow as pa
+
+    try:
+        from ray.data import Dataset
+    except ImportError:
+        Dataset = ()  # type: ignore[assignment]
+    if isinstance(obj, Dataset):
+        n = 0
+        for b in obj.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(obj, (pa.Table, pd.DataFrame)):
+        return len(obj)
+    return 0
+
+
+def run_catalog(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    from rust_paddle_ocr_ray.pipelines.catalog import QUERIES
+
+    per_query: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    t_all = time.perf_counter()
+    for name, (fn, _sql) in QUERIES.items():
+        t0 = time.perf_counter()
+        rows[name] = _drain(fn(sf_dir))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    extract = _time_extract(sf_dir)
+    sf = _sf_of(sf_dir)
+    return {
+        "metric": "catalog_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "rows": rows,
+        "extract": extract,
+    }
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _time_extract(sf_dir: str) -> dict:
+    """Flagship det->rec->merge over pages synthesized from documents;
+    separate timing so the headline docs/sec is visible on its own."""
+    import pyarrow.parquet as pq
+
+    from rust_paddle_ocr_ray.pipelines.catalog import _doc_pages
+    from rust_paddle_ocr_ray.config import CLI_CONFIG
+    from rust_paddle_ocr_ray.pipelines.extract import ExtractPipeline
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    t0 = time.perf_counter()
+    out = ExtractPipeline(CLI_CONFIG).run(_doc_pages(sf_dir))
+    docs = _drain(out)
+    wall = time.perf_counter() - t0
+    return {
+        "docs": docs,
+        "input_docs": n_docs,
+        "wall_s": round(wall, 3),
+        "docs_per_sec": round(docs / wall, 2) if wall > 0 else 0.0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# scaling mode (fresh processes, shared corpus)
+# ---------------------------------------------------------------------------
+
+def prep_corpus(corpus_dir: str, n_pages: int, num_cpus: int) -> None:
+    """Distributed deterministic corpus write (rd.range -> pages -> parquet)."""
+    _init_ray(num_cpus)
+    import ray
+    import ray.data as rd
+
+    from rust_paddle_ocr_ray.sources.synth import pages_batch
+
+    (
+        rd.range(n_pages, override_num_blocks=max(num_cpus * 2, 16))
+        .map_batches(lambda b: pages_batch(b), batch_format="pyarrow", batch_size=512)
+        .write_parquet(corpus_dir)
+    )
+    ray.shutdown()
+
+
+def extract_corpus(corpus_dir: str, num_cpus: int) -> dict:
+    """One fresh-session extraction run over the on-disk corpus: read ->
+    detect -> recognize -> merge -> write_parquet (full e2e incl. sink)."""
+    _init_ray(num_cpus)
+    import shutil
+
+    import ray
+
+    from rust_paddle_ocr_ray.config import CLI_CONFIG
+    from rust_paddle_ocr_ray.pipelines.extract import ExtractPipeline
+
+    out_dir = f"/tmp/graft_bench_out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    html_bytes = sum(
+        os.path.getsize(os.path.join(corpus_dir, f))
+        for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet")
+    )
+    pipe = ExtractPipeline(CLI_CONFIG)
+    t0 = time.perf_counter()
+    out = pipe.run(pipe.read_pages(corpus_dir))
+    out.write_parquet(out_dir)
+    wall = time.perf_counter() - t0
+    import pyarrow.dataset as pds
+
+    docs = pds.dataset(out_dir, format="parquet").count_rows()
+    ray.shutdown()
+    return {
+        "num_cpus": num_cpus,
+        "docs": docs,
+        "wall_s": round(wall, 3),
+        "docs_per_sec": round(docs / wall, 2),
+        "input_mb": round(html_bytes / 1e6, 1),
+        "mb_per_sec": round(html_bytes / 1e6 / wall, 2),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, two parallelism levels, fresh ray.init each — the
+    sandbox stand-in for the north_rule's N vs 4N cluster criterion."""
+    env = dict(os.environ)
+    if not os.path.isdir(CORPUS_DIR) or not any(
+        f.endswith(".parquet") for f in os.listdir(CORPUS_DIR) if os.path.isdir(CORPUS_DIR)
+    ):
+        subprocess.run(
+            [sys.executable, __file__, "--prep-corpus", CORPUS_DIR, str(CORPUS_PAGES)],
+            check=True,
+            env=env,
+            cwd=REPO,
+        )
+    runs = []
+    for cpus in SCALING_CPUS:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--extract-corpus", CORPUS_DIR],
+            check=True,
+            env={**env, "RAY_GRAFT_CPUS": str(cpus)},
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        )
+        runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    lo, hi = runs
+    speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    ratio = SCALING_CPUS[1] / SCALING_CPUS[0]
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(speedup / ratio, 3),
+        "unit": "fraction",
+        "queries": {
+            f"extract_cpus{lo['num_cpus']}": lo["wall_s"],
+            f"extract_cpus{hi['num_cpus']}": hi["wall_s"],
+        },
+        "sf": -1.0,
+        "num_cpus": SCALING_CPUS[1],
+        "corpus_pages": CORPUS_PAGES,
+        "runs": runs,
+        "speedup": round(speedup, 2),
+        "cpu_ratio": ratio,
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args and args[0] == "--prep-corpus":
+        prep_corpus(args[1], int(args[2]), DEFAULT_CPUS)
+        return
+    if args and args[0] == "--extract-corpus":
+        print(json.dumps(extract_corpus(args[1], DEFAULT_CPUS)))
+        return
+    if args and args[0] == "--scaling":
+        print(json.dumps(run_scaling()))
+        return
+    result = run_catalog(DEFAULT_SF_DIR, DEFAULT_CPUS)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

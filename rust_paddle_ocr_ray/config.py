@@ -47,7 +47,14 @@ class ExtractConfig:
     # --- pipeline shape ---
     dedup_mode: str = "at_merge"        # "at_merge" | "early" | "off"  (D3, SURVEY §2.7)
     detect_batch_size: int = 64         # pages per detection batch (multi-MB html rows)
-    recognize_batch_size: int = 2048    # spans per recognition batch
+    # spans per recognition batch.  None = block-sized batches: detection's
+    # 64-page output blocks flow straight through, and (crucially) when Ray
+    # fuses detect->recognize into one actor-pool stage the fused operator
+    # inherits detection's bundling instead of stalling to collect a huge
+    # span batch (a fixed span batch_size here was measured to collapse the
+    # fused stage to ONE task on small corpora — parallelism = 1).
+    recognize_batch_size: int | None = None
+    merge_num_buckets: int = 256        # coarse url-hash buckets for the merge shuffle
     # recognizer actor-pool size: None = autoscale (1, cluster_cpus - 2).
     # A fixed pool that reserves EVERY cpu deadlocks the pipeline: the read
     # task never gets a cpu to produce the first block while the idle pool

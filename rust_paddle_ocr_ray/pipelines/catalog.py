@@ -489,7 +489,14 @@ WHERE a.label = b.label AND a.vec_id < b.vec_id
 
 def _doc_pages(sf_dir: str):
     docs = rd.read_parquet(_t(sf_dir, "documents"))
-    return docs.map_batches(pages_from_documents, batch_format="pyarrow")
+    # The test documents file is one tiny parquet -> 1 read block -> every
+    # downstream stage would run as ONE task.  Split to cluster width first
+    # (trivial exchange at this size; a real 100 TB read yields thousands of
+    # blocks natively and skips this).
+    import ray
+
+    width = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return docs.repartition(width * 2).map_batches(pages_from_documents, batch_format="pyarrow")
 
 
 def q23_extract(sf_dir: str):

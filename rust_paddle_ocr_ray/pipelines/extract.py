@@ -76,7 +76,7 @@ class ExtractPipeline:
         )
 
     def merge(self, recognized: Dataset) -> Dataset:
-        return merge_extracted(recognized)
+        return merge_extracted(recognized, num_buckets=self.config.merge_num_buckets)
 
     # --- end-to-end --------------------------------------------------------
     def run(self, pages: Dataset) -> Dataset:
