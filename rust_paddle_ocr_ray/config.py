@@ -45,7 +45,18 @@ class ExtractConfig:
     max_html_bytes: int = 16 * 1024 * 1024  # pages larger than this are truncated
 
     # --- pipeline shape ---
-    dedup_mode: str = "at_merge"        # "at_merge" | "early" | "off"  (D3, SURVEY §2.7)
+    # D3 url dedup (SURVEY §2.7):
+    #   "planned"  — key-only scan finds dup urls + winning warc_ts; unique
+    #                urls bypass the merge shuffle, only dups exchange
+    #                (default: crawls are mostly-unique, shuffle ~dup-rate)
+    #   "at_merge" — every partial flows through the bucket groupby (the
+    #                single-exchange reference formulation)
+    #   "off"      — input urls asserted unique; pure streaming merge
+    dedup_mode: str = "planned"
+    # planning scans at or below this many input rows run driver-local
+    # (threaded pyarrow key scan; ~60 B/row of driver memory) — the
+    # distributed plan's fixed multi-wave latency dominates below this
+    plan_local_max_rows: int = 20_000_000
     detect_batch_size: int = 64         # pages per detection batch (multi-MB html rows)
     # spans per recognition batch.  None = block-sized batches: detection's
     # 64-page output blocks flow straight through, and (crucially) when Ray

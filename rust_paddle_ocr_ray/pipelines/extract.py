@@ -18,10 +18,16 @@ from ray.data import Dataset
 
 from ..config import CLI_CONFIG, ExtractConfig
 from ..stages.detect import make_detector
-from ..stages.merge import merge_extracted
+from ..stages.merge import merge_extracted, plan_url_dedup
 from ..stages.recognize import Recognizer
 
 PAGE_COLUMNS = ["url", "warc_ts", "html", "lang"]
+
+
+def _cluster_cpus() -> int:
+    import ray
+
+    return int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
 
 
 class ExtractPipeline:
@@ -32,8 +38,17 @@ class ExtractPipeline:
         self.config = config
 
     # --- sources -----------------------------------------------------------
-    def read_pages(self, paths) -> Dataset:
-        """S1: parquet pages source, pruned to the columns detection needs."""
+    def read_pages(self, paths, override_num_blocks: int | None = None) -> Dataset:
+        """S1: parquet pages source, pruned to the columns detection needs.
+
+        ``override_num_blocks``: optional block-count override; leave None
+        to let block size follow ``DataContext.target_max_block_size``
+        (the knob to shrink when straggler tasks appear — forcing a block
+        count on the read itself was measured to degrade badly at scale)."""
+        if override_num_blocks is not None:
+            return rd.read_parquet(
+                paths, columns=PAGE_COLUMNS, override_num_blocks=override_num_blocks
+            )
         return rd.read_parquet(paths, columns=PAGE_COLUMNS)
 
     def synthetic_pages(self, n: int, seed: int = 42) -> Dataset:
@@ -58,13 +73,16 @@ class ExtractPipeline:
         cfg = self.config
         concurrency = cfg.recognize_concurrency
         if concurrency is None:
-            # autoscaling pool sized to the cluster, leaving headroom so the
-            # read / shuffle stages always have cpus (a pool reserving every
-            # cpu deadlocks: input task can't run -> pool never gets a batch)
-            import ray
-
-            total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-            concurrency = (1, max(1, total - 2))
+            # Pool sizing, measured on the heavy-page corpus at 32 cpus:
+            # cap = cpus - max(2, cpus/8): the read/partial/write task
+            # stages carry ~10% of the work and serialize on whatever the
+            # pool leaves free (a cpus-2 cap measured 46 s vs 33 s; a
+            # full-width pinned pool deadlock-starves the read entirely).
+            # min = 3/4 cap skips most of the demand-driven ramp without
+            # pinning (pinning showed 2x regressions under memory noise).
+            total = _cluster_cpus()
+            cap = max(1, total - max(2, total // 8))
+            concurrency = (max(1, cap * 3 // 4), cap)
         return spans.map_batches(
             Recognizer,
             fn_constructor_kwargs={"cfg": cfg},
@@ -75,12 +93,68 @@ class ExtractPipeline:
             num_cpus=cfg.recognize_num_cpus,
         )
 
-    def merge(self, recognized: Dataset) -> Dataset:
-        return merge_extracted(recognized, num_buckets=self.config.merge_num_buckets)
+    def merge(self, recognized: Dataset, tie_urls: frozenset | None = None) -> Dataset:
+        return merge_extracted(
+            recognized, num_buckets=self.config.merge_num_buckets, tie_urls=tie_urls
+        )
 
     # --- end-to-end --------------------------------------------------------
-    def run(self, pages: Dataset) -> Dataset:
-        return self.merge(self.recognize(self.detect(pages)))
+    def run(self, pages: Dataset, keys: Dataset | None = None) -> Dataset:
+        """pages -> extracted.  ``keys``: optional (url, warc_ts)-only
+        Dataset for the dedup planning scan (pass a column-pruned parquet
+        read when you have paths — see ``run_paths``); derived from
+        ``pages`` by projection otherwise.
+
+        dedup_mode="planned" (default): key-only planning scan -> drop
+        losing page versions before detection (broadcast filter) -> pure
+        streaming merge; only exact-warc_ts-tie urls (normally none)
+        shuffle.  "at_merge": no planning pass, one full exchange.
+        "off": caller asserts unique urls."""
+        mode = self.config.dedup_mode
+        if mode == "at_merge":
+            return self.merge(self.recognize(self.detect(pages)), tie_urls=None)
+        if mode == "off":
+            return self.merge(self.recognize(self.detect(pages)), tie_urls=frozenset())
+
+        # "planned"
+        import ray
+
+        from ..stages.merge import make_winner_filter
+
+        keys_ds = keys if keys is not None else pages.select_columns(["url", "warc_ts"])
+        winners, ties = plan_url_dedup(keys_ds)
+        if winners:
+            pages = pages.map_batches(
+                make_winner_filter(ray.put(winners)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        return self.merge(self.recognize(self.detect(pages)), tie_urls=ties)
 
     def run_paths(self, paths) -> Dataset:
-        return self.run(self.read_pages(paths))
+        """Parquet entry point.  The dedup planning scan reads ONLY the
+        two key columns; below ``plan_local_max_rows`` it runs as a
+        threaded driver-local scan (distributed Ray plan latency >> plan
+        work at that size), above it as the distributed plan."""
+        if self.config.dedup_mode == "planned":
+            import pyarrow.dataset as pds
+
+            from ..stages.merge import plan_url_dedup_local
+
+            n_rows = pds.dataset(paths, format="parquet").count_rows()
+            if n_rows <= self.config.plan_local_max_rows:
+                import ray
+
+                from ..stages.merge import make_winner_filter
+
+                winners, ties = plan_url_dedup_local(paths)
+                pages = self.read_pages(paths)
+                if winners:
+                    pages = pages.map_batches(
+                        make_winner_filter(ray.put(winners)),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    )
+                return self.merge(self.recognize(self.detect(pages)), tie_urls=ties)
+        keys = rd.read_parquet(paths, columns=["url", "warc_ts"])
+        return self.run(self.read_pages(paths), keys=keys)

@@ -94,8 +94,12 @@ def _paragraph(rng: random.Random, lang: str, n_sentences: int | None = None) ->
     return "".join(_sentence(rng, lang) for _ in range(n)).strip()
 
 
-def build_page(seed: int, i: int) -> dict:
-    """One deterministic page row (pure function of seed and i)."""
+def build_page(seed: int, i: int, scale: int = 1) -> dict:
+    """One deterministic page row (pure function of seed, i, scale).
+
+    ``scale`` multiplies the content-paragraph count so benchmark corpora
+    can match realistic Common-Crawl page weights (tens of KB of html)
+    without touching the scale=1 golden fixtures."""
     rng = _rng_for(seed, i)
     r = rng.random()
     lang = "en" if r < 0.4 else ("fr" if r < 0.55 else ("es" if r < 0.65 else (
@@ -108,7 +112,7 @@ def build_page(seed: int, i: int) -> dict:
 
     heavy = i % 97 == 96
     barren = i % 53 == 52  # boilerplate only: zero above-threshold blocks
-    n_paras = 300 if heavy else (0 if barren else rng.randint(1, 8))
+    n_paras = 300 if heavy else (0 if barren else scale * rng.randint(1, 8))
 
     nav_links = " | ".join(
         f'<a href="/s/{rng.randint(0, 99)}">{_word(rng, "en")} {_word(rng, "en")}</a>'
@@ -184,15 +188,15 @@ def generate_pages(n: int, seed: int = 42, dup_every: int = 20) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
-def pages_batch(batch: dict, seed: int = 42, dup_every: int = 20) -> pa.Table:
+def pages_batch(batch: dict, seed: int = 42, dup_every: int = 20, scale: int = 1) -> pa.Table:
     """Distributed source body: map a ``ray.data.range(n)`` id batch to pages."""
     ids = np.asarray(batch["id"], dtype=np.int64)
     rows = []
     for i in ids.tolist():
-        row = build_page(seed, i)
+        row = build_page(seed, i, scale)
         if dup_every and i % dup_every == 3 and i > 0:
-            prev = build_page(seed, i - 1)
-            extra = build_page(seed, _VARIANT_OFFSET + i)
+            prev = build_page(seed, i - 1, scale)
+            extra = build_page(seed, _VARIANT_OFFSET + i, scale)
             row = {
                 "url": prev["url"],
                 "warc_ts": prev["warc_ts"] + 86_400_000_000,

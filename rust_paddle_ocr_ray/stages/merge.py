@@ -6,27 +6,39 @@ with the implicit detection-emission order made explicit via the
 ``order`` column (SURVEY.md §2.6) and a per-url sort on it (never a
 global order assumption).
 
-Scale shape — three deliberate choices, each measured:
+Scale shape — a two-phase combiner around ONE small shuffle, each
+choice measured on a 100k-page / 800k-span corpus:
 
-* **Column prune before the shuffle**: only the 7 columns the merge
-  needs cross the exchange; span geometry (start/end/line/tag/score)
-  stays behind (5x less shuffle weight on the smoke corpus).
-* **Coarse buckets, not per-url groups**: spans are hashed into
-  ``num_buckets`` buckets and the ONE shuffle is ``groupby("bucket")``;
-  each bucket task merges *all* its urls with vectorized pandas groupby
-  kernels.  ``groupby("url").map_groups`` costs one Python dispatch per
-  url (measured 4.5 ms/group); bucketing pays it once per bucket.
+* **Partial merge before the shuffle** (``partial_merge``): inside the
+  same map wave that recognized the spans, every (url, warc_ts) page
+  VERSION present in a batch collapses to ONE slim partial row — text
+  pre-joined in span order, confidences pre-summed.  800k span rows
+  (250 MB) shrink to ~100k partials before any data moves; the
+  all-to-all exchange then carries only partials.  (The naive
+  ``groupby(url).map_groups`` over raw spans measured 32 s; the plain
+  sort alone was 19 s.)
+* **Coarse buckets, not per-url groups**: partials hash into
+  ``num_buckets`` buckets and the shuffle is ``groupby("bucket")``;
+  each bucket task finishes *all* its urls with vectorized pandas
+  kernels (``groupby("url").map_groups`` costs one Python dispatch per
+  url — measured 4.5 ms/group of pure overhead).
 * **Arrow in, Arrow out**: the bucket column is appended to the Arrow
-  block zero-copy-in (no pandas conversion of the whole block — object
-  dtype strings measured 5x slower through the sort), and the final
-  operator casts back to the declared ``EXTRACTED_SCHEMA``.
+  block (no whole-block pandas conversion — object-dtype strings
+  measured 5x slower through the sort), and the final operator casts
+  to the declared ``EXTRACTED_SCHEMA``.
+
+Correctness of the split: detection emits a page's spans contiguously
+and recognition preserves row order, so one (url, warc_ts) version is
+split across at most adjacent batches; each partial carries its
+``min_order`` and the final combine concatenates partials in
+``min_order`` sequence — byte-identical to joining all spans in span
+order.  Exact (url, warc_ts) ties (the same version in two input
+files) are unspecified, as in the single-phase formulation.
 
 Exact URL dedup (D3, SURVEY.md §2.7) is fused into the same shuffle
-(``dedup_mode="at_merge"``): every page VERSION flows through
-detect/recognize, and the merge keeps the spans of the max-``warc_ts``
-version.  This shuffles recognized spans (small) instead of raw html
-(huge) — one all-to-all exchange for dedup + merge combined.
-Behavior on exact (url, warc_ts) ties is unspecified.
+(``dedup_mode="at_merge"``): every page version flows through
+detect/recognize, and the final combine keeps the max-``warc_ts``
+version.  One exchange for dedup + merge combined.
 
 Bucket hash: ``pandas.util.hash_array`` (SipHash-1-3, fixed key) —
 deterministic across processes/nodes, vectorized C.
@@ -34,6 +46,7 @@ deterministic across processes/nodes, vectorized C.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -48,49 +61,73 @@ EXTRACTED_SCHEMA = pa.schema(
     ]
 )
 
-#: columns that must survive into the merge shuffle
+#: columns the merge needs from the recognized-spans stream
 MERGE_COLUMNS = ["url", "warc_ts", "lang", "block_id", "order", "text", "confidence"]
 
 #: default bucket count — bounds merge-task count; raise for very large
-#: clusters (tasks per job ~ num_buckets; at 10^12 docs each bucket still
-#: streams through vectorized kernels, but more buckets = finer recovery
-#: and better balance).  Overridable via ExtractConfig.merge_num_buckets.
+#: clusters (tasks per job ~ num_buckets).  Overridable via
+#: ExtractConfig.merge_num_buckets.
 DEFAULT_NUM_BUCKETS = 256
 
 
-def url_bucket(urls, num_buckets: int):
+def url_bucket(urls, num_buckets: int) -> np.ndarray:
     """Deterministic url -> bucket id (int32 numpy array)."""
-    import numpy as np
-
     h = pd.util.hash_array(np.asarray(urls, dtype=object)) % num_buckets
     return h.astype("int32")
 
 
-def _with_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    buckets = url_bucket(batch["url"].to_numpy(zero_copy_only=False), num_buckets)
-    return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
+def partial_merge(batch: pd.DataFrame, num_buckets: int = DEFAULT_NUM_BUCKETS) -> pd.DataFrame:
+    """Combiner: collapse each (url, warc_ts) version within one batch to
+    a single partial row (the map-side pre-aggregation of A1)."""
+    key = ["url", "warc_ts"]
+    g = batch.sort_values([*key, "order"], kind="stable")
+    first = g.drop_duplicates(key).set_index(key)
 
-
-def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """All spans of one bucket (many urls) -> one extracted row per url,
-    fully vectorized (identical semantics to the reference's per-doc
-    collect loop: keep max-warc_ts version, sort spans by ``order``,
-    join non-empty texts with \\n, mean confidence over non-empty)."""
-    # D3 dedup: keep only the latest warc_ts version of each url
-    max_ts = g.groupby("url")["warc_ts"].transform("max")
-    g = g[g["warc_ts"] == max_ts]
-    # reading order within each url (A1); stable mergesort keeps emission
-    # order for equal keys
-    g = g.sort_values(["url", "order"], kind="stable")
-
-    first = g.drop_duplicates("url").set_index("url")
     real = g[g["block_id"] >= 0]
     nonempty = real[real["text"] != ""]
-    joined = nonempty.groupby("url", sort=False)["text"].agg("\n".join)
-    conf = nonempty.groupby("url", sort=False)["confidence"].mean()
-    n_spans = real.groupby("url", sort=False).size()
+    joined = nonempty.groupby(key, sort=False)["text"].agg("\n".join)
+    conf_sum = nonempty.groupby(key, sort=False)["confidence"].sum()
+    conf_n = nonempty.groupby(key, sort=False).size()
+    n_spans = real.groupby(key, sort=False).size()
+    min_order = g.groupby(key, sort=False)["order"].min()
 
     idx = first.index
+    out = pd.DataFrame(
+        {
+            "url": idx.get_level_values(0).to_numpy(),
+            "warc_ts": idx.get_level_values(1).to_numpy(),
+            "lang": first["lang"].to_numpy(),
+            "text": joined.reindex(idx, fill_value="").to_numpy(),
+            "n_spans": n_spans.reindex(idx, fill_value=0).to_numpy(dtype="int64"),
+            "conf_sum": conf_sum.reindex(idx, fill_value=0.0).to_numpy(dtype="float64"),
+            "conf_n": conf_n.reindex(idx, fill_value=0).to_numpy(dtype="int64"),
+            "min_order": min_order.reindex(idx, fill_value=-1).to_numpy(dtype="int64"),
+        }
+    )
+    out["bucket"] = url_bucket(out["url"].to_numpy(dtype=object), num_buckets)
+    return out
+
+
+def final_merge(g: pd.DataFrame) -> pd.DataFrame:
+    """Reduce side: all partials of one bucket (many urls) -> one
+    extracted row per url, fully vectorized.  Semantics identical to the
+    reference's per-doc collect loop: keep max-warc_ts version, join
+    texts in span order, confidence = mean over non-empty spans."""
+    max_ts = g.groupby("url")["warc_ts"].transform("max")
+    g = g[g["warc_ts"] == max_ts]
+    g = g.sort_values(["url", "min_order"], kind="stable")
+
+    first = g.drop_duplicates("url").set_index("url")
+    nonempty = g[g["text"] != ""]
+    joined = nonempty.groupby("url", sort=False)["text"].agg("\n".join)
+    n_spans = g.groupby("url", sort=False)["n_spans"].sum()
+    conf_sum = g.groupby("url", sort=False)["conf_sum"].sum()
+    conf_n = g.groupby("url", sort=False)["conf_n"].sum()
+
+    idx = first.index
+    n = conf_n.reindex(idx, fill_value=0).to_numpy(dtype="float64")
+    s = conf_sum.reindex(idx, fill_value=0.0).to_numpy(dtype="float64")
+    confidence = np.divide(s, n, out=np.zeros_like(s), where=n > 0)
     return pd.DataFrame(
         {
             "url": idx.to_numpy(),
@@ -98,7 +135,7 @@ def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
             "lang": first["lang"].to_numpy(),
             "extracted_text": joined.reindex(idx, fill_value="").to_numpy(),
             "n_spans": n_spans.reindex(idx, fill_value=0).to_numpy(dtype="int32"),
-            "confidence": conf.reindex(idx, fill_value=0.0).to_numpy(dtype="float64"),
+            "confidence": confidence,
         }
     )
 
@@ -107,13 +144,204 @@ def _cast_extracted(batch: pa.Table) -> pa.Table:
     return batch.select(EXTRACTED_SCHEMA.names).cast(EXTRACTED_SCHEMA)
 
 
-def merge_extracted(spans_ds, num_buckets: int = DEFAULT_NUM_BUCKETS):
-    """spans Dataset -> extracted Dataset (the A1 + D3 shuffle)."""
-    bucketed = spans_ds.select_columns(MERGE_COLUMNS).map_batches(
-        _with_bucket,
-        fn_kwargs={"num_buckets": num_buckets},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+# ---------------------------------------------------------------------------
+# planned dedup: key-only scan -> broadcast dup winners -> shuffle only dups
+# ---------------------------------------------------------------------------
+
+#: per-worker-process cache of broadcast objects (ray.get once per worker,
+#: not once per task — the broadcast-small-side pattern)
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def _get_broadcast(ref):
+    import ray
+
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE.clear()  # never hold more than one epoch of broadcasts
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+def _plan_partial(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    """Per-batch combiner of the planning scan: url -> (n rows, max ts,
+    rows at max ts) — all vectorized."""
+    df = pd.DataFrame(
+        {
+            "url": batch["url"].to_numpy(),
+            "ts": batch["warc_ts"].to_numpy(dtype="datetime64[us]").astype("int64"),
+        }
     )
-    merged = bucketed.groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
-    return merged.map_batches(_cast_extracted, batch_format="pyarrow", zero_copy_batch=True)
+    gmax = df.groupby("url", sort=False)["ts"].transform("max")
+    df["at_max"] = df["ts"].eq(gmax)
+    agg = df.groupby("url", sort=False).agg(
+        n=("ts", "size"), max_ts=("ts", "max"), n_at_max=("at_max", "sum")
+    )
+    agg = agg.reset_index()
+    agg["bucket"] = url_bucket(agg["url"].to_numpy(dtype=object), num_buckets)
+    return agg
+
+
+def _plan_combine(g: pd.DataFrame) -> pd.DataFrame:
+    """Reduce side of the planning scan: emit only urls with >1 version."""
+    gmax = g.groupby("url", sort=False)["max_ts"].transform("max")
+    n = g.groupby("url", sort=False)["n"].sum()
+    max_ts = g.groupby("url", sort=False)["max_ts"].max()
+    n_at_max = g[g["max_ts"] == gmax].groupby("url", sort=False)["n_at_max"].sum()
+    out = pd.DataFrame({"n": n, "max_ts": max_ts, "n_at_max": n_at_max}).reset_index()
+    return out[out["n"] > 1]
+
+
+def plan_url_dedup(keys_ds, num_buckets: int = 64) -> tuple[dict[str, int], frozenset]:
+    """Dedup *planning* pass over (url, warc_ts) keys ONLY — a pruned
+    columnar scan, never the html.  Returns:
+
+    * ``winners``: {url: winning_warc_ts_us} for urls with >1 input
+      version — the page-level filter drops losing versions *before*
+      detection (losers never cost parse/decode compute);
+    * ``ties``: urls whose winning warc_ts itself appears >1 time —
+      only these (normally zero) need the merge shuffle; behavior for
+      them matches the single-exchange formulation (tie versions'
+      spans concatenate, documented-unspecified).
+
+    Scale note: the winner dict is broadcast via ``ray.put``; at
+    extreme dup cardinality swap it for a bloom filter of dup urls —
+    false positives only route extra pages through the (correct)
+    shuffle path."""
+    parts = keys_ds.map_batches(
+        _plan_partial, fn_kwargs={"num_buckets": num_buckets}, batch_format="pandas"
+    )
+    dups = parts.groupby("bucket").map_groups(_plan_combine, batch_format="pandas")
+    winners: dict[str, int] = {}
+    ties: list[str] = []
+    for b in dups.iter_batches(batch_format="pyarrow"):
+        urls = b["url"].to_pylist()
+        winners.update(zip(urls, b["max_ts"].to_pylist()))
+        for u, k in zip(urls, b["n_at_max"].to_pylist()):
+            if k > 1:
+                ties.append(u)
+    return winners, frozenset(ties)
+
+
+def plan_url_dedup_local(paths) -> tuple[dict[str, int], frozenset]:
+    """Driver-local fast path of :func:`plan_url_dedup` for parquet
+    inputs below ``ExtractConfig.plan_local_max_rows``: a threaded
+    columnar scan of the two key columns + one vectorized pandas pass.
+    The distributed plan pays ~3 sequential Ray operator waves of fixed
+    latency — measured 13 s on 8 MB of keys — which dwarfs planning
+    itself until the key set reaches driver-memory scale."""
+    import pyarrow.dataset as pds
+
+    tbl = pds.dataset(paths, format="parquet").to_table(columns=["url", "warc_ts"])
+    df = pd.DataFrame(
+        {
+            "url": tbl["url"].to_pandas(),
+            "ts": tbl["warc_ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_pandas(),
+        }
+    )
+    gmax = df.groupby("url", sort=False)["ts"].transform("max")
+    df["at_max"] = df["ts"].eq(gmax)
+    agg = df.groupby("url", sort=False).agg(
+        n=("ts", "size"), max_ts=("ts", "max"), n_at_max=("at_max", "sum")
+    )
+    dups = agg[agg["n"] > 1]
+    winners = dict(zip(dups.index, dups["max_ts"]))
+    ties = frozenset(dups.index[dups["n_at_max"] > 1])
+    return winners, ties
+
+
+def make_winner_filter(winners_ref):
+    """Pages-level filter: drop losing (url, warc_ts) versions before
+    detection.  Broadcast dict read once per worker."""
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        dup = _get_broadcast(winners_ref)
+        u = pd.Series(batch["url"].to_pandas())
+        m = u.isin(dup)
+        if not bool(m.any()):
+            return batch
+        ts = batch["warc_ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_pandas()
+        win = u.map(dup)
+        keep = (~m) | (ts.to_numpy() == win.fillna(-1).to_numpy(dtype="int64"))
+        return batch.filter(pa.array(keep))
+
+    return _filter
+
+
+def _finalize_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    """Complete partial rows (url fully contained in one batch, already
+    deduped) -> extracted rows.  Pure column arithmetic, no shuffle."""
+    n = batch["conf_n"].to_numpy(dtype="float64")
+    s = batch["conf_sum"].to_numpy(dtype="float64")
+    confidence = np.divide(s, n, out=np.zeros_like(s), where=n > 0)
+    return pd.DataFrame(
+        {
+            "url": batch["url"].to_numpy(),
+            "warc_ts": batch["warc_ts"].to_numpy(),
+            "lang": batch["lang"].to_numpy(),
+            "extracted_text": batch["text"].to_numpy(),
+            "n_spans": batch["n_spans"].to_numpy(dtype="int32"),
+            "confidence": confidence,
+        }
+    )
+
+
+def merge_extracted(
+    spans_ds,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    tie_urls: frozenset | None = None,
+):
+    """spans Dataset -> extracted Dataset (combiner + the A1/D3 shuffle).
+
+    ``tie_urls=None``: classic single-exchange formulation — ALL
+    partials flow through the bucket groupby (``dedup_mode="at_merge"``;
+    handles arbitrary duplicate layout with no planning pass).
+
+    ``tie_urls=frozenset``: planned formulation — the caller already
+    winner-filtered pages (``make_winner_filter``), so every url has
+    exactly one surviving version, its spans sit in one block (detection
+    emits a page's spans together and downstream stages preserve block
+    boundaries), and its partial is already complete: finalize in place,
+    NO shuffle, pure streaming.  Only urls in ``tie_urls`` (several
+    identical winning warc_ts — normally zero) route through the bucket
+    exchange, where their versions' spans concatenate exactly as the
+    single-exchange formulation would."""
+    partials = spans_ds.select_columns(MERGE_COLUMNS).map_batches(
+        partial_merge,
+        fn_kwargs={"num_buckets": num_buckets},
+        batch_format="pandas",
+    )
+
+    if tie_urls is None:
+        merged = partials.groupby("bucket").map_groups(final_merge, batch_format="pandas")
+        return merged.map_batches(_cast_extracted, batch_format="pyarrow", zero_copy_batch=True)
+
+    if not tie_urls:
+        return partials.map_batches(_finalize_partials, batch_format="pandas").map_batches(
+            _cast_extracted, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    import ray
+
+    ref = ray.put(tie_urls)
+
+    def split_unique(batch: pd.DataFrame) -> pd.DataFrame:
+        tie = _get_broadcast(ref)
+        return _finalize_partials(batch[~batch["url"].isin(tie)])
+
+    def split_tie(batch: pd.DataFrame) -> pd.DataFrame:
+        tie = _get_broadcast(ref)
+        return batch[batch["url"].isin(tie)]
+
+    # materialize the (output-sized) partials once so the two branches
+    # below don't re-run detect/recognize; only reached when exact-ts
+    # ties exist in the input (rare)
+    parts = partials.materialize()
+    uniq = parts.map_batches(split_unique, batch_format="pandas")
+    ties = (
+        parts.map_batches(split_tie, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(final_merge, batch_format="pandas")
+    )
+    out = uniq.union(ties)
+    return out.map_batches(_cast_extracted, batch_format="pyarrow", zero_copy_batch=True)

@@ -24,12 +24,22 @@ from ..config import DEFAULT_CONFIG, ExtractConfig
 from ..functions.decode import canonicalize, decode_spans
 
 
+#: max total codepoints per decode_spans call — bounds the numpy
+#: temporary footprint to a fixed, reused allocation (first-touch page
+#: faults on this VM class cost ~50 µs/page: one unbounded 500 MB
+#: temporary set was measured at 13 s for its first call, 0.8 s warm)
+DECODE_CHUNK_CODEPOINTS = 400_000
+
+
 class Recognizer:
     def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG):
         self.cfg = cfg
-        # materialize all charset LUTs once per actor (ST2)
+        # materialize all charset LUTs once per actor (ST2) and pre-fault
+        # the decode working set so the first real batch runs warm
         for route in ("en", "zh", "ja", "latin"):
             get_charset(route)
+        warm = ["stream batch. " * 512] * 8
+        decode_spans(warm, "en", cfg.min_score, cfg.punct_min_score)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -55,11 +65,20 @@ class Recognizer:
         route_arr = np.array(routes)
         for route in np.unique(route_arr):
             sel = np.flatnonzero(route_arr == route)
-            group = [canon[i] for i in sel]
-            out, c = decode_spans(group, str(route), cfg.min_score, cfg.punct_min_score)
-            for k, i in enumerate(sel):
-                texts[i] = out[k]
-            confs[sel] = c
+            # chunk by codepoint budget: fixed-size numpy working set
+            lo = 0
+            while lo < sel.size:
+                hi, budget = lo, 0
+                while hi < sel.size and (budget < DECODE_CHUNK_CODEPOINTS or hi == lo):
+                    budget += len(canon[sel[hi]])
+                    hi += 1
+                part = sel[lo:hi]
+                group = [canon[i] for i in part]
+                out, c = decode_spans(group, str(route), cfg.min_score, cfg.punct_min_score)
+                for k, i in enumerate(part):
+                    texts[i] = out[k]
+                confs[part] = c
+                lo = hi
 
         out_tbl = batch.drop_columns(["raw"])
         out_tbl = out_tbl.append_column("text", pa.array(texts, type=pa.string()))
