@@ -1,1 +1,3 @@
-"""state subpackage."""
+from .checkpoint import CheckpointedRun, shard_files
+
+__all__ = ["CheckpointedRun", "shard_files"]

@@ -1,0 +1,66 @@
+"""Equivalence of the dedup formulations (stages/merge.py).
+
+"planned" (key-scan + winner filter + streaming merge) must produce the
+same extracted table as "at_merge" (single bucket-groupby exchange) on a
+corpus with duplicate urls — and exact-warc_ts ties must collapse to one
+row per url in both, with tie versions' spans concatenated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from rust_paddle_ocr_ray.config import CLI_CONFIG
+from rust_paddle_ocr_ray.pipelines.extract import ExtractPipeline
+from rust_paddle_ocr_ray.sources.synth import PAGES_SCHEMA, generate_pages
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("dup") / "pages.parquet")
+    pq.write_table(generate_pages(150, seed=9), p)  # ~7 dup urls (+1 day ts)
+    return p
+
+
+def _run(mode: str, path: str) -> pd.DataFrame:
+    cfg = dataclasses.replace(CLI_CONFIG, dedup_mode=mode)
+    df = ExtractPipeline(cfg).run_paths(path).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def test_planned_equals_at_merge(ray_session, dup_corpus):
+    a = _run("planned", dup_corpus)
+    b = _run("at_merge", dup_corpus)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["url"].is_unique
+
+
+def test_exact_ts_ties_collapse(ray_session, tmp_path):
+    """Two versions with identical (url, warc_ts) but different html must
+    still yield ONE output row (tie spans concatenate, matching the
+    single-exchange formulation)."""
+    base = generate_pages(40, seed=3).to_pylist()
+    v1 = dict(base[1])
+    v2 = dict(base[2])
+    v2["url"] = v1["url"]
+    v2["warc_ts"] = v1["warc_ts"]  # exact tie, different content
+    rows = base + [v2]
+    path = str(tmp_path / "ties.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), path)
+
+    planned = _run("planned", path)
+    at_merge = _run("at_merge", path)
+    assert planned["url"].is_unique
+    assert at_merge["url"].is_unique
+    tie_row_p = planned[planned["url"] == v1["url"]].iloc[0]
+    tie_row_m = at_merge[at_merge["url"] == v1["url"]].iloc[0]
+    # both versions' spans merged (more spans than either single page)
+    assert tie_row_p["n_spans"] == tie_row_m["n_spans"]
+    assert tie_row_p["extracted_text"] == tie_row_m["extracted_text"]
