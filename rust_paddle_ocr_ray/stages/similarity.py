@@ -111,15 +111,25 @@ def add_lsh_bucket(embeddings, vec_col: str, dim: int, bits: int = 12, seed: int
 
 
 def knn_lsh(embeddings, queries: dict, id_col: str, vec_col: str, k: int,
-            dim: int, bits: int = 12, seed: int = 7):
-    """ANN via shared LSH buckets: exact cosine only within the bucket of
-    each query.  Returns (query_id, neighbor_id, rank, sim)."""
+            dim: int, bits: int = 12, seed: int = 7, probes: int = 1):
+    """ANN via shared LSH buckets: exact cosine only within the probed
+    buckets of each query.  ``probes`` = max Hamming distance of probed
+    bucket codes (0 = own bucket only; 1 = standard multiprobe, bits+1
+    buckets per query).  Recall/cost dial: fewer bits or more probes ->
+    more candidates.  Returns (query_id, neighbor_id, rank, sim)."""
     lsh = HyperplaneLSH(dim, bits, seed)
     q_mat = np.asarray(queries["mat"], dtype=np.float64)
     q_codes = lsh.code(q_mat)
     by_bucket: dict[int, list[int]] = {}
     for qi, c in enumerate(q_codes):
-        by_bucket.setdefault(int(c), []).append(qi)
+        codes = [int(c)]
+        if probes >= 1:
+            codes += [int(c) ^ (1 << b) for b in range(bits)]
+        if probes >= 2:
+            codes += [int(c) ^ (1 << b1) ^ (1 << b2)
+                      for b1 in range(bits) for b2 in range(b1 + 1, bits)]
+        for code in codes:
+            by_bucket.setdefault(code, []).append(qi)
 
     bucketed = add_lsh_bucket(embeddings, vec_col, dim, bits, seed)
     import ray
