@@ -73,16 +73,18 @@ class ExtractPipeline:
         cfg = self.config
         concurrency = cfg.recognize_concurrency
         if concurrency is None:
-            # Pool sizing, measured on the heavy-page corpus at 32 cpus:
-            # cap = cpus - max(2, cpus/8): the read/partial/write task
-            # stages carry ~10% of the work and serialize on whatever the
-            # pool leaves free (a cpus-2 cap measured 46 s vs 33 s; a
-            # full-width pinned pool deadlock-starves the read entirely).
-            # min = 3/4 cap skips most of the demand-driven ramp without
-            # pinning (pinning showed 2x regressions under memory noise).
+            # Pool sizing, measured on the heavy-page corpus: the pool gets
+            # a PROPORTIONAL 3/4 share of the cluster at every size (so
+            # throughput-per-cpu is comparable across cluster sizes — a
+            # fixed absolute headroom skewed small clusters); the leftover
+            # 1/4 runs the read/filter/finalize/write task stages, which
+            # carry ~10-15% of the work and starve if the pool reserves
+            # everything (full-width pool measured 2x slower end-to-end).
+            # min = cap/2 skips most of the demand-driven ramp without
+            # pinning (pinning showed regressions under memory noise).
             total = _cluster_cpus()
-            cap = max(1, total - max(2, total // 8))
-            concurrency = (max(1, cap * 3 // 4), cap)
+            cap = max(1, (3 * total) // 4)
+            concurrency = (max(1, cap // 2), cap)
         return spans.map_batches(
             Recognizer,
             fn_constructor_kwargs={"cfg": cfg},
