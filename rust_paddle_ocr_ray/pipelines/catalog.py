@@ -541,6 +541,64 @@ FROM documents
 
 
 # ===========================================================================
+# temporal operators (sessionization, as-of join)
+# ===========================================================================
+
+def q26_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gap): the windowed-aggregate
+    family Ray Data lacks natively; bucket-groupby + vectorized scan."""
+    from ..stages.temporal import sessionize
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", "event_id", gap_us=30 * 60 * 1_000_000)
+
+
+SQL_Q26 = """
+SELECT event_id, user_id,
+       SUM(CASE WHEN prev_ts IS NULL
+                  OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+FROM (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events)
+"""
+
+
+def q27_asof_join(sf_dir: str):
+    """As-of join: each event gets the latest order of the same user
+    with o_orderdate <= ts (broadcast-right searchsorted probe)."""
+    import ray
+
+    from ..stages.temporal import asof_join_broadcast, build_asof_index
+
+    orders = pq.read_table(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    ).to_pandas()
+    index = build_asof_index(orders, "o_custkey", "o_orderdate",
+                             ["o_orderkey", "o_totalprice"])
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    out = asof_join_broadcast(events, ray.put(index), "user_id", "ts",
+                              ["o_orderkey", "o_totalprice"])
+    return out.select_columns(["event_id", "user_id", "o_orderkey", "o_totalprice"])
+
+
+SQL_Q27 = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate,
+         arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       r.o_orderkey::DOUBLE AS o_orderkey, r.o_totalprice
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -570,4 +628,6 @@ QUERIES: dict[str, tuple] = {
     "q23_extract": (q23_extract, None),
     "q24_detect_spans": (q24_detect_spans, None),
     "q25_media_meta": (q25_media_meta, SQL_Q25),
+    "q26_sessionize": (q26_sessionize, SQL_Q26),
+    "q27_asof_join": (q27_asof_join, SQL_Q27),
 }
