@@ -8,16 +8,21 @@ Common-Crawl-style Parquet web pages:
   HTML block segmentation + text-density scoring (stages/detect.py)
 - recognition = stateful actor pool: charset-routed CTC-greedy decode
   (stages/recognize.py)
-- merge       = ``groupby(url).map_groups`` reading-order assembly +
-  exact URL dedup (stages/merge.py)
+- merge       = combiner partial-merge + planned url dedup (key-only
+  scan, broadcast winner filter, streaming finalize; stages/merge.py)
+- checkpoints = per-partition lineage/metrics + kill/resume
+  (state/checkpoint.py)
 - plus the large-scale training-data operators: dedup family, ANN
-  similarity search, text analysis, multimodal plumbing (stages/*)
+  similarity search, text analysis, sessionization/as-of join,
+  multimodal plumbing (stages/*)
 
 Library code never calls ``ray.init`` / ``ray.shutdown`` (driver
-contract, __ray_entry__.py).
+contract, __ray_entry__.py); the CLI (``python -m rust_paddle_ocr_ray``)
+and bench.py own their sessions.
 """
 
 from .config import CLI_CONFIG, DEFAULT_CONFIG, ExtractConfig
+from .pipelines.extract import ExtractPipeline
 
-__all__ = ["ExtractConfig", "DEFAULT_CONFIG", "CLI_CONFIG"]
+__all__ = ["ExtractConfig", "DEFAULT_CONFIG", "CLI_CONFIG", "ExtractPipeline"]
 __version__ = "0.1.0"
