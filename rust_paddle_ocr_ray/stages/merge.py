@@ -144,6 +144,43 @@ def _cast_extracted(batch: pa.Table) -> pa.Table:
     return batch.select(EXTRACTED_SCHEMA.names).cast(EXTRACTED_SCHEMA)
 
 
+def _with_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    buckets = url_bucket(batch["url"].to_numpy(zero_copy_only=False), num_buckets)
+    return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
+
+
+def merge_bucket_scattered(g: pd.DataFrame) -> pd.DataFrame:
+    """Layout-independent merge of one bucket's RAW span rows (no
+    combiner): full per-url sort on ``order`` inside the bucket, so a
+    version's spans may arrive interleaved across any batches/files.
+    Costs a full-span exchange — use :func:`merge_extracted` with
+    ``scattered=True`` only when the input layout does not guarantee
+    page-contiguous spans (anything produced by this package's detect
+    stage does)."""
+    max_ts = g.groupby("url")["warc_ts"].transform("max")
+    g = g[g["warc_ts"] == max_ts]
+    g = g.sort_values(["url", "order"], kind="stable")
+
+    first = g.drop_duplicates("url").set_index("url")
+    real = g[g["block_id"] >= 0]
+    nonempty = real[real["text"] != ""]
+    joined = nonempty.groupby("url", sort=False)["text"].agg("\n".join)
+    conf = nonempty.groupby("url", sort=False)["confidence"].mean()
+    n_spans = real.groupby("url", sort=False).size()
+
+    idx = first.index
+    return pd.DataFrame(
+        {
+            "url": idx.to_numpy(),
+            "warc_ts": first["warc_ts"].to_numpy(),
+            "lang": first["lang"].to_numpy(),
+            "extracted_text": joined.reindex(idx, fill_value="").to_numpy(),
+            "n_spans": n_spans.reindex(idx, fill_value=0).to_numpy(dtype="int32"),
+            "confidence": conf.reindex(idx, fill_value=0.0).to_numpy(dtype="float64"),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # planned dedup: key-only scan -> broadcast dup winners -> shuffle only dups
 # ---------------------------------------------------------------------------
@@ -290,8 +327,18 @@ def merge_extracted(
     spans_ds,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     tie_urls: frozenset | None = None,
+    scattered: bool = False,
 ):
     """spans Dataset -> extracted Dataset (combiner + the A1/D3 shuffle).
+
+    CONTIGUITY CONTRACT: the combiner fast paths below assume each
+    (url, warc_ts) version's spans are CONTIGUOUS within batches with
+    ``order`` ascending — guaranteed by this package's detect stage
+    (a page's spans are emitted into one block and every downstream
+    stage preserves block boundaries).  For span datasets from other
+    sources with arbitrary row layout, pass ``scattered=True``: raw
+    spans take one full exchange and each url is fully re-sorted on
+    ``order`` (layout-independent, slower).
 
     ``tie_urls=None``: classic single-exchange formulation — ALL
     partials flow through the bucket groupby (``dedup_mode="at_merge"``;
@@ -306,6 +353,17 @@ def merge_extracted(
     identical winning warc_ts — normally zero) route through the bucket
     exchange, where their versions' spans concatenate exactly as the
     single-exchange formulation would."""
+    if scattered:
+        bucketed = spans_ds.select_columns(MERGE_COLUMNS).map_batches(
+            _with_bucket, fn_kwargs={"num_buckets": num_buckets},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        merged = bucketed.groupby("bucket").map_groups(
+            merge_bucket_scattered, batch_format="pandas"
+        )
+        return merged.map_batches(_cast_extracted, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
     partials = spans_ds.select_columns(MERGE_COLUMNS).map_batches(
         partial_merge,
         fn_kwargs={"num_buckets": num_buckets},

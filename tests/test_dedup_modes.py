@@ -64,3 +64,31 @@ def test_exact_ts_ties_collapse(ray_session, tmp_path):
     # both versions' spans merged (more spans than either single page)
     assert tie_row_p["n_spans"] == tie_row_m["n_spans"]
     assert tie_row_p["extracted_text"] == tie_row_m["extracted_text"]
+
+
+def test_scattered_merge_is_layout_independent(ray_session, dup_corpus):
+    """merge_extracted(scattered=True) must reproduce the pipeline's
+    extracted table even when span rows arrive fully shuffled (the
+    combiner fast path is allowed to assume page-contiguous batches;
+    the scattered path is not)."""
+    import numpy as np
+
+    from rust_paddle_ocr_ray.stages.merge import merge_extracted
+
+    pipe = ExtractPipeline(dataclasses.replace(CLI_CONFIG, dedup_mode="at_merge"))
+    spans = pipe.recognize(pipe.detect(pipe.read_pages(dup_corpus)))
+    spans_df = spans.to_pandas()
+    expected = (
+        pipe.merge(spans).to_pandas().sort_values("url").reset_index(drop=True)
+    )
+
+    rng = np.random.RandomState(7)
+    shuffled = spans_df.iloc[rng.permutation(len(spans_df))].reset_index(drop=True)
+    scattered_ds = rd.from_pandas(shuffled).repartition(7)
+    got = (
+        merge_extracted(scattered_ds, scattered=True)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected)
