@@ -599,6 +599,102 @@ FROM events e ASOF LEFT JOIN r
 
 
 # ===========================================================================
+# json scalar functions + deep join tree
+# ===========================================================================
+
+def q28_json_extract(sf_dir: str):
+    """F6 analog: per-row JSON field extraction + grouped aggregate."""
+    import json
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].map(lambda s: json.loads(s).get("k")).astype("int64")
+        return pd.DataFrame({"event_type": b["event_type"], "k": k})
+
+    out = ds.map_batches(f, batch_format="pandas").groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("k", alias_name="sum_k"), Max("k", alias_name="max_k")
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_k"] = b["sum_k"].astype("int64")
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_Q28 = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       MAX(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q29_multijoin(sf_dir: str):
+    """TPC-H-Q5-style deep join tree: ONE hash-partitioned big-big join
+    (lineitem x orders) + broadcast lookups for every dimension
+    (supplier/customer/nation/region), revenue per nation in EUROPE."""
+    import pyarrow as pa
+
+    sup = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(_t(sf_dir, "nation")).to_pandas()
+    reg = pq.read_table(_t(sf_dir, "region")).to_pandas()
+    r_name = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    n_region = {int(k): r_name[r] for k, r in zip(nat["n_nationkey"], nat["n_regionkey"])}
+    n_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    sup_nat = dict(zip(sup["s_suppkey"].astype(int), sup["s_nationkey"].astype(int)))
+    cust_nat = dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int)))
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    joined = native_join(
+        li, orders.rename_columns({"o_orderkey": "l_orderkey"}), on="l_orderkey",
+        num_partitions=16,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        s_nat = b["l_suppkey"].map(sup_nat)
+        c_nat = b["o_custkey"].map(cust_nat)
+        keep = (s_nat == c_nat) & (s_nat.map(n_region) == "EUROPE")
+        b = b[keep]
+        return pd.DataFrame(
+            {
+                "n_name": s_nat[keep].map(n_name),
+                "rev": (b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy(),
+            }
+        )
+
+    out = joined.map_batches(finish, batch_format="pandas").groupby("n_name").aggregate(
+        Sum("rev", alias_name="revenue"), Count(alias_name="n_items")
+    )
+
+    def r(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = b["revenue"].round(2)
+        return b
+
+    return out.map_batches(r, batch_format="pandas")
+
+
+SQL_Q29 = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -630,4 +726,6 @@ QUERIES: dict[str, tuple] = {
     "q25_media_meta": (q25_media_meta, SQL_Q25),
     "q26_sessionize": (q26_sessionize, SQL_Q26),
     "q27_asof_join": (q27_asof_join, SQL_Q27),
+    "q28_json_extract": (q28_json_extract, SQL_Q28),
+    "q29_multijoin": (q29_multijoin, SQL_Q29),
 }
