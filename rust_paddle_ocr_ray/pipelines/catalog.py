@@ -201,22 +201,43 @@ FROM events GROUP BY event_type
 
 def q08_window_bucket(sf_dir: str):
     """§2.9: tumbling event-time window as an explicit bucket column +
-    grouped aggregate (the Ray-native windowing pattern)."""
+    grouped aggregate.  High-cardinality group key (~1 group/row), so
+    Ray's per-group aggregate machinery is replaced by the coarse-bucket
+    + vectorized-pandas pattern (same trick as the merge stage; 50 s ->
+    ~2 s at sf0.1): partial agg per batch, ONE shuffle on 256 hash
+    buckets, vectorized combine per bucket."""
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
-    def bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b["hour_epoch"] = (b["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000) * 3600
-        return b[["user_id", "hour_epoch", "value"]]
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["hour_epoch"] = (
+            b["ts"].to_numpy(dtype="datetime64[us]").astype("int64") // 3_600_000_000
+        ) * 3600
+        g = (
+            b.groupby(["user_id", "hour_epoch"], sort=False)["value"]
+            .agg(n="size", sum_value="sum")
+            .reset_index()
+        )
+        g["bucket"] = (
+            (g["user_id"].to_numpy(dtype="int64") * 1_000_003 + g["hour_epoch"].to_numpy()) % 256
+        ).astype("int32")
+        return g
 
-    out = ds.map_batches(bucket, batch_format="pandas").groupby(["user_id", "hour_epoch"]).aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["user_id", "hour_epoch"], sort=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(2)
+        return out[["user_id", "hour_epoch", "n", "sum_value"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
     )
-
-    def r(b: pd.DataFrame) -> pd.DataFrame:
-        b["sum_value"] = b["sum_value"].round(2)
-        return b
-
-    return out.map_batches(r, batch_format="pandas")
 
 
 SQL_Q08 = """
