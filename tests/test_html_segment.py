@@ -111,3 +111,26 @@ def test_merge_boxes_on_same_line():
     assert len(spans) == 1
     merged = spans[0]
     assert "first block text" in merged["raw"] and "second block text" in merged["raw"]
+
+
+def test_max_spans_per_page_skew_guard():
+    """The skew guard (ExtractConfig.max_spans_per_page, SURVEY.md §4)
+    caps spans emitted for pathological pages so no single url can
+    dominate a merge group."""
+    import dataclasses
+
+    from rust_paddle_ocr_ray.config import CLI_CONFIG
+    from rust_paddle_ocr_ray.functions.html import segment_page
+
+    page = "<html><body>" + "".join(
+        f"<p>paragraph number {i} with plenty of visible characters here</p>"
+        for i in range(200)
+    ) + "</body></html>"
+    full = segment_page(page, CLI_CONFIG)
+    assert len(full) == 200
+    capped_cfg = dataclasses.replace(CLI_CONFIG, max_spans_per_page=10)
+    capped = segment_page(page, capped_cfg)
+    assert len(capped) == 10
+    # the kept spans are the FIRST 10 in reading order
+    assert [s["order"] for s in capped] == list(range(10))
+    assert capped == full[:10]
