@@ -68,9 +68,14 @@ def _run(args) -> int:
 
         def textbox(b):
             import pyarrow as pa
+            import pyarrow.compute as pc
 
+            # drop the block_id = -1 sentinel rows (zero-span pages): the
+            # reference CLI emits no boxes for blank inputs (src/main.rs:141-145)
+            b = b.filter(pc.greater_equal(b["block_id"], pa.scalar(0)))
             cols = {
                 "url": b["url"],
+                "block_id": b["block_id"],
                 "text": b["text"],
                 "confidence": b["confidence"],
                 "start": b["tstart"],

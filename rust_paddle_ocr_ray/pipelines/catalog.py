@@ -589,19 +589,19 @@ FROM (
 
 def q27_asof_join(sf_dir: str):
     """As-of join: each event gets the latest order of the same user
-    with o_orderdate <= ts (broadcast-right searchsorted probe)."""
-    import ray
+    with o_orderdate <= ts.  Strategy auto-selected by right-side row
+    count: broadcast searchsorted index here (orders is small at test
+    scale); above the threshold the bucketed co-partitioned
+    ``pd.merge_asof`` path runs instead (tested equivalent in
+    tests/test_temporal_asof.py)."""
+    from ..stages.temporal import asof_join
 
-    from ..stages.temporal import asof_join_broadcast, build_asof_index
-
-    orders = pq.read_table(
+    orders = rd.read_parquet(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
-    ).to_pandas()
-    index = build_asof_index(orders, "o_custkey", "o_orderdate",
-                             ["o_orderkey", "o_totalprice"])
+    )
     events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
-    out = asof_join_broadcast(events, ray.put(index), "user_id", "ts",
-                              ["o_orderkey", "o_totalprice"])
+    out = asof_join(events, orders, "user_id", "ts", ["o_orderkey", "o_totalprice"],
+                    right_key_col="o_custkey", right_ts_col="o_orderdate")
     return out.select_columns(["event_id", "user_id", "o_orderkey", "o_totalprice"])
 
 
@@ -653,39 +653,47 @@ FROM events GROUP BY event_type
 
 
 def q29_multijoin(sf_dir: str):
-    """TPC-H-Q5-style deep join tree: ONE hash-partitioned big-big join
-    (lineitem x orders) + broadcast lookups for every dimension
-    (supplier/customer/nation/region), revenue per nation in EUROPE."""
-    import pyarrow as pa
-
-    sup = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).to_pandas()
+    """TPC-H-Q5-style deep join tree: hash-partitioned joins for every
+    fact-scaled table (lineitem x orders x supplier x customer — a
+    closure-captured driver dict of customer/supplier would be a
+    scale-killer) + ``ray.put`` broadcast lookups for the genuinely
+    tiny dimensions (nation -> region name / nation name); revenue per
+    nation in EUROPE."""
     nat = pq.read_table(_t(sf_dir, "nation")).to_pandas()
     reg = pq.read_table(_t(sf_dir, "region")).to_pandas()
     r_name = dict(zip(reg["r_regionkey"], reg["r_name"]))
     n_region = {int(k): r_name[r] for k, r in zip(nat["n_nationkey"], nat["n_regionkey"])}
     n_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
-    sup_nat = dict(zip(sup["s_suppkey"].astype(int), sup["s_nationkey"].astype(int)))
-    cust_nat = dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int)))
 
     li = rd.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    sup = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     joined = native_join(
         li, orders.rename_columns({"o_orderkey": "l_orderkey"}), on="l_orderkey",
         num_partitions=16,
     )
+    joined = native_join(
+        joined, sup.rename_columns({"s_suppkey": "l_suppkey"}), on="l_suppkey",
+        num_partitions=16,
+    )
+    joined = native_join(
+        joined, cust.rename_columns({"c_custkey": "o_custkey"}), on="o_custkey",
+        num_partitions=16,
+    )
+    # nation/region: 25 + 5 rows — the provably-small broadcast side
+    joined = broadcast_lookup(joined, n_region, "s_nationkey", "r_name")
+    joined = broadcast_lookup(joined, n_name, "s_nationkey", "n_name")
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
-        s_nat = b["l_suppkey"].map(sup_nat)
-        c_nat = b["o_custkey"].map(cust_nat)
-        keep = (s_nat == c_nat) & (s_nat.map(n_region) == "EUROPE")
+        keep = (b["s_nationkey"] == b["c_nationkey"]) & (b["r_name"] == "EUROPE")
         b = b[keep]
         return pd.DataFrame(
             {
-                "n_name": s_nat[keep].map(n_name),
+                "n_name": b["n_name"].to_numpy(),
                 "rev": (b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy(),
             }
         )

@@ -17,17 +17,12 @@ import ray.data as rd
 from ray.data import Dataset
 
 from ..config import CLI_CONFIG, ExtractConfig
+from ..sizing import proportional_pool
 from ..stages.detect import make_detector
 from ..stages.merge import merge_extracted, plan_url_dedup
 from ..stages.recognize import Recognizer
 
 PAGE_COLUMNS = ["url", "warc_ts", "html", "lang"]
-
-
-def _cluster_cpus() -> int:
-    import ray
-
-    return int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
 
 
 class ExtractPipeline:
@@ -73,18 +68,8 @@ class ExtractPipeline:
         cfg = self.config
         concurrency = cfg.recognize_concurrency
         if concurrency is None:
-            # Pool sizing, measured on the heavy-page corpus: the pool gets
-            # a PROPORTIONAL 3/4 share of the cluster at every size (so
-            # throughput-per-cpu is comparable across cluster sizes — a
-            # fixed absolute headroom skewed small clusters); the leftover
-            # 1/4 runs the read/filter/finalize/write task stages, which
-            # carry ~10-15% of the work and starve if the pool reserves
-            # everything (full-width pool measured 2x slower end-to-end).
-            # min = cap/2 skips most of the demand-driven ramp without
-            # pinning (pinning showed regressions under memory noise).
-            total = _cluster_cpus()
-            cap = max(1, (3 * total) // 4)
-            concurrency = (max(1, cap // 2), cap)
+            # proportional 3/4-share pool; rationale + measurements in sizing.py
+            concurrency = proportional_pool()
         return spans.map_batches(
             Recognizer,
             fn_constructor_kwargs={"cfg": cfg},

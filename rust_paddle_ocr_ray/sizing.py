@@ -1,0 +1,32 @@
+"""Shared actor-pool sizing for every stateful stage.
+
+Pool sizing, measured on the 100k-heavy-page corpus (BASELINE.md): a
+stateful ``map_batches`` pool gets a PROPORTIONAL 3/4 share of the
+cluster at every size — so throughput-per-cpu is comparable across
+cluster sizes (a fixed absolute headroom skewed small clusters) — and
+the leftover 1/4 runs the read/filter/finalize/write task stages,
+which carry ~10-15% of the work and starve if the pool reserves
+everything (a full-width pool measured 2x slower end-to-end).
+``min = cap // 2`` skips most of the demand-driven ramp without
+pinning (pinning showed regressions under memory noise).
+
+Used by the recognizer (pipelines/extract.py), MinHash signer
+(stages/dedup.py), brute-force kNN (stages/similarity.py) and media
+featurizer (stages/multimodal.py) so no stage defaults to a fixed
+4-actor cap that starves a wide cluster.
+"""
+
+from __future__ import annotations
+
+
+def cluster_cpus(default: int = 4) -> int:
+    import ray
+
+    return int(ray.cluster_resources().get("CPU", default)) if ray.is_initialized() else default
+
+
+def proportional_pool(share: float = 0.75) -> tuple[int, int]:
+    """(min, max) actor-pool ``concurrency`` for a stateful stage."""
+    total = cluster_cpus()
+    cap = max(1, int(total * share))
+    return (max(1, cap // 2), cap)

@@ -80,14 +80,18 @@ def hash_join(left, right, on: str, num_buckets: int = 32, how: str = "inner",
 
 def broadcast_lookup(ds, mapping: dict, key_col: str, out_col: str):
     """Broadcast-small-side join: ``mapping`` (key -> value) is put in the
-    object store ONCE and read per task (never re-shipped per batch);
-    the lookup is a C-speed ``Series.map`` per batch.  No shuffle."""
+    object store ONCE and read once per worker process (``_get_broadcast``
+    caches the deserialized dict — never re-fetched per batch, never
+    re-shipped with the closure); the lookup is a C-speed ``Series.map``
+    per batch.  No shuffle."""
     import ray
+
+    from .merge import _get_broadcast
 
     ref = ray.put(mapping)
 
     def _lk(batch: pd.DataFrame) -> pd.DataFrame:
-        batch[out_col] = batch[key_col].map(ray.get(ref))
+        batch[out_col] = batch[key_col].map(_get_broadcast(ref))
         return batch
 
     return ds.map_batches(_lk, batch_format="pandas")

@@ -13,8 +13,9 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+
+from ..sizing import proportional_pool
 
 MEDIA_META_SCHEMA = pa.schema(
     [
@@ -90,7 +91,7 @@ def featurize_media(ds, payload_col: str, id_col: str, feat_dim: int = 64,
                                "feat_dim": feat_dim},
         batch_format="pyarrow",
         batch_size=batch_size,  # large binary rows -> small batches
-        concurrency=concurrency or (1, 4),
+        concurrency=concurrency or proportional_pool(),
     )
 
 

@@ -12,10 +12,11 @@
 
 from __future__ import annotations
 
-from itertools import combinations
-
 import numpy as np
 import pandas as pd
+
+from ..sizing import proportional_pool
+from .merge import _get_broadcast
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -72,7 +73,7 @@ def knn_bruteforce(embeddings, queries: dict, id_col: str, vec_col: str, k: int,
         fn_constructor_kwargs={"queries_ref": ref, "id_col": id_col,
                                "vec_col": vec_col, "k": k},
         batch_format="pandas",
-        concurrency=concurrency or (1, 4),
+        concurrency=concurrency or proportional_pool(),
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -138,7 +139,7 @@ def knn_lsh(embeddings, queries: dict, id_col: str, vec_col: str, k: int,
                    "mat": _norm_rows(q_mat)})
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        q = ray.get(ref)
+        q = _get_broadcast(ref)  # per-worker cache, not a per-batch ray.get
         out = {"query_id": [], "neighbor_id": [], "sim": []}
         for bucket, sub in batch.groupby("bucket"):
             qis = q["by_bucket"].get(int(bucket))

@@ -8,13 +8,20 @@ Partitioning assumptions (documented per the recipe):
 - ``sessionize``: all events of one ``key`` must meet in one group —
   achieved by hashing keys into coarse buckets and ONE
   ``groupby(bucket)`` exchange; inside a bucket everything is
-  vectorized pandas (same pattern as stages/merge.py).
+  vectorized pandas (same pattern as stages/merge.py).  The bucket
+  count scales with cluster width (each bucket task holds
+  ~|events| / num_buckets rows — a fixed count would concentrate a
+  growing share of the stream per task as data grows).
 - ``asof_join_broadcast``: the RIGHT side (sorted per key) is broadcast
   once via ``ray.put`` and probed with ``np.searchsorted`` per batch —
   zero exchange on the big left side.  Valid while the right side fits
-  in worker memory (dimension-table-sized); for a large right side,
-  bucket-co-partition both sides and run ``pd.merge_asof`` per bucket
-  (same bucket trick as ``sessionize``).
+  in worker memory (dimension-table-sized).
+- ``asof_join_bucketed``: the large-right-side path — co-partition BOTH
+  sides on ``hash(key) % num_buckets``, ONE union + groupby(bucket)
+  exchange, vectorized ``pd.merge_asof`` per bucket.  Assumes one
+  bucket's rows from both sides fit in a task's heap (pick
+  ``num_buckets`` accordingly — same contract as stages/join.hash_join).
+- ``asof_join``: auto-selects between the two by right-side row count.
 """
 
 from __future__ import annotations
@@ -22,11 +29,28 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .merge import _get_broadcast, url_bucket
+from ..sizing import cluster_cpus
+from .merge import _get_broadcast
 
 
 def _ts_us(series: pd.Series) -> np.ndarray:
     return series.to_numpy(dtype="datetime64[us]").astype("int64")
+
+
+def _key_bucket(values: pd.Series, num_buckets: int) -> np.ndarray:
+    """Deterministic key -> bucket for any dtype: integer keys take the
+    cheap modulo; everything else goes through ``pd.util.hash_array``
+    (SipHash, fixed key — stable across processes/nodes)."""
+    if pd.api.types.is_integer_dtype(values):
+        return (values.to_numpy(dtype="int64") % num_buckets).astype("int32")
+    h = pd.util.hash_array(values.to_numpy(dtype=object)) % num_buckets
+    return h.astype("int32")
+
+
+def _default_buckets() -> int:
+    # ~8 bucket tasks per cpu: enough slack for skewed buckets to
+    # overlap, small enough that per-task overhead stays negligible
+    return max(64, 8 * cluster_cpus())
 
 
 # ---------------------------------------------------------------------------
@@ -34,17 +58,18 @@ def _ts_us(series: pd.Series) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def sessionize(events, key_col: str, ts_col: str, id_col: str,
-               gap_us: int, num_buckets: int = 64):
+               gap_us: int, num_buckets: int | None = None):
     """Assign each event a per-key session number (1-based): a new
     session starts when the gap to the previous event of the same key
     exceeds ``gap_us``.  Deterministic order: (key, ts, id).
 
     Returns a Dataset of (id_col, key_col, session_seq:int64).
     """
+    buckets = num_buckets or _default_buckets()
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         b = b[[id_col, key_col, ts_col]].copy()
-        b["bucket"] = (b[key_col].to_numpy(dtype="int64") % num_buckets).astype("int32")
+        b["bucket"] = _key_bucket(b[key_col], buckets)
         return b
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -130,3 +155,116 @@ def asof_join_broadcast(left, index_ref, key_col: str, ts_col: str,
         return res
 
     return left.map_batches(probe, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# as-of join (bucket-co-partitioned large right side)
+# ---------------------------------------------------------------------------
+
+def asof_join_bucketed(left, right, key_col: str, ts_col: str,
+                       payload_cols: list[str], out_cols: list[str] | None = None,
+                       right_key_col: str | None = None,
+                       right_ts_col: str | None = None,
+                       num_buckets: int | None = None):
+    """Large-right-side as-of join: neither side fits a broadcast, so
+    both are bucketed on ``hash(key) % num_buckets`` and meet in ONE
+    union + groupby(bucket) exchange; inside each bucket a vectorized
+    ``pd.merge_asof`` attaches the latest right payload with
+    right_ts <= left_ts.  Tie semantics identical to the broadcast
+    variant (duplicate right (key, ts) keeps the greatest payload row;
+    equal timestamps match).
+
+    Output schema matches :func:`asof_join_broadcast`: the left columns
+    plus ``out_cols`` as float64 with NaN for misses.
+    """
+    out_cols = out_cols or payload_cols
+    buckets = num_buckets or _default_buckets()
+    rk = right_key_col or key_col
+    rt = right_ts_col or ts_col
+    left_cols = list(left.schema().names)
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = _key_bucket(b[key_col], buckets)
+        b["_side"] = np.int8(0)
+        for c in payload_cols:
+            if c not in b.columns:
+                b[c] = np.nan
+        return b
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key_col: b[rk].to_numpy(), ts_col: b[rt].to_numpy()})
+        for c in payload_cols:
+            out[c] = b[c].to_numpy()
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = None
+        out["bucket"] = _key_bucket(out[key_col], buckets)
+        out["_side"] = np.int8(1)
+        return out
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0]
+        rg = g[g["_side"] == 1]
+        if len(lg) == 0:
+            return pd.DataFrame({c: [] for c in [*left_cols, *out_cols]})
+        lg = lg.copy()
+        lg["_ts"] = _ts_us(lg[ts_col])
+        if len(rg) == 0:
+            res = lg.sort_index()
+            out = res[left_cols].copy()
+            for oc in out_cols:
+                out[oc] = np.full(len(out), np.nan, dtype="float64")
+            return out
+        rg = rg[[key_col, ts_col, *payload_cols]].copy()
+        rg["_ts"] = _ts_us(rg[ts_col])
+        # tie dedup identical to build_asof_index
+        rg = rg.sort_values([key_col, "_ts", *payload_cols], kind="stable")
+        rg = rg.drop_duplicates([key_col, "_ts"], keep="last")
+        lg = lg.sort_values("_ts", kind="stable")
+        rg = rg.sort_values("_ts", kind="stable")
+        merged = pd.merge_asof(
+            lg[[*left_cols, "_ts", key_col]].rename(columns={}),
+            rg[[key_col, "_ts", *payload_cols]].rename(
+                columns={c: f"__p_{c}" for c in payload_cols}
+            ),
+            on="_ts",
+            by=key_col,
+            direction="backward",
+        )
+        out = merged[left_cols].copy()
+        for c, oc in zip(payload_cols, out_cols):
+            out[oc] = merged[f"__p_{c}"].to_numpy(dtype="float64")
+        return out
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+    return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def asof_join(left, right, key_col: str, ts_col: str, payload_cols: list[str],
+              out_cols: list[str] | None = None, right_key_col: str | None = None,
+              right_ts_col: str | None = None,
+              broadcast_max_rows: int = 2_000_000, num_buckets: int | None = None):
+    """As-of join with automatic strategy selection: right sides at or
+    below ``broadcast_max_rows`` build a driver-side searchsorted index
+    and broadcast it (zero exchange on the left); larger right sides
+    co-partition both sides and merge per bucket (the scale path the
+    broadcast variant cannot take — the right side never touches the
+    driver)."""
+    rk = right_key_col or key_col
+    rt = right_ts_col or ts_col
+    n_right = right.count()  # metadata-only for parquet reads
+    if n_right <= broadcast_max_rows:
+        import ray
+
+        cols = [rk, rt, *payload_cols]
+        right_df = right.select_columns(cols).to_pandas()
+        if rk != key_col or rt != ts_col:
+            right_df = right_df.rename(columns={rk: key_col, rt: ts_col})
+        index = build_asof_index(right_df, key_col, ts_col, payload_cols)
+        return asof_join_broadcast(left, ray.put(index), key_col, ts_col,
+                                   payload_cols, out_cols)
+    return asof_join_bucketed(left, right, key_col, ts_col, payload_cols,
+                              out_cols, right_key_col, right_ts_col, num_buckets)
