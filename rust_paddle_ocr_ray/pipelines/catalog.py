@@ -433,24 +433,46 @@ SQL_Q16 = "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY 
 
 def q17_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs (non-SQL; verified by unit tests with
-    planted near-duplicates)."""
+    planted near-duplicates).  Fully distributed — candidate gen,
+    shingle join-back and Jaccard verify all run as Dataset stages."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     pairs = minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.5)
-    return pairs[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
+    return pairs.select_columns(["a", "b"])
 
 
 def q18_simhash_pairs(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    res = simhash_pairs(ds, "text", "doc_id", max_hamming=3)
-    return res[["a", "b", "hamming"]].sort_values(["a", "b"]).reset_index(drop=True)
+    return simhash_pairs(ds, "text", "doc_id", max_hamming=3)
 
 
 def q19_jaccard_pairs(sf_dir: str):
     """Exact n-gram Jaccard within (lang, n_chars) buckets (the brute
-    verify; bucketed so the quadratic term is bounded)."""
+    verify; bucketed so the quadratic term is bounded).  With k=1 the
+    shingles are (hashed) distinct word unigrams, so the exact Jaccard
+    has a DuckDB list-ops twin: ``jaccard >= 0.5`` over sets is the
+    integer test ``3*|intersect| >= |A| + |B|`` (hash-checked — the one
+    value-verified member of the near-dup family)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars", "text"])
     out = ngram_jaccard_pairs(ds, "text", "doc_id", ["lang", "n_chars"], threshold=0.5, k=1)
     return out.drop_columns(["jaccard"])
+
+
+SQL_Q19 = r"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+  FROM documents
+),
+sized AS (
+  SELECT lang, n_chars FROM documents
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 200
+)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM d a
+JOIN d b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+JOIN sized s ON s.lang = a.lang AND s.n_chars = a.n_chars
+WHERE 3 * len(list_intersect(a.toks, b.toks)) >= len(a.toks) + len(b.toks)
+"""
 
 
 # ===========================================================================
@@ -746,7 +768,7 @@ QUERIES: dict[str, tuple] = {
     "q16_dedup_exact_text": (q16_dedup_exact_text, SQL_Q16),
     "q17_minhash_pairs": (q17_minhash_pairs, None),
     "q18_simhash_pairs": (q18_simhash_pairs, None),
-    "q19_jaccard_pairs": (q19_jaccard_pairs, None),
+    "q19_jaccard_pairs": (q19_jaccard_pairs, SQL_Q19),
     "q20_knn_bruteforce": (q20_knn_bruteforce, SQL_Q20),
     "q21_knn_lsh": (q21_knn_lsh, None),
     "q22_embedding_dups": (q22_embedding_dups, SQL_Q22),

@@ -18,12 +18,14 @@ Scale shape of each:
 from __future__ import annotations
 
 import hashlib
+import logging
 from itertools import combinations
 
 import numpy as np
 import pandas as pd
 
 from ..functions.hashing import (
+    band_keys,
     hamming64,
     jaccard,
     minhash_params,
@@ -32,6 +34,10 @@ from ..functions.hashing import (
     stable_hash64,
     word_shingles,
 )
+from ..sizing import proportional_pool
+from .merge import _get_broadcast
+
+logger = logging.getLogger(__name__)
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -74,29 +80,33 @@ class MinHasher:
         self.a, self.b = minhash_params(num_perm, seed)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows_per_band = self.a.shape[0] // self.bands
         ids, bands_out, keys = [], [], []
         for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
             sh = word_shingles(str(text), self.k)
             sig = minhash_signature(sh, self.a, self.b)
-            for bi in range(self.bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+            for bi, bkey in enumerate(band_keys(sig, self.bands)):
                 ids.append(doc_id)
                 bands_out.append(bi)
-                keys.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
+                keys.append(bkey)
         return pd.DataFrame({"doc_id": ids, "band": bands_out, "key": keys})
 
 
 def minhash_candidate_pairs(band_rows, max_bucket: int = 200):
     """groupby (band, key) -> unordered candidate id pairs (deduped later).
-    Buckets larger than ``max_bucket`` are dropped (degenerate content —
-    logged via the ``overflow`` marker rows)."""
+    Buckets larger than ``max_bucket`` are dropped (degenerate content):
+    each drop is logged on the worker AND emitted as an ``(-1, size)``
+    marker row so callers can surface the total recall loss."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"].tolist()))
         if len(ids) < 2:
             return pd.DataFrame({"a": [], "b": []})
         if len(ids) > max_bucket:
+            logger.warning(
+                "minhash LSH bucket of %d docs exceeds max_bucket=%d — dropped "
+                "(degenerate near-identical content); recall reduced for these docs",
+                len(ids), max_bucket,
+            )
             return pd.DataFrame({"a": [-1], "b": [len(ids)]})  # overflow marker
         a, b = zip(*combinations(ids, 2))
         return pd.DataFrame({"a": list(a), "b": list(b)})
@@ -104,20 +114,38 @@ def minhash_candidate_pairs(band_rows, max_bucket: int = 200):
     return band_rows.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
 
 
+#: empty verified-pairs schema (returned when candidate generation finds none)
+def _empty_pairs():
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                  "jaccard": pa.array([], pa.float64())})
+    )
+
+
 def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7,
                         num_perm: int = 128, bands: int = 16, k: int = 3,
-                        concurrency=None, max_bucket: int = 200):
-    """Full near-dup pipeline -> verified pairs (a, b, jaccard >= threshold).
+                        concurrency=None, max_bucket: int = 200,
+                        verify_buckets: int = 64):
+    """Full near-dup pipeline -> Dataset of verified pairs
+    (a, b, jaccard >= threshold).  Fully distributed:
 
-    Candidate generation shuffles only signature rows; verification
-    re-reads the two texts via a broadcast lookup when the doc set is
-    small, else joins back by id.  Here (library implementation) we
-    verify inside a second pass keyed on the candidate's smaller id,
-    with texts shipped through a broadcast map for ids that appear in
-    candidates only — candidate sets are tiny relative to the corpus.
+    1. signatures per batch (actor pool) -> (band, key) rows; ONE
+       groupby emits candidate pairs (bucket-capped -> bounded skew);
+    2. the candidate-id set (ints only — never texts) is collected and
+       broadcast as a semi-join filter, so only candidate docs are
+       re-shingled (at extreme candidate cardinality swap the set for a
+       bloom filter — false positives only shingle extra docs);
+    3. shingle rows and per-pair requests meet in a ``groupby`` on the
+       doc-id bucket (the join-back), then pairs reassemble in a second
+       ``groupby`` on the pair bucket where ``np.intersect1d`` computes
+       exact Jaccard — no document text or shingle ever reaches the
+       driver, and the quadratic term stays bounded per LSH bucket.
     """
     import ray
-    import ray.data  # noqa: F401
 
     band_rows = docs.map_batches(
         MinHasher,
@@ -126,30 +154,110 @@ def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7
             "num_perm": num_perm, "bands": bands, "k": k,
         },
         batch_format="pandas",
-        concurrency=concurrency or (1, 4),
+        concurrency=concurrency or proportional_pool(),
     )
-    cand = minhash_candidate_pairs(band_rows, max_bucket=max_bucket).to_pandas()
-    cand = cand[cand["a"] >= 0].drop_duplicates()
-    if cand.empty:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    cand = minhash_candidate_pairs(band_rows, max_bucket=max_bucket).materialize()
 
-    need = sorted(set(cand["a"]) | set(cand["b"]))
-    need_set = set(need)
+    # driver touches ONLY the two int columns: ids for the semi-join
+    # broadcast + the overflow-marker count
+    need: set[int] = set()
+    n_overflow = 0
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        a_np = b["a"].to_numpy()
+        b_np = b["b"].to_numpy()
+        ov = a_np < 0
+        n_overflow += int(ov.sum())
+        keep = ~ov
+        need.update(a_np[keep].tolist())
+        need.update(b_np[keep].tolist())
+    if n_overflow:
+        logger.warning(
+            "minhash_dedup_pairs: %d oversized LSH bucket(s) dropped "
+            "(max_bucket=%d) — near-dup recall reduced for their docs",
+            n_overflow, max_bucket,
+        )
+    if not need:
+        return _empty_pairs()
 
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch[batch[id_col].isin(need_set)]
-        return m[[id_col, text_col]]
+    need_ref = ray.put(need)
+    K = verify_buckets
 
-    texts = docs.map_batches(pick, batch_format="pandas").to_pandas()
-    lookup = dict(zip(texts[id_col], texts[text_col]))
-    sh = {i: word_shingles(str(lookup[i]), k) for i in need if i in lookup}
-    out = []
-    for a, b in zip(cand["a"], cand["b"]):
-        if a in sh and b in sh:
-            j = jaccard(sh[a], sh[b])
+    def doc_shingles(batch: pd.DataFrame) -> pd.DataFrame:
+        nd = _get_broadcast(need_ref)
+        sub = batch[batch[id_col].isin(nd)]
+        sh = [
+            np.fromiter(word_shingles(str(t), k), dtype=np.uint64).tobytes()
+            for t in sub[text_col]
+        ]
+        ids = sub[id_col].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "doc_id": ids, "pa": np.int64(-1), "pb": np.int64(-1), "sh": sh,
+            "dbucket": (ids % K).astype("int32"),
+        })
+
+    def pair_requests(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["a"] >= 0].drop_duplicates(["a", "b"])
+        a_np = batch["a"].to_numpy(dtype="int64")
+        b_np = batch["b"].to_numpy(dtype="int64")
+        doc = np.concatenate([a_np, b_np])
+        return pd.DataFrame({
+            "doc_id": doc,
+            "pa": np.concatenate([a_np, a_np]),
+            "pb": np.concatenate([b_np, b_np]),
+            "sh": b"",
+            "dbucket": (doc % K).astype("int32"),
+        })
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_sh = g["pa"] < 0
+        lut = dict(zip(g.loc[is_sh, "doc_id"], g.loc[is_sh, "sh"]))
+        pr = g[~is_sh]
+        out = pd.DataFrame({
+            "pa": pr["pa"].to_numpy(), "pb": pr["pb"].to_numpy(),
+            "doc_id": pr["doc_id"].to_numpy(),
+            "sh": pr["doc_id"].map(lut),
+        })
+        out = out[out["sh"].notna()]
+        with np.errstate(over="ignore"):
+            out["pbucket"] = (
+                (out["pa"].to_numpy() * 1_000_003 + out["pb"].to_numpy()) % K
+            ).astype("int32")
+        return out
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["pa", "pb", "doc_id"])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[float] = []
+        for (a, b), sub in g.groupby(["pa", "pb"], sort=False):
+            if len(sub) != 2:
+                continue
+            sh = {int(d): np.frombuffer(s, dtype=np.uint64)
+                  for d, s in zip(sub["doc_id"], sub["sh"])}
+            sa, sb = sh[int(a)], sh[int(b)]
+            if sa.size == 0 and sb.size == 0:
+                j = 1.0
+            elif sa.size == 0 or sb.size == 0:
+                j = 0.0
+            else:
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                j = inter / (sa.size + sb.size - inter)
             if j >= threshold:
-                out.append((a, b, j))
-    return pd.DataFrame(out, columns=["a", "b", "jaccard"])
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(j)
+        return pd.DataFrame({"a": np.array(out_a, dtype="int64"),
+                             "b": np.array(out_b, dtype="int64"),
+                             "jaccard": np.array(out_j, dtype="float64")})
+
+    shingle_rows = docs.map_batches(doc_shingles, batch_format="pandas")
+    request_rows = cand.map_batches(pair_requests, batch_format="pandas")
+    attached = (
+        shingle_rows.union(request_rows)
+        .groupby("dbucket")
+        .map_groups(attach, batch_format="pandas")
+    )
+    return attached.groupby("pbucket").map_groups(verify, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -165,9 +273,11 @@ def add_simhash(ds, text_col: str, out: str = "simhash"):
 
 
 def simhash_pairs(docs, text_col: str, id_col: str, max_hamming: int = 3,
-                  max_bucket: int = 500):
+                  max_bucket: int = 500, dedup_buckets: int = 64):
     """Banded SimHash: 4 x 16-bit keys -> bucket groupby -> Hamming verify.
-    Any pair within Hamming distance 3 shares at least one of 4 bands."""
+    Any pair within Hamming distance 3 shares at least one of 4 bands.
+    Returns a Dataset of (a, b, hamming); the cross-band pair dedup runs
+    distributed (pair-hash bucket groupby), never on the driver."""
     with_sig = add_simhash(docs, text_col)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -192,9 +302,29 @@ def simhash_pairs(docs, text_col: str, id_col: str, max_hamming: int = 3,
                 out.append((ia, ib, h))
         return pd.DataFrame(out, columns=["a", "b", "hamming"])
 
+    def add_pbucket(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            b = b.copy()
+            b["pbucket"] = np.array([], dtype="int32")
+            return b
+        b = b.drop_duplicates(["a", "b"]).copy()
+        with np.errstate(over="ignore"):
+            b["pbucket"] = (
+                (b["a"].to_numpy(dtype="int64") * 1_000_003
+                 + b["b"].to_numpy(dtype="int64")) % dedup_buckets
+            ).astype("int32")
+        return b
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b", "hamming"]]
+
     cand = with_sig.map_batches(explode, batch_format="pandas")
-    res = cand.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas").to_pandas()
-    return res.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
+    res = cand.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
+    return (
+        res.map_batches(add_pbucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(distinct, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -64,7 +64,7 @@ def test_exact_dedup_planted(ray_session, planted_docs):
 def test_minhash_finds_planted_near_dups(ray_session, planted_docs):
     df, truth_near, truth_exact = planted_docs
     ds = rd.from_pandas(df)
-    pairs = minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.7, k=3)
+    pairs = minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.7, k=3).to_pandas()
     found = set(map(tuple, pairs[["a", "b"]].to_numpy().tolist()))
     for a, b in truth_near:
         assert (a, b) in found, f"planted near-dup ({a},{b}) missed"
@@ -74,10 +74,24 @@ def test_minhash_finds_planted_near_dups(ray_session, planted_docs):
     assert (pairs["jaccard"] >= 0.7).all()
 
 
+def test_minhash_overflow_buckets_dropped(ray_session, planted_docs):
+    """max_bucket=1 forces every multi-doc LSH bucket into the overflow
+    marker path: the run must complete cleanly (empty typed Dataset),
+    exercising the no-candidates branch."""
+    df, _, _ = planted_docs
+    ds = rd.from_pandas(df)
+    pairs = minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.7, k=3,
+                                max_bucket=1).to_pandas()
+    assert len(pairs) == 0
+    # Ray drops column metadata on fully-empty datasets; when columns
+    # survive they must be the declared pair schema
+    assert list(pairs.columns) in ([], ["a", "b", "jaccard"])
+
+
 def test_simhash_finds_exact_dups(ray_session, planted_docs):
     df, _, truth_exact = planted_docs
     ds = rd.from_pandas(df)
-    res = simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+    res = simhash_pairs(ds, "text", "doc_id", max_hamming=3).to_pandas()
     found = set(map(tuple, res[["a", "b"]].to_numpy().tolist()))
     for a, b in truth_exact:
         assert (a, b) in found
