@@ -93,10 +93,12 @@ class ExtractPipeline:
         ``pages`` by projection otherwise.
 
         dedup_mode="planned" (default): key-only planning scan -> drop
-        losing page versions before detection (broadcast filter) -> pure
-        streaming merge; only exact-warc_ts-tie urls (normally none)
-        shuffle.  "at_merge": no planning pass, one full exchange.
-        "off": caller asserts unique urls."""
+        losing page versions before detection (broadcast filter) ->
+        combiner partials materialize once (slim, text-only) and
+        interior versions finalize with no exchange; only batch-boundary
+        partials (block-split safety, ~2 per batch) and exact-warc_ts-tie
+        urls (normally none) shuffle.  "at_merge": no planning pass, one
+        full exchange.  "off": caller asserts unique urls."""
         mode = self.config.dedup_mode
         if mode == "at_merge":
             return self.merge(self.recognize(self.detect(pages)), tie_urls=None)

@@ -76,9 +76,20 @@ def url_bucket(urls, num_buckets: int) -> np.ndarray:
     return h.astype("int32")
 
 
-def partial_merge(batch: pd.DataFrame, num_buckets: int = DEFAULT_NUM_BUCKETS) -> pd.DataFrame:
+def partial_merge(batch: pd.DataFrame, num_buckets: int = DEFAULT_NUM_BUCKETS,
+                  mark_boundary: bool = False) -> pd.DataFrame:
     """Combiner: collapse each (url, warc_ts) version within one batch to
-    a single partial row (the map-side pre-aggregation of A1)."""
+    a single partial row (the map-side pre-aggregation of A1).
+
+    ``mark_boundary=True`` adds a ``boundary`` flag on the partials of
+    the batch's FIRST and LAST (url, warc_ts) versions.  Ray Data splits
+    large map outputs at ``DataContext.target_max_block_size``, so a
+    version's contiguous span run can straddle two blocks; any such
+    version necessarily occupies a suffix and/or prefix of its batches,
+    i.e. it is the first or last version of every batch it appears in.
+    The planned merge path finalizes interior versions with no exchange
+    and routes only boundary partials (~2 per batch) through the bucket
+    groupby, where split partials recombine correctly."""
     key = ["url", "warc_ts"]
     g = batch.sort_values([*key, "order"], kind="stable")
     first = g.drop_duplicates(key).set_index(key)
@@ -105,6 +116,16 @@ def partial_merge(batch: pd.DataFrame, num_buckets: int = DEFAULT_NUM_BUCKETS) -
         }
     )
     out["bucket"] = url_bucket(out["url"].to_numpy(dtype=object), num_buckets)
+    if mark_boundary:
+        if len(batch) == 0:
+            out["boundary"] = np.array([], dtype=bool)
+        else:
+            u0, t0 = batch["url"].iloc[0], batch["warc_ts"].iloc[0]
+            u1, t1 = batch["url"].iloc[-1], batch["warc_ts"].iloc[-1]
+            out["boundary"] = (
+                ((out["url"] == u0) & (out["warc_ts"] == t0))
+                | ((out["url"] == u1) & (out["warc_ts"] == t1))
+            ).to_numpy()
     return out
 
 
@@ -346,13 +367,20 @@ def merge_extracted(
 
     ``tie_urls=frozenset``: planned formulation — the caller already
     winner-filtered pages (``make_winner_filter``), so every url has
-    exactly one surviving version, its spans sit in one block (detection
-    emits a page's spans together and downstream stages preserve block
-    boundaries), and its partial is already complete: finalize in place,
-    NO shuffle, pure streaming.  Only urls in ``tie_urls`` (several
-    identical winning warc_ts — normally zero) route through the bucket
-    exchange, where their versions' spans concatenate exactly as the
-    single-exchange formulation would."""
+    exactly one surviving version.  A version's spans are contiguous but
+    Ray splits oversized map-output blocks at
+    ``DataContext.target_max_block_size``, so a version CAN straddle two
+    blocks — any such version is the first or last version of its
+    batches (see :func:`partial_merge`).  The slim partials are
+    therefore materialized once (combiner output — output-sized, text
+    only, spill-safe; the alternative is recomputing detect/recognize
+    for a second branch) and split two ways: interior non-tie partials
+    finalize in place with NO exchange; batch-boundary partials (~2 per
+    batch) plus urls in ``tie_urls`` (several identical winning warc_ts
+    — normally zero) route through the bucket groupby, where split
+    versions' partials recombine in ``min_order`` sequence and tie
+    versions concatenate exactly as the single-exchange formulation
+    would."""
     if scattered:
         bucketed = spans_ds.select_columns(MERGE_COLUMNS).map_batches(
             _with_bucket, fn_kwargs={"num_buckets": num_buckets},
@@ -364,42 +392,46 @@ def merge_extracted(
         return merged.map_batches(_cast_extracted, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
-    partials = spans_ds.select_columns(MERGE_COLUMNS).map_batches(
-        partial_merge,
-        fn_kwargs={"num_buckets": num_buckets},
-        batch_format="pandas",
-    )
-
     if tie_urls is None:
+        partials = spans_ds.select_columns(MERGE_COLUMNS).map_batches(
+            partial_merge,
+            fn_kwargs={"num_buckets": num_buckets},
+            batch_format="pandas",
+        )
         merged = partials.groupby("bucket").map_groups(final_merge, batch_format="pandas")
         return merged.map_batches(_cast_extracted, batch_format="pyarrow", zero_copy_batch=True)
 
-    if not tie_urls:
-        return partials.map_batches(_finalize_partials, batch_format="pandas").map_batches(
-            _cast_extracted, batch_format="pyarrow", zero_copy_batch=True
-        )
+    # planned path: mark batch-boundary versions (possible block splits)
+    partials = spans_ds.select_columns(MERGE_COLUMNS).map_batches(
+        partial_merge,
+        fn_kwargs={"num_buckets": num_buckets, "mark_boundary": True},
+        batch_format="pandas",
+    )
 
     import ray
 
-    ref = ray.put(tie_urls)
+    ref = ray.put(tie_urls) if tie_urls else None
 
     def split_unique(batch: pd.DataFrame) -> pd.DataFrame:
-        tie = _get_broadcast(ref)
-        return _finalize_partials(batch[~batch["url"].isin(tie)])
+        risky = batch["boundary"].to_numpy(dtype=bool)
+        if ref is not None:
+            risky = risky | batch["url"].isin(_get_broadcast(ref)).to_numpy()
+        return _finalize_partials(batch[~risky])
 
-    def split_tie(batch: pd.DataFrame) -> pd.DataFrame:
-        tie = _get_broadcast(ref)
-        return batch[batch["url"].isin(tie)]
+    def split_risky(batch: pd.DataFrame) -> pd.DataFrame:
+        risky = batch["boundary"].to_numpy(dtype=bool)
+        if ref is not None:
+            risky = risky | batch["url"].isin(_get_broadcast(ref)).to_numpy()
+        return batch[risky].drop(columns=["boundary"])
 
-    # materialize the (output-sized) partials once so the two branches
-    # below don't re-run detect/recognize; only reached when exact-ts
-    # ties exist in the input (rare)
+    # materialize the SLIM partials once so the two branches below don't
+    # re-run detect/recognize (combiner output only — never raw spans)
     parts = partials.materialize()
     uniq = parts.map_batches(split_unique, batch_format="pandas")
-    ties = (
-        parts.map_batches(split_tie, batch_format="pandas")
+    risky = (
+        parts.map_batches(split_risky, batch_format="pandas")
         .groupby("bucket")
         .map_groups(final_merge, batch_format="pandas")
     )
-    out = uniq.union(ties)
+    out = uniq.union(risky)
     return out.map_batches(_cast_extracted, batch_format="pyarrow", zero_copy_batch=True)

@@ -66,6 +66,29 @@ def test_exact_ts_ties_collapse(ray_session, tmp_path):
     assert tie_row_p["extracted_text"] == tie_row_m["extracted_text"]
 
 
+def test_planned_correct_under_block_splits(ray_session, dup_corpus):
+    """Regression (ADVICE r1, high): Ray splits large map outputs at
+    DataContext.target_max_block_size, so one (url, warc_ts) version's
+    spans can straddle two blocks.  The planned path must route the
+    batch-boundary partials through the bucket exchange instead of
+    finalizing them streaming — otherwise split versions emit duplicate
+    url rows with fragmented text."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024  # force mid-page splits
+        planned = _run("planned", dup_corpus)
+        at_merge = _run("at_merge", dup_corpus)
+    finally:
+        ctx.target_max_block_size = old
+    assert planned["url"].is_unique
+    # float tolerance on confidence: split-version partials sum in a
+    # different association order than the single-pass combine
+    pd.testing.assert_frame_equal(planned, at_merge, rtol=0, atol=1e-12)
+
+
 def test_scattered_merge_is_layout_independent(ray_session, dup_corpus):
     """merge_extracted(scattered=True) must reproduce the pipeline's
     extracted table even when span rows arrive fully shuffled (the
