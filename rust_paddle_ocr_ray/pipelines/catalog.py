@@ -549,6 +549,25 @@ def q23_extract(sf_dir: str):
     return ExtractPipeline(CLI_CONFIG).run(_doc_pages(sf_dir))
 
 
+def q30_mixed_extract(sf_dir: str):
+    """Mixed-payload extraction (north_rule "PDF/layout parse"): the
+    documents table wrapped as pages where every 5th doc_id carries its
+    text as a FlateDecode'd PDF and every 11th an image payload; the
+    detect stage routes by magic bytes (functions/pdf.py).  Rows-only
+    driver check; byte-level goldens live in tests/test_pdf.py."""
+    import ray
+
+    from ..sources.synth import mixed_pages_from_documents
+    from .extract import ExtractPipeline
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"))
+    width = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    pages = docs.repartition(width * 2).map_batches(
+        mixed_pages_from_documents, batch_format="pyarrow"
+    )
+    return ExtractPipeline(CLI_CONFIG).run(pages)
+
+
 def q24_detect_spans(sf_dir: str):
     """Detection stage only: flat span rows (offsets + scores)."""
     from .extract import ExtractPipeline
@@ -779,4 +798,5 @@ QUERIES: dict[str, tuple] = {
     "q27_asof_join": (q27_asof_join, SQL_Q27),
     "q28_json_extract": (q28_json_extract, SQL_Q28),
     "q29_multijoin": (q29_multijoin, SQL_Q29),
+    "q30_mixed_extract": (q30_mixed_extract, None),
 }

@@ -18,7 +18,9 @@ the independent oracle in tests/oracle_impl.py.
 
 from __future__ import annotations
 
+import hashlib
 import random
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -233,6 +235,111 @@ def pages_from_documents(batch: pa.Table) -> pa.Table:
                 "url": f"https://docs.test/{source}/{doc_id:08d}",
                 "warc_ts": _EPOCH_US + int(doc_id) * 1_000_000,
                 "html": html_text.encode("utf-8"),
+                "text": text or "",
+                "lang": lang or "en",
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# deterministic PDF payloads (for the non-HTML detection route)
+# ---------------------------------------------------------------------------
+
+def _pdf_string(line: str) -> bytes:
+    """One PDF string operand: escaped literal when Latin-1-encodable,
+    else a BOM'd UTF-16BE hex string (both per ISO 32000 §7.3.4)."""
+    try:
+        raw = line.encode("latin-1")
+    except UnicodeEncodeError:
+        raw = b"\xfe\xff" + line.encode("utf-16-be")
+        return b"<" + raw.hex().encode("ascii") + b">"
+    esc = raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    return b"(" + esc + b")"
+
+
+def make_pdf(paragraphs: list[str], words_per_line: int = 12,
+             compress: bool = True) -> bytes:
+    """A minimal valid single-page PDF: one BT..ET text object per
+    paragraph, lines broken every ``words_per_line`` words with ``T*``,
+    content FlateDecode'd by default.  Pure function of its inputs."""
+    ops = []
+    for para in paragraphs:
+        words = para.split()
+        lines = [
+            " ".join(words[i : i + words_per_line])
+            for i in range(0, len(words), words_per_line)
+        ] or [""]
+        body = b"\nT*\n".join(_pdf_string(ln) + b" Tj" for ln in lines)
+        ops.append(b"BT\n/F1 12 Tf\n72 720 Td\n" + body + b"\nET")
+    content = b"\n".join(ops)
+    if compress:
+        stream, filt = zlib.compress(content), b"/Filter /FlateDecode "
+    else:
+        stream, filt = content, b""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< " + filt + b"/Length " + str(len(stream)).encode("ascii")
+        + b" >>\nstream\n" + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for k, obj in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += str(k).encode("ascii") + b" 0 obj\n" + obj + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode("ascii") + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += (f"{off:010d} 00000 n \n").encode("ascii")
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode("ascii")
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_pos).encode("ascii")
+            + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def _doc_paras(text: str) -> list[str]:
+    words = (text or "").split()
+    return [" ".join(words[i : i + 25]) for i in range(0, len(words), 25)]
+
+
+def mixed_pages_from_documents(batch: pa.Table, pdf_every: int = 5,
+                               image_every: int = 11) -> pa.Table:
+    """``pages_from_documents`` variant with non-HTML payloads mixed in:
+    every ``pdf_every``-th doc_id carries its text as a FlateDecode'd
+    PDF, every ``image_every``-th (when not a pdf) a PNG-magic binary
+    payload; the rest stay html.  Deterministic per row."""
+    rows = []
+    for doc_id, text, lang, source in zip(
+        batch["doc_id"].to_pylist(),
+        batch["text"].to_pylist(),
+        batch["lang"].to_pylist(),
+        batch["source"].to_pylist(),
+    ):
+        paras = _doc_paras(text)
+        if doc_id % pdf_every == 0:
+            payload = make_pdf(paras)
+        elif doc_id % image_every == 0:
+            payload = b"\x89PNG\r\n\x1a\n" + hashlib.blake2b(
+                (text or "").encode("utf-8"), digest_size=64
+            ).digest()
+        else:
+            body = "\n".join(f"<p>{p}.</p>" for p in paras if p)
+            payload = (
+                f"<html><head><title>doc {doc_id}</title></head>\n<body>\n"
+                f'<nav><a href="/">home page</a> | <a href="/{source}">{source} index</a></nav>\n'
+                f"{body}\n"
+                f'<footer><a href="/terms">terms of use</a></footer>\n</body></html>'
+            ).encode("utf-8")
+        rows.append(
+            {
+                "url": f"https://docs.test/{source}/{doc_id:08d}",
+                "warc_ts": _EPOCH_US + int(doc_id) * 1_000_000,
+                "html": payload,
                 "text": text or "",
                 "lang": lang or "en",
             }

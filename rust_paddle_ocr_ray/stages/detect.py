@@ -1,11 +1,15 @@
 """Detection stage: pages -> span rows (stateless ``map_batches``).
 
-The analog of ``Det::find_text_rect`` (/root/reference/src/det.rs:121-132):
-html bytes are decoded (F7, UTF-8 with replacement), segmented into
-scored blocks, thresholded, min-size-filtered, border-expanded and
-optionally merged (functions/html.py), and emitted as FLAT span rows —
-one row per detected region, the analog of ``Vec<Rect>`` per image —
-so Ray can split heavy pages across downstream blocks (skew handling,
+The analog of ``Det::find_text_rect`` (/root/reference/src/det.rs:121-132).
+Each payload is routed by magic bytes (functions/pdf.sniff_payload):
+``%PDF`` payloads take the pure-Python PDF text-block path
+(functions/pdf.py — north_rule "PDF/layout parse"); image payloads
+(PNG/JPEG/GIF/WEBP) emit one ``tag="image"`` marker span; everything
+else is decoded (F7, UTF-8 with replacement), segmented into scored
+blocks, thresholded, min-size-filtered, border-expanded and optionally
+merged (functions/html.py).  All routes emit FLAT span rows — one row
+per detected region, the analog of ``Vec<Rect>`` per image — so Ray
+can split heavy pages across downstream blocks (skew handling,
 SURVEY.md §4).
 
 Pages with zero detected spans emit one sentinel row (block_id = -1,
@@ -23,6 +27,7 @@ import pyarrow as pa
 
 from ..config import ExtractConfig
 from ..functions.html import segment_page
+from ..functions.pdf import extract_pdf_spans, image_sentinel_span, sniff_payload
 
 SPANS_SCHEMA = pa.schema(
     [
@@ -55,8 +60,15 @@ def detect_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
     cols: dict[str, list] = {name: [] for name in SPANS_SCHEMA.names}
 
     for url, ts, lang, html_bytes in zip(urls, tss, langs, htmls):
-        page = (html_bytes or b"")[: cfg.max_html_bytes].decode("utf-8", errors="replace")
-        spans = segment_page(page, cfg) if page else []
+        payload = (html_bytes or b"")[: cfg.max_html_bytes]
+        kind = sniff_payload(payload)
+        if kind == "pdf":
+            spans = extract_pdf_spans(payload, cfg)
+        elif kind == "image":
+            spans = [image_sentinel_span()]
+        else:
+            page = payload.decode("utf-8", errors="replace")
+            spans = segment_page(page, cfg) if page else []
         if not spans:
             spans = [
                 {
