@@ -43,6 +43,14 @@ class ExtractConfig:
     # --- scale / skew guards (no reference analog; 100 TB safety) ---
     max_spans_per_page: int = 4096      # cap spans emitted per page (skew guard)
     max_html_bytes: int = 16 * 1024 * 1024  # pages larger than this are truncated
+    # optional block split between detect and recognize: cap span rows
+    # per block (repartition(target_num_rows_per_block=...)) so one
+    # pathological page cannot serialize a recognition wave.  None (the
+    # default) keeps the streaming fast path; set it when ds.stats()
+    # shows span-count skew stalling the recognizer.  Safe for the merge
+    # combiner: batch-boundary versions route through the bucket
+    # exchange (stages/merge.py).
+    skew_split_rows: int | None = None
 
     # --- pipeline shape ---
     # D3 url dedup (SURVEY §2.7):

@@ -30,11 +30,12 @@ from ..functions.textstats import (
     langid_frame,
     md5_hex,
     quality_frame,
+    rolling_fingerprint,
 )
 from ..sources.synth import pages_from_documents
 from ..stages.dedup import minhash_dedup_pairs, ngram_jaccard_pairs, simhash_pairs
 from ..stages.join import broadcast_lookup, native_join
-from ..stages.multimodal import featurize_media
+from ..stages.multimodal import featurize_media, frame_sample
 from ..stages.similarity import embedding_dup_pairs, knn_bruteforce, knn_lsh
 
 
@@ -602,6 +603,50 @@ FROM documents
 """
 
 
+def q31_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing (stages/multimodal.frame_sample):
+    the fake frame index is deterministic (1 frame per KiB, every 10th
+    sampled), so the Ray-side plumbing — flat (media, frame) rows from
+    binary payloads — is value-checked by a generate_series SQL twin."""
+    import pyarrow as pa
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_blob(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [b["doc_id"], pc.cast(b["text"], pa.binary())], names=["doc_id", "payload"]
+        )
+
+    media = docs.map_batches(to_blob, batch_format="pyarrow")
+    out = frame_sample(media, "payload", "doc_id", every_n=10)
+    return out.select_columns(["media_id", "frame_no"])
+
+
+SQL_Q31 = """
+SELECT doc_id AS media_id,
+       unnest(generate_series(0, greatest(octet_length(encode(text)) // 1024, 1) - 1, 10)) AS frame_no
+FROM documents
+"""
+
+
+def q32_rolling_fingerprint(sf_dir: str):
+    """Winnowing-style document fingerprint: min Karp-Rabin rolling hash
+    over 16-char windows (functions/textstats.rolling_fingerprint).
+    Not SQL-expressible — unit-tested against an independent brute-force
+    twin (tests/test_wired_ops.py); rows-only driver check."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"],
+             "rfp": rolling_fingerprint(b["text"]).astype("int64")}
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 # ===========================================================================
 # temporal operators (sessionization, as-of join)
 # ===========================================================================
@@ -799,4 +844,6 @@ QUERIES: dict[str, tuple] = {
     "q28_json_extract": (q28_json_extract, SQL_Q28),
     "q29_multijoin": (q29_multijoin, SQL_Q29),
     "q30_mixed_extract": (q30_mixed_extract, None),
+    "q31_frame_sample": (q31_frame_sample, SQL_Q31),
+    "q32_rolling_fingerprint": (q32_rolling_fingerprint, None),
 }

@@ -64,8 +64,20 @@ class ExtractPipeline:
             zero_copy_batch=True,
         )
 
+    def split_for_skew(self, spans: Dataset) -> Dataset:
+        """Optional span-count skew guard (SURVEY.md §4): when
+        ``cfg.skew_split_rows`` is set, cap rows per block between detect
+        and recognize so a pathological page's thousands of spans spread
+        over multiple recognition tasks instead of serializing one."""
+        if self.config.skew_split_rows:
+            return spans.repartition(
+                target_num_rows_per_block=self.config.skew_split_rows
+            )
+        return spans
+
     def recognize(self, spans: Dataset) -> Dataset:
         cfg = self.config
+        spans = self.split_for_skew(spans)
         concurrency = cfg.recognize_concurrency
         if concurrency is None:
             # proportional 3/4-share pool; rationale + measurements in sizing.py

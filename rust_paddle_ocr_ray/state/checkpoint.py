@@ -104,10 +104,29 @@ class CheckpointedRun:
         return rows == ckpt.get("rows_out")
 
     # --- execution --------------------------------------------------------
+    def _drop_stale_partitions(self, n_shards: int) -> None:
+        """Remove part dirs / checkpoints at k >= n_shards: a re-run with
+        a smaller file list or partition count would otherwise leave the
+        previous sharding's outputs on disk and ``pds.dataset(out_dir)``
+        would mix stale rows into the result."""
+        import glob
+        import re
+        import shutil
+
+        for d in glob.glob(os.path.join(self.out_dir, "part=*")):
+            m = re.search(r"part=(\d+)$", d)
+            if m and int(m.group(1)) >= n_shards:
+                shutil.rmtree(d, ignore_errors=True)
+        for f in glob.glob(os.path.join(self.out_dir, "_ckpt", "partition-*.json")):
+            m = re.search(r"partition-(\d+)\.json$", f)
+            if m and int(m.group(1)) >= n_shards:
+                os.remove(f)
+
     def execute(self, files: list[str]) -> dict:
         """Run all incomplete partitions; returns the job manifest."""
         os.makedirs(os.path.join(self.out_dir, "_ckpt"), exist_ok=True)
         shards = shard_files(files, self.num_partitions)
+        self._drop_stale_partitions(len(shards))
         t_job = time.perf_counter()
         for k, shard in enumerate(shards):
             if self.is_complete(k, shard):

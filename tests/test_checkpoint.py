@@ -88,6 +88,38 @@ def test_resume_skips_completed_and_matches_clean_run(ray_session, corpus, tmp_p
     assert _read_all(out).equals(clean)
 
 
+def test_rerun_with_fewer_partitions_drops_stale(ray_session, corpus, tmp_path):
+    """Regression (ADVICE r1): re-running into an existing out_dir with a
+    smaller partition count must not leave the previous sharding's
+    part=k dirs/checkpoints behind (they would mix stale rows into
+    pds.dataset(out_dir))."""
+    from rust_paddle_ocr_ray.sources.synth import write_corpus
+
+    # disjoint urls per file (unlike the module corpus, whose repeated
+    # urls make cross-file tie metadata legitimately unspecified)
+    disjoint = write_corpus(str(tmp_path / "disjoint"), n=120, shards=4)
+    out = str(tmp_path / "out3")
+    CheckpointedRun(ExtractPipeline(CLI_CONFIG), out_dir=out,
+                    num_partitions=N_FILES).execute(disjoint)
+    clean_dir = str(tmp_path / "clean3")
+    CheckpointedRun(ExtractPipeline(CLI_CONFIG), out_dir=clean_dir,
+                    num_partitions=2).execute(disjoint)
+
+    rerun = CheckpointedRun(ExtractPipeline(CLI_CONFIG), out_dir=out, num_partitions=2)
+    rerun.execute(disjoint)
+    assert not os.path.exists(os.path.join(out, "part=2"))
+    assert not os.path.exists(os.path.join(out, "part=3"))
+    assert not os.path.exists(os.path.join(out, "_ckpt", "partition-3.json"))
+
+    def _read_sorted(d: str) -> pd.DataFrame:
+        # urls repeat across partitions (partitions dedup independently),
+        # so sort on every column for a total order
+        df = _read_all(d)
+        return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(_read_sorted(out), _read_sorted(clean_dir))
+
+
 def test_lineage_change_invalidates(ray_session, corpus, tmp_path):
     out = str(tmp_path / "out2")
     run = CheckpointedRun(ExtractPipeline(CLI_CONFIG), out_dir=out, num_partitions=2)

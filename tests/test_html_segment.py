@@ -134,3 +134,44 @@ def test_max_spans_per_page_skew_guard():
     # the kept spans are the FIRST 10 in reading order
     assert [s["order"] for s in capped] == list(range(10))
     assert capped == full[:10]
+
+
+def test_skew_split_rows_spreads_heavy_page(ray_session):
+    """ExtractConfig.skew_split_rows (SURVEY.md §4's repartition knob):
+    a pathological page's span stream must split into multiple blocks —
+    multiple recognition tasks — and the end-to-end extraction must be
+    unchanged (the merge stage reroutes the split boundary partials)."""
+    import dataclasses
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rust_paddle_ocr_ray.config import CLI_CONFIG
+    from rust_paddle_ocr_ray.pipelines.extract import ExtractPipeline
+    from rust_paddle_ocr_ray.sources.synth import PAGES_SCHEMA
+
+    page = "<html><body>" + "".join(
+        f"<p>paragraph number {i} with plenty of visible characters here</p>"
+        for i in range(2000)
+    ) + "</body></html>"
+    tbl = pa.Table.from_pylist(
+        [{"url": "https://heavy.test/0", "warc_ts": 0, "html": page.encode(),
+          "text": "", "lang": "en"}],
+        schema=PAGES_SCHEMA,
+    )
+
+    base_cfg = dataclasses.replace(CLI_CONFIG, max_spans_per_page=100_000)
+    split_cfg = dataclasses.replace(base_cfg, skew_split_rows=250)
+    plain = ExtractPipeline(base_cfg)
+    split = ExtractPipeline(split_cfg)
+
+    spans = plain.detect(rd.from_arrow(tbl))
+    assert plain.split_for_skew(spans).materialize().num_blocks() == 1
+    n_split = split.split_for_skew(spans).materialize().num_blocks()
+    assert n_split >= 2000 // 250  # the heavy page spreads across tasks
+
+    a = plain.run(rd.from_arrow(tbl)).to_pandas()
+    b = split.run(rd.from_arrow(tbl)).to_pandas()
+    assert a["extracted_text"].iloc[0] == b["extracted_text"].iloc[0]
+    assert int(b["n_spans"].iloc[0]) == 2000

@@ -1,0 +1,121 @@
+"""Tests for the operators flagged as unwired in round 1 (VERDICT.md):
+hash_join (the version-proof fallback — equivalence with Dataset.join is
+the Ray-upgrade insurance), rolling_fingerprint (brute-force twin) and
+frame_sample (deterministic frame-index semantics, the q31 plumbing)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from rust_paddle_ocr_ray.functions.textstats import rolling_fingerprint
+from rust_paddle_ocr_ray.stages.join import hash_join, native_join
+from rust_paddle_ocr_ray.stages.multimodal import frame_sample
+
+# --------------------------------------------------------------------------
+# hash_join vs native_join
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def join_sides():
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 120, size=500).astype("int64"),
+            "x": rng.randint(0, 1000, size=500).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(60, 180, size=300).astype("int64"),
+            "y": rng.standard_normal(300),
+        }
+    )
+    return left, right
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype) in ("Int64", "Float64"):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(sorted(df.columns), kind="stable").reset_index(drop=True)
+
+
+def test_hash_join_matches_native_inner(ray_session, join_sides):
+    left, right = join_sides
+    l_ds, r_ds = rd.from_pandas(left), rd.from_pandas(right)
+    a = _norm(hash_join(l_ds, r_ds, on="k", num_buckets=8).to_pandas())
+    b = _norm(native_join(l_ds, r_ds, on="k", num_partitions=8).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hash_join_left_matches_pandas(ray_session, join_sides):
+    left, right = join_sides
+    got = _norm(
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                  num_buckets=8, how="left").to_pandas()
+    )
+    expect = _norm(left.merge(right, on="k", how="left"))
+    pd.testing.assert_frame_equal(got, expect)
+
+
+# --------------------------------------------------------------------------
+# rolling_fingerprint vs brute force
+# --------------------------------------------------------------------------
+
+def _brute_fp(s: str, window: int = 16, mod: int = 1 << 61, base: int = 257) -> int:
+    if len(s) < window:
+        s = s + "\x00" * (window - len(s))
+    best = None
+    for i in range(len(s) - window + 1):
+        h = 0
+        for ch in s[i : i + window]:
+            h = (h * base + ord(ch)) % mod
+        best = h if best is None else min(best, h)
+    return best
+
+
+def test_rolling_fingerprint_matches_bruteforce():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short",
+        "",
+        "aaaaaaaaaaaaaaaaaaaaaaaa",
+        "数据查询流处理引擎 mixed unicode ок",
+        "x" * 15,   # exactly window-1 -> padded
+        "y" * 16,   # exactly window
+    ]
+    got = rolling_fingerprint(pd.Series(texts)).tolist()
+    assert got == [_brute_fp(t) for t in texts]
+
+
+def test_rolling_fingerprint_window_param():
+    s = pd.Series(["abcdefg"])
+    assert rolling_fingerprint(s, window=3).iloc[0] == _brute_fp("abcdefg", window=3)
+
+
+# --------------------------------------------------------------------------
+# frame_sample semantics
+# --------------------------------------------------------------------------
+
+def test_frame_sample_deterministic_index(ray_session):
+    payloads = [b"a" * 5000, b"b" * 999, b""]  # 4 frames, 1 frame, 1 frame
+    tbl = pa.table({"media_id": pa.array([1, 2, 3], pa.int64()),
+                    "payload": pa.array(payloads, pa.binary())})
+    out = (
+        frame_sample(rd.from_arrow(tbl), "payload", "media_id", every_n=2)
+        .to_pandas()
+        .sort_values(["media_id", "frame_no"])
+        .reset_index(drop=True)
+    )
+    expect = [(1, 0), (1, 2), (2, 0), (3, 0)]  # n_frames=max(1, len//1024), step 2
+    assert list(map(tuple, out[["media_id", "frame_no"]].to_numpy())) == expect
+    # digests are per (payload, frame) deterministic and distinct across frames
+    assert out["frame_sha16"].nunique() == len(out)
