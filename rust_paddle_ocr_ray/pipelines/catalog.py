@@ -43,6 +43,18 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _rp(sf_dir: str, name: str, columns: list[str] | None = None):
+    """Pruned parquet read with file schema metadata stripped (via a
+    fused zero-copy map): the b'pandas' metadata blob makes
+    ``pa.Schema`` unhashable, which defeats Ray's schema dedup in every
+    downstream exchange (one warning per hash-shuffle aggregator)."""
+    from ..stages.join import _strip_schema_metadata
+
+    ds = rd.read_parquet(_t(sf_dir, name), columns=columns)
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # ===========================================================================
 # relational core (engine breadth: filter/project/agg/sort/join/distinct)
 # ===========================================================================
@@ -52,8 +64,7 @@ def q01_filter_project(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    ds = rd.read_parquet(
-        _t(sf_dir, "lineitem"),
+    ds = _rp(sf_dir, "lineitem",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
@@ -78,8 +89,7 @@ FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-09-01'
 def q02_groupby_agg(sf_dir: str):
     """A1/A3 analog: TPC-H-Q1-style grouped aggregate with partial
     pre-aggregation done by Ray's hash aggregate."""
-    ds = rd.read_parquet(
-        _t(sf_dir, "lineitem"),
+    ds = _rp(sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
     out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -107,7 +117,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 def q03_sort_limit(sf_dir: str):
     """§2.6: global sort + limit (top-k)."""
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
@@ -126,7 +136,7 @@ def q04_join_broadcast(sf_dir: str):
     nat_to_region = {
         int(nk): r_name[rk] for nk, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
     }
-    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
+    cust = _rp(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
     with_region = broadcast_lookup(cust, nat_to_region, "c_nationkey", "r_name")
     out = with_region.groupby("r_name").aggregate(
         Count(alias_name="n_cust"), Sum("c_acctbal", alias_name="sum_bal")
@@ -149,8 +159,8 @@ GROUP BY r_name
 
 def q05_join_hash(sf_dir: str):
     """§2.4: large-large hash-partitioned join (native Dataset.join)."""
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
-    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     joined = native_join(orders, cust.rename_columns({"c_custkey": "o_custkey"}),
                          on="o_custkey", num_partitions=16)
     out = joined.groupby("c_mktsegment").aggregate(
@@ -173,7 +183,7 @@ GROUP BY c_mktsegment
 
 def q06_distinct(sf_dir: str):
     """§2.7: distinct over a column pair (shuffle)."""
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_returnflag", "l_linestatus"])
+    ds = _rp(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
     grouped = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="c"))
     return grouped.drop_columns(["c"])
 
@@ -182,7 +192,7 @@ SQL_Q06 = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
 
 def q07_agg_events(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value", "ts"])
+    ds = _rp(sf_dir, "events", columns=["event_type", "value", "ts"])
     out = ds.groupby("event_type").aggregate(
         Count(alias_name="n"), Sum("value", alias_name="sum_value"), Max("ts", alias_name="max_ts")
     )
@@ -207,7 +217,7 @@ def q08_window_bucket(sf_dir: str):
     + vectorized-pandas pattern (same trick as the merge stage; 50 s ->
     ~2 s at sf0.1): partial agg per batch, ONE shuffle on 256 hash
     buckets, vectorized combine per bucket."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -250,8 +260,7 @@ FROM events GROUP BY 1, 2
 
 def q09_topk_per_group(sf_dir: str):
     """§2.6: per-group sort + head (top-3 orders per priority)."""
-    ds = rd.read_parquet(
-        _t(sf_dir, "orders"), columns=["o_orderpriority", "o_orderkey", "o_totalprice"]
+    ds = _rp(sf_dir, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"]
     )
 
     def top3(g: pd.DataFrame) -> pd.DataFrame:
@@ -274,7 +283,7 @@ def q10_union(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderstatus", "o_totalprice"])
+    ds = _rp(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
 
     def pick(status: str):
         def _f(b: pa.Table) -> pa.Table:
@@ -299,7 +308,7 @@ WHERE o_orderstatus IN ('O', 'F') GROUP BY o_orderstatus
 # ===========================================================================
 
 def q11_langid(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": b["doc_id"], "pred_lang": langid_frame(b["text"])})
@@ -325,7 +334,7 @@ FROM documents
 
 
 def q12_quality(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         q = quality_frame(b["text"])
@@ -352,7 +361,7 @@ FROM documents
 
 
 def q13_tokens_by_source(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    ds = _rp(sf_dir, "documents", columns=["source", "text"])
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -386,7 +395,7 @@ FROM documents GROUP BY source
 
 
 def q14_fingerprint(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": b["doc_id"], "fp": md5_hex(b["text"])})
@@ -404,7 +413,7 @@ SQL_Q14 = "SELECT doc_id, md5(text) AS fp FROM documents"
 def q15_dedup_exact(sf_dir: str):
     """D3 pattern on a key with real duplicates: keep min doc_id per
     (lang, n_chars) group."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
     out = ds.groupby(["lang", "n_chars"]).aggregate(
         Min("doc_id", alias_name="doc_id"), Count(alias_name="dupes")
     )
@@ -420,7 +429,7 @@ FROM documents GROUP BY lang, n_chars
 def q16_dedup_exact_text(sf_dir: str):
     """Exact content-hash dedup: md5 in map_batches -> ONE shuffle on the
     hash -> per-group min id (content itself never shuffles twice)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": b["doc_id"], "h": md5_hex(b["text"])})
@@ -436,13 +445,13 @@ def q17_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs (non-SQL; verified by unit tests with
     planted near-duplicates).  Fully distributed — candidate gen,
     shingle join-back and Jaccard verify all run as Dataset stages."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.5)
     return pairs.select_columns(["a", "b"])
 
 
 def q18_simhash_pairs(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_pairs(ds, "text", "doc_id", max_hamming=3)
 
 
@@ -453,7 +462,7 @@ def q19_jaccard_pairs(sf_dir: str):
     has a DuckDB list-ops twin: ``jaccard >= 0.5`` over sets is the
     integer test ``3*|intersect| >= |A| + |B|`` (hash-checked — the one
     value-verified member of the near-dup family)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
     out = ngram_jaccard_pairs(ds, "text", "doc_id", ["lang", "n_chars"], threshold=0.5, k=1)
     return out.drop_columns(["jaccard"])
 
@@ -487,7 +496,7 @@ def _load_queries(sf_dir: str, n: int = 3) -> dict:
 
 
 def q20_knn_bruteforce(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = knn_bruteforce(ds, _load_queries(sf_dir), "vec_id", "embedding", k=5)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
@@ -507,14 +516,14 @@ QUALIFY rank <= 5
 def q21_knn_lsh(sf_dir: str):
     """ANN scale path: hyperplane-LSH buckets, probe own bucket only
     (approximate -> no SQL oracle; recall asserted in unit tests)."""
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = knn_lsh(ds, _load_queries(sf_dir), "vec_id", "embedding", k=5, dim=64, bits=8)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
 def q22_embedding_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs within label buckets."""
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    ds = _rp(sf_dir, "embeddings")
     out = embedding_dup_pairs(ds, "vec_id", "embedding", "label", tau=0.3)
     return out.drop_columns(["cos"])
 
@@ -532,7 +541,7 @@ WHERE a.label = b.label AND a.vec_id < b.vec_id
 # ===========================================================================
 
 def _doc_pages(sf_dir: str):
-    docs = rd.read_parquet(_t(sf_dir, "documents"))
+    docs = _rp(sf_dir, "documents")
     # The test documents file is one tiny parquet -> 1 read block -> every
     # downstream stage would run as ONE task.  Split to cluster width first
     # (trivial exchange at this size; a real 100 TB read yields thousands of
@@ -561,7 +570,7 @@ def q30_mixed_extract(sf_dir: str):
     from ..sources.synth import mixed_pages_from_documents
     from .extract import ExtractPipeline
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"))
+    docs = _rp(sf_dir, "documents")
     width = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     pages = docs.repartition(width * 2).map_batches(
         mixed_pages_from_documents, batch_format="pyarrow"
@@ -582,7 +591,7 @@ def q25_media_meta(sf_dir: str):
     SQL twin checks the honest part (sizes + digests)."""
     import pyarrow as pa
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_blob(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -610,7 +619,7 @@ def q31_frame_sample(sf_dir: str):
     binary payloads — is value-checked by a generate_series SQL twin."""
     import pyarrow as pa
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_blob(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -636,7 +645,7 @@ def q32_rolling_fingerprint(sf_dir: str):
     over 16-char windows (functions/textstats.rolling_fingerprint).
     Not SQL-expressible — unit-tested against an independent brute-force
     twin (tests/test_wired_ops.py); rows-only driver check."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -656,7 +665,7 @@ def q26_sessionize(sf_dir: str):
     family Ray Data lacks natively; bucket-groupby + vectorized scan."""
     from ..stages.temporal import sessionize
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     return sessionize(ds, "user_id", "ts", "event_id", gap_us=30 * 60 * 1_000_000)
 
 
@@ -682,10 +691,9 @@ def q27_asof_join(sf_dir: str):
     tests/test_temporal_asof.py)."""
     from ..stages.temporal import asof_join
 
-    orders = rd.read_parquet(
-        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
     )
-    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    events = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     out = asof_join(events, orders, "user_id", "ts", ["o_orderkey", "o_totalprice"],
                     right_key_col="o_custkey", right_ts_col="o_orderdate")
     return out.select_columns(["event_id", "user_id", "o_orderkey", "o_totalprice"])
@@ -713,7 +721,7 @@ def q28_json_extract(sf_dir: str):
     """F6 analog: per-row JSON field extraction + grouped aggregate."""
     import json
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+    ds = _rp(sf_dir, "events", columns=["event_type", "props"])
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         k = b["props"].map(lambda s: json.loads(s).get("k")).astype("int64")
@@ -751,13 +759,12 @@ def q29_multijoin(sf_dir: str):
     n_region = {int(k): r_name[r] for k, r in zip(nat["n_nationkey"], nat["n_regionkey"])}
     n_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
 
-    li = rd.read_parquet(
-        _t(sf_dir, "lineitem"),
+    li = _rp(sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    sup = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
-    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    sup = _rp(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     joined = native_join(
         li, orders.rename_columns({"o_orderkey": "l_orderkey"}), on="l_orderkey",
         num_partitions=16,

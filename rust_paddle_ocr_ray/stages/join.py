@@ -19,8 +19,20 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _strip_schema_metadata(b: pa.Table) -> pa.Table:
+    """Parquet-read schemas carry file metadata (e.g. the b'pandas' blob);
+    ``pa.Schema.__hash__`` raises on any metadata dict, which makes Ray's
+    hash-shuffle schema dedup log a warning per aggregator.  Metadata is
+    meaningless past the read, so drop it before the exchange."""
+    return b.replace_schema_metadata(None) if b.schema.metadata else b
+
+
 def native_join(left, right, on: str, join_type: str = "inner",
                 num_partitions: int = 32):
+    left = left.map_batches(_strip_schema_metadata, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = right.map_batches(_strip_schema_metadata, batch_format="pyarrow",
+                              zero_copy_batch=True)
     return left.join(right, join_type=join_type, num_partitions=num_partitions,
                      on=(on,))
 
