@@ -44,15 +44,11 @@ def _t(sf_dir: str, name: str) -> str:
 
 
 def _rp(sf_dir: str, name: str, columns: list[str] | None = None):
-    """Pruned parquet read with file schema metadata stripped (via a
-    fused zero-copy map): the b'pandas' metadata blob makes
-    ``pa.Schema`` unhashable, which defeats Ray's schema dedup in every
-    downstream exchange (one warning per hash-shuffle aggregator)."""
-    from ..stages.join import _strip_schema_metadata
-
-    ds = rd.read_parquet(_t(sf_dir, name), columns=columns)
-    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    """Pruned parquet read.  (An extra metadata-strip map here measured
+    +0.4-0.5 s of fixed operator latency per query without removing the
+    read-op schema-hash log line, so joins strip metadata themselves —
+    stages/join.native_join — and plain reads stay one operator.)"""
+    return rd.read_parquet(_t(sf_dir, name), columns=columns)
 
 
 # ===========================================================================
@@ -162,7 +158,7 @@ def q05_join_hash(sf_dir: str):
     orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     joined = native_join(orders, cust.rename_columns({"c_custkey": "o_custkey"}),
-                         on="o_custkey", num_partitions=16)
+                         on="o_custkey")
     out = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
     )
@@ -746,13 +742,15 @@ FROM events GROUP BY event_type
 """
 
 
-def q29_multijoin(sf_dir: str):
-    """TPC-H-Q5-style deep join tree: hash-partitioned joins for every
-    fact-scaled table (lineitem x orders x supplier x customer — a
-    closure-captured driver dict of customer/supplier would be a
-    scale-killer) + ``ray.put`` broadcast lookups for the genuinely
-    tiny dimensions (nation -> region name / nation name); revenue per
-    nation in EUROPE."""
+def q29_multijoin(sf_dir: str, broadcast_max_rows: int = 2_000_000):
+    """TPC-H-Q5-style deep join tree with MEASURED broadcast decisions:
+    the big-big lineitem x orders edge is always a hash-partitioned
+    join; supplier and customer are fact-scaled, so each is broadcast
+    (``ray.put`` dict + per-worker cache — never a closure capture) only
+    when its measured row count is at or under ``broadcast_max_rows``,
+    else it joins hash-partitioned too (the 100 TB path; forced and
+    equivalence-tested in tests/test_wired_ops.py).  nation/region (25 +
+    5 rows) always broadcast; revenue per nation in EUROPE."""
     nat = pq.read_table(_t(sf_dir, "nation")).to_pandas()
     reg = pq.read_table(_t(sf_dir, "region")).to_pandas()
     r_name = dict(zip(reg["r_regionkey"], reg["r_name"]))
@@ -763,20 +761,20 @@ def q29_multijoin(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
     orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    sup = _rp(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     joined = native_join(
-        li, orders.rename_columns({"o_orderkey": "l_orderkey"}), on="l_orderkey",
-        num_partitions=16,
-    )
-    joined = native_join(
-        joined, sup.rename_columns({"s_suppkey": "l_suppkey"}), on="l_suppkey",
-        num_partitions=16,
-    )
-    joined = native_join(
-        joined, cust.rename_columns({"c_custkey": "o_custkey"}), on="o_custkey",
-        num_partitions=16,
-    )
+        li, orders.rename_columns({"o_orderkey": "l_orderkey"}), on="l_orderkey")
+
+    def attach_dim(ds, name, key_file_col, join_key, out_col):
+        dim = _rp(sf_dir, name, columns=[key_file_col, out_col])
+        if dim.count() <= broadcast_max_rows:  # metadata-only count
+            df = pq.read_table(_t(sf_dir, name), columns=[key_file_col, out_col]).to_pandas()
+            lut = dict(zip(df[key_file_col].astype(int), df[out_col].astype(int)))
+            return broadcast_lookup(ds, lut, join_key, out_col)
+        return native_join(ds, dim.rename_columns({key_file_col: join_key}),
+                           on=join_key)
+
+    joined = attach_dim(joined, "supplier", "s_suppkey", "l_suppkey", "s_nationkey")
+    joined = attach_dim(joined, "customer", "c_custkey", "o_custkey", "c_nationkey")
     # nation/region: 25 + 5 rows — the provably-small broadcast side
     joined = broadcast_lookup(joined, n_region, "s_nationkey", "r_name")
     joined = broadcast_lookup(joined, n_name, "s_nationkey", "n_name")

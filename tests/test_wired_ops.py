@@ -66,6 +66,23 @@ def test_hash_join_left_matches_pandas(ray_session, join_sides):
     pd.testing.assert_frame_equal(got, expect)
 
 
+def test_q29_forced_join_path_matches_broadcast(ray_session):
+    """q29's supplier/customer attachment auto-selects broadcast vs
+    hash-join by measured row count; forcing the join path
+    (broadcast_max_rows=0) must give identical results."""
+    from rust_paddle_ocr_ray.pipelines.catalog import q29_multijoin
+
+    sf = "/root/testdata/sf0.001"
+    a = q29_multijoin(sf).to_pandas().sort_values("n_name").reset_index(drop=True)
+    b = (
+        q29_multijoin(sf, broadcast_max_rows=0)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 # --------------------------------------------------------------------------
 # rolling_fingerprint vs brute force
 # --------------------------------------------------------------------------
