@@ -81,7 +81,7 @@ class ExtractPipeline:
         concurrency = cfg.recognize_concurrency
         if concurrency is None:
             # proportional 3/4-share pool; rationale + measurements in sizing.py
-            concurrency = proportional_pool()
+            concurrency = proportional_pool(warm=True)
         return spans.map_batches(
             Recognizer,
             fn_constructor_kwargs={"cfg": cfg},

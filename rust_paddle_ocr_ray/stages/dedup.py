@@ -126,12 +126,72 @@ def _empty_pairs():
     )
 
 
+def _pair_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Exact Jaccard of two packed (unique) shingle arrays."""
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    if sa.size == 0 or sb.size == 0:
+        return 0.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / (sa.size + sb.size - inter)
+
+
+def _verify_pairs_broadcast(docs, text_col, id_col, k, threshold, need_ref,
+                            pairs_acc):
+    """Small-candidate-set verify: shingle only the candidate docs
+    (pruned distributed map), broadcast the packed shingles once, and
+    verify the distinct pairs in one vectorized map — three fewer
+    operators than the bucketed join-back, with a bounded broadcast."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        nd = _get_broadcast(need_ref)
+        sub = batch[batch[id_col].isin(nd)]
+        return pd.DataFrame({
+            "doc_id": sub[id_col].to_numpy(dtype="int64"),
+            "sh": [np.fromiter(word_shingles(str(t), k), dtype=np.uint64).tobytes()
+                   for t in sub[text_col]],
+        })
+
+    sh_df = docs.map_batches(pick, batch_format="pandas").to_pandas()
+    lut_ref = ray.put(dict(zip(sh_df["doc_id"], sh_df["sh"])))
+
+    srt = sorted(pairs_acc)
+    pairs_tbl = pa.table({
+        "a": pa.array([p[0] for p in srt], pa.int64()),
+        "b": pa.array([p[1] for p in srt], pa.int64()),
+    })
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = _get_broadcast(lut_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["a"], batch["b"]):
+            ra, rb = lut.get(int(a)), lut.get(int(b))
+            if ra is None or rb is None:
+                continue
+            j = _pair_jaccard(np.frombuffer(ra, dtype=np.uint64),
+                              np.frombuffer(rb, dtype=np.uint64))
+            if j >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(j)
+        return pd.DataFrame({"a": np.array(out_a, dtype="int64"),
+                             "b": np.array(out_b, dtype="int64"),
+                             "jaccard": np.array(out_j, dtype="float64")})
+
+    return rd.from_arrow(pairs_tbl).map_batches(verify, batch_format="pandas")
+
+
 def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7,
                         num_perm: int = 128, bands: int = 16, k: int = 3,
                         concurrency=None, max_bucket: int = 200,
-                        verify_buckets: int = 64):
+                        verify_buckets: int = 64,
+                        broadcast_max_docs: int = 20_000):
     """Full near-dup pipeline -> Dataset of verified pairs
-    (a, b, jaccard >= threshold).  Fully distributed:
+    (a, b, jaccard >= threshold).
 
     1. signatures per batch (actor pool) -> (band, key) rows; ONE
        groupby emits candidate pairs (bucket-capped -> bounded skew);
@@ -139,11 +199,17 @@ def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7
        broadcast as a semi-join filter, so only candidate docs are
        re-shingled (at extreme candidate cardinality swap the set for a
        bloom filter — false positives only shingle extra docs);
-    3. shingle rows and per-pair requests meet in a ``groupby`` on the
-       doc-id bucket (the join-back), then pairs reassemble in a second
-       ``groupby`` on the pair bucket where ``np.intersect1d`` computes
-       exact Jaccard — no document text or shingle ever reaches the
-       driver, and the quadratic term stays bounded per LSH bucket.
+    3. verify strategy is MEASURED, like every broadcast decision in
+       this package: at or under ``broadcast_max_docs`` candidate docs
+       (bounded footprint — ~tens of MB of packed shingles) the
+       candidates' shingles are collected once, broadcast via
+       ``ray.put``, and pairs verify in a single vectorized map; above
+       the cap nothing leaves the workers — shingle rows and per-pair
+       requests meet in a ``groupby`` on the doc-id bucket (the
+       join-back) and pairs reassemble in a second ``groupby`` on the
+       pair bucket.  Both paths use ``np.intersect1d`` for exact
+       Jaccard, bounded per LSH bucket; both are planted-truth tested
+       (the scale path forced via ``broadcast_max_docs=0``).
     """
     import ray
 
@@ -159,8 +225,11 @@ def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7
     cand = minhash_candidate_pairs(band_rows, max_bucket=max_bucket).materialize()
 
     # driver touches ONLY the two int columns: ids for the semi-join
-    # broadcast + the overflow-marker count
+    # broadcast, distinct pairs while they provably fit, and the
+    # overflow-marker count
     need: set[int] = set()
+    pairs_acc: set[tuple[int, int]] | None = set()
+    max_driver_pairs = max(4 * broadcast_max_docs, 1)
     n_overflow = 0
     for b in cand.iter_batches(batch_format="pyarrow"):
         a_np = b["a"].to_numpy()
@@ -170,6 +239,10 @@ def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7
         keep = ~ov
         need.update(a_np[keep].tolist())
         need.update(b_np[keep].tolist())
+        if pairs_acc is not None:
+            pairs_acc.update(zip(a_np[keep].tolist(), b_np[keep].tolist()))
+            if len(pairs_acc) > max_driver_pairs:
+                pairs_acc = None  # too many: stay fully distributed
     if n_overflow:
         logger.warning(
             "minhash_dedup_pairs: %d oversized LSH bucket(s) dropped "
@@ -180,6 +253,12 @@ def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7
         return _empty_pairs()
 
     need_ref = ray.put(need)
+
+    if pairs_acc is not None and len(need) <= broadcast_max_docs:
+        return _verify_pairs_broadcast(
+            docs, text_col, id_col, k, threshold, need_ref, pairs_acc
+        )
+
     K = verify_buckets
 
     def doc_shingles(batch: pd.DataFrame) -> pd.DataFrame:
@@ -234,14 +313,7 @@ def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7
                 continue
             sh = {int(d): np.frombuffer(s, dtype=np.uint64)
                   for d, s in zip(sub["doc_id"], sub["sh"])}
-            sa, sb = sh[int(a)], sh[int(b)]
-            if sa.size == 0 and sb.size == 0:
-                j = 1.0
-            elif sa.size == 0 or sb.size == 0:
-                j = 0.0
-            else:
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                j = inter / (sa.size + sb.size - inter)
+            j = _pair_jaccard(sh[int(a)], sh[int(b)])
             if j >= threshold:
                 out_a.append(int(a))
                 out_b.append(int(b))

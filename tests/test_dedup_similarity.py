@@ -74,6 +74,21 @@ def test_minhash_finds_planted_near_dups(ray_session, planted_docs):
     assert (pairs["jaccard"] >= 0.7).all()
 
 
+def test_minhash_scale_path_matches_broadcast(ray_session, planted_docs):
+    """The bucketed join-back verify (forced via broadcast_max_docs=0 —
+    the >20k-candidate scale path) must agree exactly with the default
+    broadcast-shingle verify."""
+    df, _, _ = planted_docs
+    ds = rd.from_pandas(df)
+    small = (minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.7, k=3)
+             .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    big = (minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.7, k=3,
+                               broadcast_max_docs=0)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(small, big)
+    assert len(small) > 0
+
+
 def test_minhash_overflow_buckets_dropped(ray_session, planted_docs):
     """max_bucket=1 forces every multi-doc LSH bucket into the overflow
     marker path: the run must complete cleanly (empty typed Dataset),
