@@ -221,9 +221,11 @@ def _get_broadcast(ref):
     return _BCAST_CACHE[key]
 
 
-def _plan_partial(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+def _plan_partial(batch: pd.DataFrame, num_buckets: int) -> pa.Table:
     """Per-batch combiner of the planning scan: url -> (n rows, max ts,
-    rows at max ts) — all vectorized."""
+    rows at max ts) — all vectorized.  Returns an ARROW table so the
+    exchange carries Arrow blocks (empty pandas object-dtype blocks trip
+    Ray's block-size estimator)."""
     df = pd.DataFrame(
         {
             "url": batch["url"].to_numpy(),
@@ -237,7 +239,7 @@ def _plan_partial(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
     )
     agg = agg.reset_index()
     agg["bucket"] = url_bucket(agg["url"].to_numpy(dtype=object), num_buckets)
-    return agg
+    return pa.Table.from_pandas(agg, preserve_index=False)
 
 
 def _plan_combine(g: pd.DataFrame) -> pd.DataFrame:
@@ -247,7 +249,8 @@ def _plan_combine(g: pd.DataFrame) -> pd.DataFrame:
     max_ts = g.groupby("url", sort=False)["max_ts"].max()
     n_at_max = g[g["max_ts"] == gmax].groupby("url", sort=False)["n_at_max"].sum()
     out = pd.DataFrame({"n": n, "max_ts": max_ts, "n_at_max": n_at_max}).reset_index()
-    return out[out["n"] > 1]
+    out = out[out["n"] > 1]
+    return pa.Table.from_pandas(out, preserve_index=False)  # Arrow out (see _plan_partial)
 
 
 def plan_url_dedup(keys_ds, num_buckets: int = 64) -> tuple[dict[str, int], frozenset]:
@@ -329,6 +332,16 @@ def make_winner_filter(winners_ref):
 def _finalize_partials(batch: pd.DataFrame) -> pd.DataFrame:
     """Complete partial rows (url fully contained in one batch, already
     deduped) -> extracted rows.  Pure column arithmetic, no shuffle."""
+    if len(batch) == 0:
+        # typed empty (see _plan_combine note)
+        return pd.DataFrame({
+            "url": pd.Series(dtype="string"),
+            "warc_ts": pd.Series(dtype="datetime64[us]"),
+            "lang": pd.Series(dtype="string"),
+            "extracted_text": pd.Series(dtype="string"),
+            "n_spans": pd.Series(dtype="int32"),
+            "confidence": pd.Series(dtype="float64"),
+        })
     n = batch["conf_n"].to_numpy(dtype="float64")
     s = batch["conf_sum"].to_numpy(dtype="float64")
     confidence = np.divide(s, n, out=np.zeros_like(s), where=n > 0)
