@@ -815,6 +815,94 @@ GROUP BY n_name
 
 
 # ===========================================================================
+# extra text / temporal operators (round 2)
+# ===========================================================================
+
+#: GPT-2-style pre-tokenizer restricted to ASCII classes so Python re and
+#: DuckDB's RE2 match identically (both leftmost-first, non-overlapping;
+#: \p{L}/\w differ between the engines and are deliberately avoided)
+BPE_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def q33_bpe_tokens(sf_dir: str):
+    """Token counting with a BPE-ish pre-tokenizer regex (the
+    training-data token-budget primitive; exact twin in RE2)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"],
+             "n_bpe": b["text"].str.count(BPE_RE).astype("int64")}
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+SQL_Q33 = (
+    "SELECT doc_id, len(regexp_extract_all(text, '"
+    + BPE_RE.replace("'", "''")
+    + "'))::BIGINT AS n_bpe FROM documents"
+)
+
+
+def q34_hopping_window(sf_dir: str):
+    """Hopping (sliding) event-time window aggregate — 1 h windows every
+    30 min, so each event lands in size/hop = 2 windows.  Ray Data has
+    no window operator: each batch explodes events into their window
+    replicas and pre-aggregates (vectorized), then ONE coarse-bucket
+    groupby combines — the q08 pattern generalized to overlapping
+    windows.  SQL twin via unnest(generate_series)."""
+    size_us = 3_600_000_000
+    hop_us = 1_800_000_000
+    m = size_us // hop_us
+
+    ds = _rp(sf_dir, "events", columns=["ts", "value"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        te = b["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        wmax = te // hop_us * hop_us
+        ws = np.concatenate([wmax - j * hop_us for j in range(m)])
+        vals = np.tile(b["value"].to_numpy(), m)
+        g = (
+            pd.DataFrame({"window_start": ws, "value": vals})
+            .groupby("window_start", sort=False)["value"]
+            .agg(n="size", sum_value="sum")
+            .reset_index()
+        )
+        g["bucket"] = (g["window_start"] // hop_us % 128).astype("int32")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("window_start", sort=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(2)
+        return out[["window_start", "n", "sum_value"]]
+
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+SQL_Q34 = """
+SELECT w AS window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM (
+  SELECT value,
+         unnest(generate_series(
+           (epoch_us(ts) // 1800000000 - 1) * 1800000000,
+           (epoch_us(ts) // 1800000000) * 1800000000,
+           1800000000)) AS w
+  FROM events)
+GROUP BY 1
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -851,4 +939,6 @@ QUERIES: dict[str, tuple] = {
     "q30_mixed_extract": (q30_mixed_extract, None),
     "q31_frame_sample": (q31_frame_sample, SQL_Q31),
     "q32_rolling_fingerprint": (q32_rolling_fingerprint, None),
+    "q33_bpe_tokens": (q33_bpe_tokens, SQL_Q33),
+    "q34_hopping_window": (q34_hopping_window, SQL_Q34),
 }

@@ -66,6 +66,22 @@ def test_exact_ts_ties_collapse(ray_session, tmp_path):
     assert tie_row_p["extracted_text"] == tie_row_m["extracted_text"]
 
 
+def test_distributed_plan_matches_local(ray_session, dup_corpus):
+    """The distributed planning scan (plan_url_dedup — the >20M-row
+    branch) must produce the same winners/ties as the driver-local
+    fast path used below plan_local_max_rows."""
+    import ray.data as rd
+
+    from rust_paddle_ocr_ray.stages.merge import plan_url_dedup, plan_url_dedup_local
+
+    local_w, local_t = plan_url_dedup_local(dup_corpus)
+    keys = rd.read_parquet(dup_corpus, columns=["url", "warc_ts"])
+    dist_w, dist_t = plan_url_dedup(keys)
+    assert dist_w == local_w
+    assert dist_t == local_t
+    assert len(local_w) > 0  # the corpus really has dup urls
+
+
 def test_planned_correct_under_block_splits(ray_session, dup_corpus):
     """Regression (ADVICE r1, high): Ray splits large map outputs at
     DataContext.target_max_block_size, so one (url, warc_ts) version's
