@@ -92,9 +92,32 @@ class ExtractPipeline:
             num_cpus=cfg.recognize_num_cpus,
         )
 
+    def _splits_possible(self) -> bool:
+        """Static check: can a page version's span run straddle a block
+        boundary?  The recognizer yields page-aligned chunks capped at
+        target/4 (stages/recognize._page_aligned_slices), and Ray only
+        slices a built block mid-run when one added chunk reaches 1.5x
+        ``target_max_block_size`` — so with the default-size target a
+        single page (spans <= ~3x ``max_html_bytes``) can never trip it
+        and blocks always cut between pages.  Splits become possible
+        only with a small target or the explicit ``skew_split_rows``
+        page splitter; the merge then routes batch-boundary partials
+        through the bucket exchange instead of streaming."""
+        if self.config.skew_split_rows:
+            return True
+        from ray.data import DataContext
+
+        target = DataContext.get_current().target_max_block_size
+        if not target:
+            return False
+        return target < 4 * self.config.max_html_bytes
+
     def merge(self, recognized: Dataset, tie_urls: frozenset | None = None) -> Dataset:
         return merge_extracted(
-            recognized, num_buckets=self.config.merge_num_buckets, tie_urls=tie_urls
+            recognized,
+            num_buckets=self.config.merge_num_buckets,
+            tie_urls=tie_urls,
+            splits_possible=self._splits_possible(),
         )
 
     # --- end-to-end --------------------------------------------------------

@@ -362,6 +362,7 @@ def merge_extracted(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     tie_urls: frozenset | None = None,
     scattered: bool = False,
+    splits_possible: bool = True,
 ):
     """spans Dataset -> extracted Dataset (combiner + the A1/D3 shuffle).
 
@@ -380,20 +381,27 @@ def merge_extracted(
 
     ``tie_urls=frozenset``: planned formulation — the caller already
     winner-filtered pages (``make_winner_filter``), so every url has
-    exactly one surviving version.  A version's spans are contiguous but
-    Ray splits oversized map-output blocks at
-    ``DataContext.target_max_block_size``, so a version CAN straddle two
-    blocks — any such version is the first or last version of its
-    batches (see :func:`partial_merge`).  The slim partials are
-    therefore materialized once (combiner output — output-sized, text
-    only, spill-safe; the alternative is recomputing detect/recognize
-    for a second branch) and split two ways: interior non-tie partials
-    finalize in place with NO exchange; batch-boundary partials (~2 per
-    batch) plus urls in ``tie_urls`` (several identical winning warc_ts
-    — normally zero) route through the bucket groupby, where split
-    versions' partials recombine in ``min_order`` sequence and tie
-    versions concatenate exactly as the single-exchange formulation
-    would."""
+    exactly one surviving version.  Finalize strategy depends on
+    ``splits_possible``:
+
+    * ``splits_possible=False`` — the caller statically guarantees no
+      page version straddles a block boundary (the recognizer yields
+      page-aligned chunks bounded far below Ray's 1.5x-target slice
+      threshold, and ``target_max_block_size`` is large enough that a
+      single page can never trip it — see
+      ``ExtractPipeline._splits_possible``): every partial is complete,
+      finalize is a pure streaming map, NO exchange and NO
+      materialization; only ``tie_urls`` (normally empty) take the
+      bucket groupby.
+    * ``splits_possible=True`` (safe default) — Ray may slice a block
+      mid-page (tiny ``target_max_block_size``, or the explicit
+      ``skew_split_rows`` page splitter); any split version is the
+      first or last version of its batches (see :func:`partial_merge`),
+      so the slim partials are materialized once and split two ways:
+      interior non-tie partials finalize with NO exchange;
+      batch-boundary partials (~2 per batch) plus tie urls route
+      through the bucket groupby, where split versions' partials
+      recombine in ``min_order`` sequence."""
     if scattered:
         bucketed = spans_ds.select_columns(MERGE_COLUMNS).map_batches(
             _with_bucket, fn_kwargs={"num_buckets": num_buckets},
@@ -414,14 +422,44 @@ def merge_extracted(
         merged = partials.groupby("bucket").map_groups(final_merge, batch_format="pandas")
         return merged.map_batches(_cast_extracted, batch_format="pyarrow", zero_copy_batch=True)
 
-    # planned path: mark batch-boundary versions (possible block splits)
+    import ray
+
+    if not splits_possible:
+        # page-aligned blocks guaranteed: every partial is complete
+        partials = spans_ds.select_columns(MERGE_COLUMNS).map_batches(
+            partial_merge,
+            fn_kwargs={"num_buckets": num_buckets},
+            batch_format="pandas",
+        )
+        if not tie_urls:
+            return partials.map_batches(
+                _finalize_partials, batch_format="pandas"
+            ).map_batches(_cast_extracted, batch_format="pyarrow", zero_copy_batch=True)
+
+        tref = ray.put(tie_urls)
+
+        def uniq_only(batch: pd.DataFrame) -> pd.DataFrame:
+            return _finalize_partials(batch[~batch["url"].isin(_get_broadcast(tref))])
+
+        def tie_only(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["url"].isin(_get_broadcast(tref))]
+
+        parts = partials.materialize()  # only reached when exact-ts ties exist
+        out = parts.map_batches(uniq_only, batch_format="pandas").union(
+            parts.map_batches(tie_only, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(final_merge, batch_format="pandas")
+        )
+        return out.map_batches(_cast_extracted, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    # splits possible: mark batch-boundary versions and route them (plus
+    # ties) through the bucket exchange
     partials = spans_ds.select_columns(MERGE_COLUMNS).map_batches(
         partial_merge,
         fn_kwargs={"num_buckets": num_buckets, "mark_boundary": True},
         batch_format="pandas",
     )
-
-    import ray
 
     ref = ray.put(tie_urls) if tie_urls else None
 

@@ -31,6 +31,43 @@ from ..functions.decode import canonicalize, decode_spans
 DECODE_CHUNK_CODEPOINTS = 400_000
 
 
+def _page_aligned_slices(tbl: pa.Table, max_bytes: int):
+    """Yield zero-copy page-aligned slices of a recognized-span table,
+    each ~``max_bytes`` (cut at the first page boundary past the cap).
+
+    Why: Ray's BlockOutputBuffer slices a built block mid-row-run only
+    when a SINGLE added item pushes it >= 1.5x target_max_block_size.
+    Yielding bounded page-aligned chunks keeps every add far below that
+    limit, so downstream blocks always cut BETWEEN pages — the
+    contiguity guarantee the merge combiner's streaming fast path
+    relies on (stages/merge.py)."""
+    n = tbl.num_rows
+    if n == 0:
+        yield tbl
+        return
+    urls = tbl["url"].to_numpy(zero_copy_only=False)
+    ts = tbl["warc_ts"].to_numpy(zero_copy_only=False)
+    change = np.flatnonzero((urls[1:] != urls[:-1]) | (ts[1:] != ts[:-1])) + 1
+    per_row = max(1, tbl.nbytes // n)
+    rows_cap = max(1, max_bytes // per_row)
+    start = 0
+    for b in change.tolist():
+        if b - start >= rows_cap:
+            yield tbl.slice(start, b - start)
+            start = b
+    if start < n:
+        yield tbl.slice(start, n - start)
+
+
+def _yield_cap_bytes() -> int:
+    from ray.data import DataContext
+
+    target = DataContext.get_current().target_max_block_size
+    if not target:
+        return 32 * 1024 * 1024
+    return max(1, min(target // 4, 32 * 1024 * 1024))
+
+
 class Recognizer:
     def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG):
         self.cfg = cfg
@@ -83,4 +120,6 @@ class Recognizer:
         out_tbl = batch.drop_columns(["raw"])
         out_tbl = out_tbl.append_column("text", pa.array(texts, type=pa.string()))
         out_tbl = out_tbl.append_column("confidence", pa.array(confs, type=pa.float64()))
-        return out_tbl
+        # page-aligned bounded yields: keeps downstream block cuts on
+        # page boundaries (see _page_aligned_slices)
+        yield from _page_aligned_slices(out_tbl, _yield_cap_bytes())

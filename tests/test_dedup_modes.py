@@ -105,6 +105,34 @@ def test_planned_correct_under_block_splits(ray_session, dup_corpus):
     pd.testing.assert_frame_equal(planned, at_merge, rtol=0, atol=1e-12)
 
 
+def test_streaming_mode_page_aligned_yields(ray_session, dup_corpus):
+    """With target_max_block_size >= 4x max_html_bytes the pipeline
+    statically selects the zero-exchange streaming finalize and relies
+    on the recognizer's page-aligned bounded yields to keep block cuts
+    between pages.  Verify the guarantee holds with a target small
+    enough that many blocks are produced (4x a shrunken max_html_bytes),
+    i.e. the streaming path really is exercised AND correct."""
+    from ray.data import DataContext
+
+    from rust_paddle_ocr_ray.config import ExtractConfig
+
+    cfg = dataclasses.replace(
+        ExtractConfig().cli(), max_html_bytes=64 * 1024, dedup_mode="planned"
+    )
+    pipe = ExtractPipeline(cfg)
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 4 * cfg.max_html_bytes  # exactly at threshold
+        assert not pipe._splits_possible()
+        planned = pipe.run_paths(dup_corpus).to_pandas().sort_values("url").reset_index(drop=True)
+        at_merge = _run("at_merge", dup_corpus)
+    finally:
+        ctx.target_max_block_size = old
+    assert planned["url"].is_unique
+    pd.testing.assert_frame_equal(planned, at_merge, rtol=0, atol=1e-12)
+
+
 def test_scattered_merge_is_layout_independent(ray_session, dup_corpus):
     """merge_extracted(scattered=True) must reproduce the pipeline's
     extracted table even when span rows arrive fully shuffled (the
