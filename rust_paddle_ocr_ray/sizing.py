@@ -30,11 +30,14 @@ def proportional_pool(share: float = 0.75, warm: bool = False) -> tuple[int, int
 
     ``warm=False`` (default): min=1 — the pool ramps on demand up to the
     proportional cap.  Right for short per-query stages, where eagerly
-    spawning cap/2 worker processes costs more than the ramp saves
+    spawning cap worker processes costs more than the ramp saves
     (measured: ~+3-6 s per query at 32 cpus).
-    ``warm=True``: min=cap/2 — skips most of the ramp; right for the
-    long-running flagship stage where sustained throughput dominates
-    and the spawn cost amortizes (pipelines/extract.py)."""
+    ``warm=True``: min=max=cap — the full pool spawns up front; right
+    for the long-running flagship stage where sustained throughput
+    dominates and the spawn cost amortizes (pipelines/extract.py;
+    measured round 2: eager beat the cap/2 ramp at BOTH 8 and 32 cpus
+    on the 100k-page corpus, ~-10-20% wall; the 1/4 cpu headroom for
+    read/finalize task stages is preserved by the 3/4 share)."""
     total = cluster_cpus()
     cap = max(1, int(total * share))
-    return (max(1, cap // 2) if warm else 1, cap)
+    return (cap, cap) if warm else (1, cap)
