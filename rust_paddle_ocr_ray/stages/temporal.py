@@ -181,7 +181,29 @@ def asof_join_bucketed(left, right, key_col: str, ts_col: str,
     buckets = num_buckets or _default_buckets()
     rk = right_key_col or key_col
     rt = right_ts_col or ts_col
-    left_cols = list(left.schema().names)
+    l_schema = left.schema()
+    left_cols = list(l_schema.names)
+    left_types = dict(zip(l_schema.names, l_schema.types))
+
+    def _restore(series: pd.Series, t):
+        # the union fills right-side rows' left columns with None, which
+        # upcasts to object inside a bucket; cast back to the left dtype
+        import pyarrow as pa
+
+        if isinstance(t, pa.DataType):
+            if pa.types.is_integer(t):
+                return series.astype("int64")
+            if pa.types.is_floating(t):
+                return series.astype("float64")
+            if pa.types.is_timestamp(t):
+                return pd.to_datetime(series)
+            if pa.types.is_boolean(t):
+                return series.astype(bool)
+            return series
+        try:
+            return series.astype(t)
+        except (TypeError, ValueError):
+            return series
 
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -211,8 +233,9 @@ def asof_join_bucketed(left, right, key_col: str, ts_col: str,
         lg = lg.copy()
         lg["_ts"] = _ts_us(lg[ts_col])
         if len(rg) == 0:
-            res = lg.sort_index()
-            out = res[left_cols].copy()
+            out = lg[left_cols].copy()
+            for c in left_cols:
+                out[c] = _restore(out[c], left_types[c])
             for oc in out_cols:
                 out[oc] = np.full(len(out), np.nan, dtype="float64")
             return out
@@ -223,8 +246,9 @@ def asof_join_bucketed(left, right, key_col: str, ts_col: str,
         rg = rg.drop_duplicates([key_col, "_ts"], keep="last")
         lg = lg.sort_values("_ts", kind="stable")
         rg = rg.sort_values("_ts", kind="stable")
+        lcols = left_cols if key_col in left_cols else [*left_cols, key_col]
         merged = pd.merge_asof(
-            lg[[*left_cols, "_ts", key_col]].rename(columns={}),
+            lg[[*lcols, "_ts"]],
             rg[[key_col, "_ts", *payload_cols]].rename(
                 columns={c: f"__p_{c}" for c in payload_cols}
             ),
@@ -233,6 +257,8 @@ def asof_join_bucketed(left, right, key_col: str, ts_col: str,
             direction="backward",
         )
         out = merged[left_cols].copy()
+        for c in left_cols:
+            out[c] = _restore(out[c], left_types[c])
         for c, oc in zip(payload_cols, out_cols):
             out[oc] = merged[f"__p_{c}"].to_numpy(dtype="float64")
         return out

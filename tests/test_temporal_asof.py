@@ -1,0 +1,118 @@
+"""As-of join strategy equivalence (stages/temporal.py): the bucketed
+co-partitioned ``pd.merge_asof`` path (the large-right-side plan the
+broadcast variant cannot take) must agree exactly with the broadcast
+searchsorted index, including tie dedup and miss (NaN) semantics; the
+``asof_join`` wrapper must pick each by measured right-side row count.
+Also covers sessionize with non-integer keys (ADVICE r1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from rust_paddle_ocr_ray.stages.temporal import (
+    asof_join,
+    asof_join_bucketed,
+    build_asof_index,
+    sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def asof_sides():
+    rng = np.random.RandomState(11)
+    n_left, n_right = 2000, 600
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_left, dtype="int64"),
+            "user_id": rng.randint(0, 80, n_left).astype("int64"),
+            "ts": pd.to_datetime(rng.randint(0, 10**6, n_left), unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "o_custkey": rng.randint(0, 100, n_right).astype("int64"),
+            "o_orderdate": pd.to_datetime(rng.randint(0, 10**6, n_right), unit="s"),
+            "o_orderkey": np.arange(n_right, dtype="int64"),
+            "o_totalprice": rng.uniform(10, 500, n_right).round(2),
+        }
+    )
+    # plant exact (key, ts) ties in the right side (dedup semantics)
+    dup = right.iloc[:20].copy()
+    dup["o_orderkey"] = dup["o_orderkey"] + 10_000
+    right = pd.concat([right, dup], ignore_index=True)
+    # plant exact left_ts == right_ts matches
+    left.loc[:10, "ts"] = right["o_orderdate"].iloc[:11].to_numpy()
+    left.loc[:10, "user_id"] = right["o_custkey"].iloc[:11].to_numpy()
+    return left, right
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def test_bucketed_matches_broadcast(ray_session, asof_sides):
+    import ray
+
+    left, right = asof_sides
+    payload = ["o_orderkey", "o_totalprice"]
+    idx = build_asof_index(
+        right.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"}),
+        "user_id", "ts", payload,
+    )
+    from rust_paddle_ocr_ray.stages.temporal import asof_join_broadcast
+
+    bcast = _sorted(
+        asof_join_broadcast(rd.from_pandas(left), ray.put(idx), "user_id", "ts",
+                            payload).to_pandas()
+    )
+    bucketed = _sorted(
+        asof_join_bucketed(rd.from_pandas(left), rd.from_pandas(right),
+                           "user_id", "ts", payload,
+                           right_key_col="o_custkey", right_ts_col="o_orderdate",
+                           num_buckets=16).to_pandas()
+    )
+    assert bcast["o_orderkey"].isna().sum() > 0  # misses exist (keys 80-99 absent)
+    pd.testing.assert_frame_equal(bucketed[bcast.columns], bcast)
+
+
+def test_wrapper_selects_by_right_size(ray_session, asof_sides):
+    left, right = asof_sides
+    payload = ["o_orderkey", "o_totalprice"]
+    l_ds = rd.from_pandas(left)
+    r_ds = rd.from_pandas(right)
+    via_broadcast = _sorted(
+        asof_join(l_ds, r_ds, "user_id", "ts", payload,
+                  right_key_col="o_custkey", right_ts_col="o_orderdate",
+                  broadcast_max_rows=10**9).to_pandas()
+    )
+    via_bucketed = _sorted(
+        asof_join(l_ds, r_ds, "user_id", "ts", payload,
+                  right_key_col="o_custkey", right_ts_col="o_orderdate",
+                  broadcast_max_rows=0).to_pandas()
+    )
+    pd.testing.assert_frame_equal(via_bucketed[via_broadcast.columns], via_broadcast)
+
+
+def test_sessionize_string_keys(ray_session):
+    """sessionize must accept non-integer key columns (hash bucketing)
+    and produce the same sessions as an integer relabeling of the keys."""
+    rng = np.random.RandomState(3)
+    n = 500
+    keys = np.array([f"user-{k:03d}" for k in rng.randint(0, 40, n)])
+    ts = pd.to_datetime(rng.randint(0, 10**5, n), unit="s")
+    ids = np.arange(n, dtype="int64")
+    df_s = pd.DataFrame({"event_id": ids, "who": keys, "ts": ts})
+    df_i = pd.DataFrame({"event_id": ids,
+                         "who": pd.factorize(keys)[0].astype("int64"), "ts": ts})
+    gap = 1800 * 1_000_000
+    out_s = sessionize(rd.from_pandas(df_s), "who", "ts", "event_id",
+                       gap_us=gap).to_pandas()
+    out_i = sessionize(rd.from_pandas(df_i), "who", "ts", "event_id",
+                       gap_us=gap).to_pandas()
+    a = out_s.sort_values("event_id")["session_seq"].to_numpy()
+    b = out_i.sort_values("event_id")["session_seq"].to_numpy()
+    assert (a == b).all()
