@@ -36,7 +36,7 @@ from ..sources.synth import pages_from_documents
 from ..stages.dedup import minhash_dedup_pairs, ngram_jaccard_pairs, simhash_pairs
 from ..stages.join import broadcast_lookup, native_join
 from ..stages.multimodal import featurize_media, frame_sample
-from ..stages.similarity import embedding_dup_pairs, knn_bruteforce, knn_lsh
+from ..stages.similarity import embedding_dup_pairs, knn_bruteforce, knn_ivf, knn_lsh
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -517,6 +517,17 @@ def q21_knn_lsh(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def q35_knn_ivf(sf_dir: str):
+    """Second ANN scale path: IVF — spherical-k-means coarse quantizer
+    over a bounded driver-side sample, vectorized cell assignment, each
+    query scans only its nprobe closest cells (approximate -> no SQL
+    oracle; recall vs brute force asserted in unit tests)."""
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_ivf(ds, _load_queries(sf_dir), "vec_id", "embedding", k=5,
+                  nlist=16, nprobe=4)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def q22_embedding_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs within label buckets."""
     ds = _rp(sf_dir, "embeddings")
@@ -941,4 +952,5 @@ QUERIES: dict[str, tuple] = {
     "q32_rolling_fingerprint": (q32_rolling_fingerprint, None),
     "q33_bpe_tokens": (q33_bpe_tokens, SQL_Q33),
     "q34_hopping_window": (q34_hopping_window, SQL_Q34),
+    "q35_knn_ivf": (q35_knn_ivf, None),
 }

@@ -75,14 +75,7 @@ def knn_bruteforce(embeddings, queries: dict, id_col: str, vec_col: str, k: int,
         batch_format="pandas",
         concurrency=concurrency or proportional_pool(),
     )
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _topk_merge(partial, k)
 
 
 class HyperplaneLSH:
@@ -159,14 +152,93 @@ def knn_lsh(embeddings, queries: dict, id_col: str, vec_col: str, k: int,
         return pd.DataFrame(out)
 
     partial = bucketed.map_batches(probe, batch_format="pandas")
+    return _topk_merge(partial, k)
+
+
+def _topk_merge(partial, k: int):
+    """Tiny global merge shared by every ANN variant: per-query sort of
+    the per-batch local top-k candidates (k * num_batches rows total)."""
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10,
+                     seed: int = 5) -> np.ndarray:
+    """Deterministic spherical Lloyd k-means on a (driver-side, bounded)
+    training sample — the IVF coarse-quantizer training step.  Rows and
+    centroids are L2-normalized so assignment = argmax dot = cosine."""
+    x = _norm_rows(np.asarray(sample, dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    k = min(k, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        cent = _norm_rows(cent)
+    return cent
+
+
+def knn_ivf(embeddings, queries: dict, id_col: str, vec_col: str, k: int,
+            nlist: int = 32, nprobe: int = 4, train_rows: int = 4096,
+            iters: int = 10, seed: int = 5):
+    """IVF ANN — the second scale path beside :func:`knn_lsh`: a coarse
+    quantizer (spherical k-means over a bounded driver-side training
+    sample) partitions the corpus into ``nlist`` cells; every row is
+    assigned to its nearest centroid in a vectorized map (centroids
+    broadcast once), and each query scans only its ``nprobe`` closest
+    cells.  Recall/cost dial: more probes or fewer lists -> more
+    candidates.  Returns (query_id, neighbor_id, rank, sim)."""
+    import ray
+
+    train = embeddings.limit(train_rows).to_pandas()
+    cent = kmeans_centroids(np.stack(train[vec_col].to_numpy()), nlist,
+                            iters=iters, seed=seed)
+    q_mat = _norm_rows(np.asarray(queries["mat"], dtype=np.float64))
+    q_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, : min(nprobe, len(cent))]
+    by_cell: dict[int, list[int]] = {}
+    for qi, cells in enumerate(q_cells):
+        for c in cells:
+            by_cell.setdefault(int(c), []).append(qi)
+
+    ref = ray.put({"cent": cent, "by_cell": by_cell,
+                   "ids": np.asarray(queries["ids"]), "mat": q_mat})
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        q = _get_broadcast(ref)
+        ids = batch[id_col].to_numpy()
+        mat = _norm_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        cells = (mat @ q["cent"].T).argmax(axis=1)
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for cell in np.unique(cells):
+            qis = q["by_cell"].get(int(cell))
+            if not qis:
+                continue
+            rows = np.flatnonzero(cells == cell)
+            sims = q["mat"][qis] @ mat[rows].T
+            sub_ids = ids[rows]
+            for srow, qi in zip(sims, qis):
+                qid = q["ids"][qi]
+                cand = np.flatnonzero(sub_ids != qid)
+                if cand.size == 0:
+                    continue
+                top = cand[np.argsort(-srow[cand], kind="stable")[: min(k, cand.size)]]
+                out["query_id"].extend([qid] * top.size)
+                out["neighbor_id"].extend(sub_ids[top].tolist())
+                out["sim"].extend(srow[top].tolist())
+        return pd.DataFrame(out)
+
+    partial = embeddings.map_batches(probe, batch_format="pandas")
+    return _topk_merge(partial, k)
 
 
 def embedding_dup_pairs(embeddings, id_col: str, vec_col: str, bucket_col: str,

@@ -145,6 +145,30 @@ def test_knn_bruteforce_matches_numpy(ray_session, embeddings):
         assert got == expect
 
 
+def test_knn_ivf_recall_vs_bruteforce(ray_session, embeddings):
+    """The IVF path (coarse quantizer + nprobe cell scan) must recover
+    most of the exact top-k when probing a reasonable share of cells."""
+    from rust_paddle_ocr_ray.stages.similarity import knn_ivf
+
+    ds = rd.from_pandas(embeddings)
+    q = {"ids": np.array([0, 1, 2]), "mat": np.stack(embeddings["embedding"][:3])}
+    exact = knn_bruteforce(ds, q, "vec_id", "embedding", k=5).to_pandas()
+    approx = knn_ivf(ds, q, "vec_id", "embedding", k=5, nlist=8, nprobe=3).to_pandas()
+    hits = total = 0
+    for qid in (0, 1, 2):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.5, f"IVF recall too low: {hits}/{total}"
+    # probing ALL cells must reproduce the exact result
+    full = knn_ivf(ds, q, "vec_id", "embedding", k=5, nlist=8, nprobe=8).to_pandas()
+    for qid in (0, 1, 2):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        f = set(full[full["query_id"] == qid]["neighbor_id"])
+        assert f == e
+
+
 def test_knn_lsh_recall_vs_bruteforce(ray_session, embeddings):
     """The bucketed ANN must achieve decent recall of the exact top-k on
     its own bucket's candidates (few bits -> large buckets -> recall)."""
