@@ -913,6 +913,70 @@ GROUP BY 1
 """
 
 
+def q36_curation(sf_dir: str):
+    """Composite training-data curation chain — the realistic end-to-end
+    pipeline the single-purpose operators compose into: quality gate
+    (q12's predicate) -> exact content dedup (md5, keep min doc_id;
+    coarse-bucket + vectorized first, never per-content map_groups) ->
+    per-source kept-token budget.  Fully hash-checked against one SQL
+    twin."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.count(r"\S+").astype("int64")
+        punct = b["text"].str.count(r"[,.!?;:]").astype("int64")
+        keep = (toks >= 10) & (toks <= 100000) & (punct * 5 <= toks * 2 + 10)
+        out = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "source": b["source"].to_numpy(),
+                "toks": toks.to_numpy(),
+                "h": md5_hex(b["text"]).to_numpy(),
+            }
+        )[keep.to_numpy()]
+        out["bucket"] = (
+            pd.util.hash_array(out["h"].to_numpy(dtype=object)) % 128
+        ).astype("int32")
+        return out
+
+    def first_per_content(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="stable").drop_duplicates("h")
+        return g[["source", "toks"]]
+
+    kept = (
+        ds.map_batches(stats, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(first_per_content, batch_format="pandas")
+    )
+    out = kept.groupby("source").aggregate(
+        Count(alias_name="docs"), Sum("toks", alias_name="total_tokens")
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["total_tokens"] = b["total_tokens"].astype("int64")
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_Q36 = r"""
+WITH q AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\S+')) AS toks,
+         md5(text) AS h
+  FROM documents
+  WHERE len(regexp_extract_all(text, '\S+')) BETWEEN 10 AND 100000
+    AND len(regexp_extract_all(text, '[,.!?;:]')) * 5
+        <= len(regexp_extract_all(text, '\S+')) * 2 + 10
+),
+s AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM q
+)
+SELECT source, COUNT(*) AS docs, SUM(toks)::BIGINT AS total_tokens
+FROM s WHERE rn = 1 GROUP BY source
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -953,4 +1017,5 @@ QUERIES: dict[str, tuple] = {
     "q33_bpe_tokens": (q33_bpe_tokens, SQL_Q33),
     "q34_hopping_window": (q34_hopping_window, SQL_Q34),
     "q35_knn_ivf": (q35_knn_ivf, None),
+    "q36_curation": (q36_curation, SQL_Q36),
 }
