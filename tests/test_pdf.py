@@ -120,6 +120,28 @@ def test_spans_follow_detection_filters():
         assert s["start"] == s["tstart"]
 
 
+def test_make_pdf_roundtrip_property():
+    """Property: for ANY paragraph content (parens, backslashes, CJK,
+    Latin-1 edge bytes), make_pdf -> pdf_text_blocks reproduces the
+    12-word-per-line rendering byte-for-byte."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(
+        alphabet=st.characters(blacklist_categories=("Z", "C")),  # no spaces/controls
+        min_size=1, max_size=10,
+    )
+    para = st.lists(word, min_size=1, max_size=30).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(para, min_size=1, max_size=4))
+    def check(paras):
+        got = pdf_text_blocks(make_pdf(paras))
+        assert got == [_expected_lines(p) for p in paras]
+
+    check()
+
+
 # --------------------------------------------------------------------------
 # detect routing
 # --------------------------------------------------------------------------
