@@ -548,7 +548,13 @@ WHERE a.label = b.label AND a.vec_id < b.vec_id
 # ===========================================================================
 
 def _doc_pages(sf_dir: str):
-    docs = _rp(sf_dir, "documents")
+    from ..stages.join import _strip_schema_metadata
+
+    # metadata strip fused with the read: the repartition reduce below
+    # logs a schema-hash warning per block otherwise (unhashable metadata)
+    docs = _rp(sf_dir, "documents").map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
     # The test documents file is one tiny parquet -> 1 read block -> every
     # downstream stage would run as ONE task.  Split to cluster width first
     # (trivial exchange at this size; a real 100 TB read yields thousands of
@@ -575,9 +581,12 @@ def q30_mixed_extract(sf_dir: str):
     import ray
 
     from ..sources.synth import mixed_pages_from_documents
+    from ..stages.join import _strip_schema_metadata
     from .extract import ExtractPipeline
 
-    docs = _rp(sf_dir, "documents")
+    docs = _rp(sf_dir, "documents").map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
     width = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     pages = docs.repartition(width * 2).map_batches(
         mixed_pages_from_documents, batch_format="pyarrow"
