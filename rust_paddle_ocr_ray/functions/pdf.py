@@ -153,14 +153,25 @@ def iter_content_streams(data: bytes):
         if end == -1:
             return
         raw = data[start:end]
-        if raw.endswith(b"\r\n"):
-            raw = raw[:-2]
-        elif raw.endswith((b"\n", b"\r")):
-            raw = raw[:-1]
         pos = end + len(b"endstream")
+        # Flate first, on the UNSTRIPPED bytes: the spec's EOL before
+        # `endstream` is not part of the stream, but compressed data may
+        # itself end in 0x0D/0x0A, so guessing which bytes to strip can
+        # eat a real data byte (~1/256 of streams).  decompressobj stops
+        # exactly at the deflate stream end and leaves any trailing EOL
+        # in unused_data — no stripping needed on this path.
         try:
-            content = zlib.decompress(raw)
+            d = zlib.decompressobj()
+            content = d.decompress(raw)
+            if not d.eof:
+                raise zlib.error("truncated deflate stream")
         except zlib.error:
+            # Not Flate (or truncated): pass the bytes through raw, with
+            # the spec EOL separator stripped.
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith((b"\n", b"\r")):
+                raw = raw[:-1]
             content = raw
         if b"BT" in content:
             yield content

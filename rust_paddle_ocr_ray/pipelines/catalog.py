@@ -486,8 +486,14 @@ WHERE 3 * len(list_intersect(a.toks, b.toks)) >= len(a.toks) + len(b.toks)
 # ===========================================================================
 
 def _load_queries(sf_dir: str, n: int = 3) -> dict:
-    tbl = pq.read_table(_t(sf_dir, "embeddings")).to_pandas()
-    q = tbl[tbl["vec_id"] < n].sort_values("vec_id")
+    # Row-filter pushed into the parquet read: only the n query rows ever
+    # reach the driver (row-group predicate pruning), never the table.
+    tbl = pq.read_table(
+        _t(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    ).to_pandas()
+    q = tbl.sort_values("vec_id")
     return {"ids": q["vec_id"].to_numpy(), "mat": np.stack(q["embedding"].to_numpy())}
 
 

@@ -29,15 +29,16 @@ def _strip_schema_metadata(b: pa.Table) -> pa.Table:
 
 def native_join(left, right, on: str, join_type: str = "inner",
                 num_partitions: int | None = None):
-    """Hash-partitioned ``Dataset.join``.  ``num_partitions=None`` caps
-    the partition count at the cluster width: the hash-shuffle
+    """Hash-partitioned ``Dataset.join``.  ``num_partitions=None`` scales
+    the partition count with the cluster width: the hash-shuffle
     aggregators are actors, and asking for many more of them than there
-    are cpus starves the upstream read tasks on small clusters (at real
+    are cpus starves the upstream read tasks on small clusters, while
+    capping below the width under-partitions wide clusters (at real
     scale pass an explicit count sized to the data)."""
     from ..sizing import cluster_cpus
 
     if num_partitions is None:
-        num_partitions = max(2, min(16, cluster_cpus()))
+        num_partitions = max(2, cluster_cpus())
     left = left.map_batches(_strip_schema_metadata, batch_format="pyarrow",
                             zero_copy_batch=True)
     right = right.map_batches(_strip_schema_metadata, batch_format="pyarrow",

@@ -31,16 +31,47 @@ from ..functions.decode import canonicalize, decode_spans
 DECODE_CHUNK_CODEPOINTS = 400_000
 
 
+#: conservative bound on one page's recognized-span bytes relative to its
+#: (truncated) html payload: tight span interiors are disjoint html slices
+#: and decode never expands text past its raw slice, so span text sums to
+#: <= ~1x the payload; 3x covers per-row fixed columns, url repetition and
+#: utf-8 width slack.  Shared by the yield cap and the merge-mode check.
+PAGE_SPAN_BYTES_FACTOR = 3
+
+
+def page_aligned_yield_cap(target: int | None, max_html_bytes: int) -> int:
+    """Yield-size cap (bytes) that makes mid-page block slices impossible.
+
+    Ray's BlockOutputBuffer holds < target bytes between adds and slices a
+    built block mid-row-run only when it reaches 1.5x target — so as long
+    as every yielded chunk is <= target/2, buffer + chunk < 1.5x target
+    and blocks always cut BETWEEN yields.  ``_page_aligned_slices`` cuts
+    at the first page boundary past the cap, overshooting by at most one
+    page (<= PAGE_SPAN_BYTES_FACTOR * max_html_bytes), so the cap must
+    leave room for that overshoot:
+
+        cap = target/2 - PAGE_SPAN_BYTES_FACTOR * max_html_bytes
+
+    (32 MB ceiling for pipelining; floor of 1 byte = one page per yield.
+    ``ExtractPipeline._splits_possible`` checks the SAME bound — when
+    cap + page_overshoot no longer fits in target/2, a single oversized
+    page can trip the slicer and the merge switches to boundary routing.)
+    """
+    if not target:
+        return 32 * 1024 * 1024
+    cap = target // 2 - PAGE_SPAN_BYTES_FACTOR * max_html_bytes
+    return max(1, min(cap, 32 * 1024 * 1024))
+
+
 def _page_aligned_slices(tbl: pa.Table, max_bytes: int):
     """Yield zero-copy page-aligned slices of a recognized-span table,
-    each ~``max_bytes`` (cut at the first page boundary past the cap).
+    each cut at the first page boundary past ``max_bytes`` of ACTUAL
+    row bytes (variable-width columns measured via Arrow offsets, not a
+    table-average estimate — a batch mixing one huge page with many tiny
+    ones would blow past an average-based cap).  See
+    :func:`page_aligned_yield_cap` for why the bound matters."""
+    import pyarrow.compute as pc
 
-    Why: Ray's BlockOutputBuffer slices a built block mid-row-run only
-    when a SINGLE added item pushes it >= 1.5x target_max_block_size.
-    Yielding bounded page-aligned chunks keeps every add far below that
-    limit, so downstream blocks always cut BETWEEN pages — the
-    contiguity guarantee the merge combiner's streaming fast path
-    relies on (stages/merge.py)."""
     n = tbl.num_rows
     if n == 0:
         yield tbl
@@ -48,24 +79,21 @@ def _page_aligned_slices(tbl: pa.Table, max_bytes: int):
     urls = tbl["url"].to_numpy(zero_copy_only=False)
     ts = tbl["warc_ts"].to_numpy(zero_copy_only=False)
     change = np.flatnonzero((urls[1:] != urls[:-1]) | (ts[1:] != ts[:-1])) + 1
-    per_row = max(1, tbl.nbytes // n)
-    rows_cap = max(1, max_bytes // per_row)
+    # exact-ish per-row bytes: the two dominant variable-width columns
+    # plus a fixed overhead for the remaining primitive columns
+    row_bytes = (
+        pc.binary_length(tbl["text"]).to_numpy(zero_copy_only=False).astype("int64")
+        + pc.binary_length(tbl["url"]).to_numpy(zero_copy_only=False).astype("int64")
+        + 64
+    )
+    cum = np.concatenate(([0], np.cumsum(row_bytes)))
     start = 0
     for b in change.tolist():
-        if b - start >= rows_cap:
+        if cum[b] - cum[start] >= max_bytes:
             yield tbl.slice(start, b - start)
             start = b
     if start < n:
         yield tbl.slice(start, n - start)
-
-
-def _yield_cap_bytes() -> int:
-    from ray.data import DataContext
-
-    target = DataContext.get_current().target_max_block_size
-    if not target:
-        return 32 * 1024 * 1024
-    return max(1, min(target // 4, 32 * 1024 * 1024))
 
 
 class Recognizer:
@@ -121,5 +149,10 @@ class Recognizer:
         out_tbl = out_tbl.append_column("text", pa.array(texts, type=pa.string()))
         out_tbl = out_tbl.append_column("confidence", pa.array(confs, type=pa.float64()))
         # page-aligned bounded yields: keeps downstream block cuts on
-        # page boundaries (see _page_aligned_slices)
-        yield from _page_aligned_slices(out_tbl, _yield_cap_bytes())
+        # page boundaries (see page_aligned_yield_cap)
+        from ray.data import DataContext
+
+        target = DataContext.get_current().target_max_block_size
+        yield from _page_aligned_slices(
+            out_tbl, page_aligned_yield_cap(target, cfg.max_html_bytes)
+        )

@@ -200,7 +200,18 @@ def knn_ivf(embeddings, queries: dict, id_col: str, vec_col: str, k: int,
     candidates.  Returns (query_id, neighbor_id, rank, sim)."""
     import ray
 
-    train = embeddings.limit(train_rows).to_pandas()
+    # Uniform training sample, not limit(): on a sorted / label-clustered
+    # corpus the head rows bias the centroids and recall collapses for the
+    # tail.  One cheap counted pass + a seeded Bernoulli row sample spreads
+    # the ~train_rows training vectors across the whole dataset; the limit
+    # is only a memory backstop (binds rarely at 2x the expectation).
+    n_total = embeddings.count()
+    if n_total <= train_rows:
+        train = embeddings.to_pandas()
+    else:
+        frac = min(1.0, (train_rows * 1.2) / n_total)
+        train = (embeddings.random_sample(frac, seed=seed)
+                 .limit(train_rows * 2).to_pandas())
     cent = kmeans_centroids(np.stack(train[vec_col].to_numpy()), nlist,
                             iters=iters, seed=seed)
     q_mat = _norm_rows(np.asarray(queries["mat"], dtype=np.float64))

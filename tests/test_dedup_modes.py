@@ -106,12 +106,15 @@ def test_planned_correct_under_block_splits(ray_session, dup_corpus):
 
 
 def test_streaming_mode_page_aligned_yields(ray_session, dup_corpus):
-    """With target_max_block_size >= 4x max_html_bytes the pipeline
-    statically selects the zero-exchange streaming finalize and relies
-    on the recognizer's page-aligned bounded yields to keep block cuts
-    between pages.  Verify the guarantee holds with a target small
-    enough that many blocks are produced (4x a shrunken max_html_bytes),
-    i.e. the streaming path really is exercised AND correct."""
+    """With target_max_block_size past the streaming-safe bound
+    (cap + page-overshoot <= target/2, i.e. target >= ~6x
+    max_html_bytes — see stages.recognize.page_aligned_yield_cap) the
+    pipeline statically selects the zero-exchange streaming finalize and
+    relies on the recognizer's page-aligned bounded yields to keep block
+    cuts between pages.  Verify the guarantee holds with a target small
+    enough that many blocks are produced (8x a shrunken max_html_bytes),
+    i.e. the streaming path really is exercised AND correct — and that
+    just below the bound the pipeline refuses to stream."""
     from ray.data import DataContext
 
     from rust_paddle_ocr_ray.config import ExtractConfig
@@ -123,7 +126,11 @@ def test_streaming_mode_page_aligned_yields(ray_session, dup_corpus):
     ctx = DataContext.get_current()
     old = ctx.target_max_block_size
     try:
-        ctx.target_max_block_size = 4 * cfg.max_html_bytes  # exactly at threshold
+        # the old 4x threshold is no longer streaming-safe: one oversized
+        # page can straddle a block slice (ADVICE r2) -> boundary routing
+        ctx.target_max_block_size = 4 * cfg.max_html_bytes
+        assert pipe._splits_possible()
+        ctx.target_max_block_size = 8 * cfg.max_html_bytes  # above the bound
         assert not pipe._splits_possible()
         planned = pipe.run_paths(dup_corpus).to_pandas().sort_values("url").reset_index(drop=True)
         at_merge = _run("at_merge", dup_corpus)
