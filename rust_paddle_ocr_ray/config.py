@@ -65,6 +65,12 @@ class ExtractConfig:
     # (threaded pyarrow key scan; ~60 B/row of driver memory) — the
     # distributed plan's fixed multi-wave latency dominates below this
     plan_local_max_rows: int = 20_000_000
+    # driver bound for the planned-dedup winner structure: above this
+    # many dup urls the exact url->winning-ts dict (O(dups) driver
+    # memory) degrades to a fixed-size bloom filter of dup urls
+    # (O(bits)); losers are then parsed and deduped in the merge
+    # exchange instead of dropped pre-parse.  None = never degrade.
+    dedup_max_winners: int | None = 2_000_000
     detect_batch_size: int = 64         # pages per detection batch (multi-MB html rows)
     # spans per recognition batch.  None = block-sized batches: detection's
     # 64-page output blocks flow straight through, and (crucially) when Ray

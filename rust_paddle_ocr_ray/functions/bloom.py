@@ -1,0 +1,108 @@
+"""Fixed-size bloom filter for driver-bounded dedup planning.
+
+At extreme duplicate cardinality the two dedup planning paths used to
+accumulate O(duplicates) Python structures on the driver (the planned
+merge's url->winning-ts dict, MinHash's candidate-id set).  This filter
+replaces them with an O(bits) structure: false positives are SAFE by
+construction in both call sites — a false-positive url merely routes a
+unique page through the (correct) merge exchange, and a false-positive
+doc id merely shingles one extra document whose shingle rows then match
+no pair request.  False negatives cannot occur.
+
+Hashing: one vectorized base hash per value (``pandas.util.hash_array``
+— SipHash-1-3 for strings, a fixed xor-shift mix for ints; both
+process/worker stable), then k derived probe indices via double hashing
+with two splitmix64-style finalizers.  Everything is numpy; the filter
+pickles as (bit array, params) and is broadcast once via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix(x: np.ndarray, c: np.uint64) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant mix)."""
+    with np.errstate(over="ignore"):
+        x = x ^ c
+        x = (x ^ (x >> np.uint64(30))) * _M1
+        x = (x ^ (x >> np.uint64(27))) * _M2
+        return x ^ (x >> np.uint64(31))
+
+
+def _base_hash(values) -> np.ndarray:
+    """uint64 base hash of a value array (strings or ints), deterministic
+    across processes."""
+    arr = np.asarray(values)
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        arr = np.asarray(arr, dtype=object)
+    return pd.util.hash_array(arr)
+
+
+class BloomFilter:
+    """Fixed-size bloom filter sized for ``capacity`` items at ``fp_rate``.
+
+    ~11 bits/item at the 0.5% default — 1e9 dup urls fit in ~1.3 GB of
+    driver memory regardless of how hot the duplication is.
+    """
+
+    __slots__ = ("bits", "m", "k", "n_added")
+
+    def __init__(self, capacity: int, fp_rate: float = 0.005):
+        capacity = max(1, int(capacity))
+        m = int(math.ceil(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+        m = max(64, (m + 7) // 8 * 8)  # whole bytes
+        k = max(1, min(16, round(m / capacity * math.log(2))))
+        self.m = m
+        self.k = k
+        self.bits = np.zeros(m // 8, dtype=np.uint8)
+        self.n_added = 0
+
+    def __bool__(self) -> bool:
+        return self.n_added > 0
+
+    def _indices(self, values) -> np.ndarray:
+        """(k, n) uint64 probe indices via double hashing."""
+        h = _base_hash(values)
+        h1 = _splitmix(h, _C1)
+        h2 = _splitmix(h, _C2) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return (h1[None, :] + i * h2[None, :]) % np.uint64(self.m)
+
+    def add_many(self, values) -> None:
+        values = np.asarray(values)
+        if values.size == 0:
+            return
+        idx = self._indices(values).ravel()
+        np.bitwise_or.at(self.bits, (idx >> 3).astype(np.int64),
+                         np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)))
+        self.n_added += int(values.size)
+
+    def contains_many(self, values) -> np.ndarray:
+        """Vectorized membership mask (no false negatives)."""
+        values = np.asarray(values)
+        if values.size == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(values)
+        got = (self.bits[(idx >> 3).astype(np.int64)]
+               >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+        return got.all(axis=0)
+
+
+def member_mask(obj, values) -> np.ndarray:
+    """Boolean membership mask against either a BloomFilter (approximate,
+    one-sided error) or any exact container (set/frozenset/dict keys)."""
+    if isinstance(obj, BloomFilter):
+        return obj.contains_many(values)
+    if not isinstance(values, pd.Series):
+        values = pd.Series(values)
+    return values.isin(obj).to_numpy()

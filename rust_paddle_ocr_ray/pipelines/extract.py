@@ -153,10 +153,22 @@ class ExtractPipeline:
         # "planned"
         import ray
 
+        from ..functions.bloom import BloomFilter
         from ..stages.merge import make_winner_filter
 
         keys_ds = keys if keys is not None else pages.select_columns(["url", "warc_ts"])
-        winners, ties = plan_url_dedup(keys_ds)
+        winners, ties = plan_url_dedup(
+            keys_ds, max_winners=self.config.dedup_max_winners
+        )
+        if isinstance(winners, BloomFilter):
+            # Driver-bounded degradation (dup urls > dedup_max_winners):
+            # no exact winning ts exists, so losing versions are parsed
+            # and the max-ts dedup happens in the merge exchange for
+            # bloom-positive urls only — unique (bloom-negative) urls
+            # still stream with zero exchange.
+            return self.merge(
+                self.recognize(self.detect(pages)), tie_urls=winners
+            )
         if winners:
             pages = pages.map_batches(
                 make_winner_filter(ray.put(winners)),

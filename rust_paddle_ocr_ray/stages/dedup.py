@@ -24,6 +24,7 @@ from itertools import combinations
 import numpy as np
 import pandas as pd
 
+from ..functions.bloom import BloomFilter, member_mask
 from ..functions.hashing import (
     band_keys,
     hamming64,
@@ -53,14 +54,33 @@ def add_md5(ds, col: str, out: str = "content_md5"):
     return ds.map_batches(_h, batch_format="pandas")
 
 
-def exact_dedup(ds, hash_cols: list[str], id_col: str):
-    """Keep the min-``id_col`` row per hash group (hash-partitioned shuffle
-    + per-group first; the D3 pattern).  Returns the surviving rows."""
+def exact_dedup(ds, hash_cols: list[str], id_col: str, num_buckets: int = 256):
+    """Keep the min-``id_col`` row per hash group (the D3 pattern).
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="stable").head(1)
+    Scale shape: the shuffle key is a COARSE bucket (hash of the dedup
+    key mod ``num_buckets``), never the unbounded-cardinality key itself
+    — ``groupby(key).map_groups`` pays ~4.5 ms of Python dispatch per
+    unique key, while each bucket task here finishes millions of keys
+    with one vectorized sort + drop_duplicates (same pattern as the
+    merge shuffle and the q15/q16/q36 catalog queries)."""
 
-    return ds.groupby(hash_cols).map_groups(first, batch_format="pandas")
+    def _bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_db"] = (
+            pd.util.hash_pandas_object(batch[hash_cols], index=False).to_numpy()
+            % num_buckets
+        ).astype("int32")
+        return batch
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*hash_cols, id_col], kind="stable")
+        return g.drop_duplicates(hash_cols, keep="first").drop(columns=["_db"])
+
+    return (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(_first, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -149,7 +169,7 @@ def _verify_pairs_broadcast(docs, text_col, id_col, k, threshold, need_ref,
 
     def pick(batch: pd.DataFrame) -> pd.DataFrame:
         nd = _get_broadcast(need_ref)
-        sub = batch[batch[id_col].isin(nd)]
+        sub = batch[member_mask(nd, batch[id_col])]
         return pd.DataFrame({
             "doc_id": sub[id_col].to_numpy(dtype="int64"),
             "sh": [np.fromiter(word_shingles(str(t), k), dtype=np.uint64).tobytes()
@@ -189,16 +209,22 @@ def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7
                         num_perm: int = 128, bands: int = 16, k: int = 3,
                         concurrency=None, max_bucket: int = 200,
                         verify_buckets: int = 64,
-                        broadcast_max_docs: int = 20_000):
+                        broadcast_max_docs: int = 20_000,
+                        max_driver_ids: int | None = None):
     """Full near-dup pipeline -> Dataset of verified pairs
     (a, b, jaccard >= threshold).
 
     1. signatures per batch (actor pool) -> (band, key) rows; ONE
        groupby emits candidate pairs (bucket-capped -> bounded skew);
-    2. the candidate-id set (ints only — never texts) is collected and
-       broadcast as a semi-join filter, so only candidate docs are
-       re-shingled (at extreme candidate cardinality swap the set for a
-       bloom filter — false positives only shingle extra docs);
+    2. the candidate-id set (ints only — never texts) is broadcast as a
+       semi-join filter, so only candidate docs are re-shingled.
+       **Driver bound** (``max_driver_ids``, default
+       ``8 * broadcast_max_docs``): when the candidate-pair count says
+       the id set could exceed the cap, the exact set degrades to a
+       fixed-size :class:`~..functions.bloom.BloomFilter` — O(bits) on
+       the driver at any candidate cardinality; false positives only
+       shingle extra docs whose rows then match no pair request in the
+       (fully distributed) join-back;
     3. verify strategy is MEASURED, like every broadcast decision in
        this package: at or under ``broadcast_max_docs`` candidate docs
        (bounded footprint — ~tens of MB of packed shingles) the
@@ -226,9 +252,17 @@ def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7
 
     # driver touches ONLY the two int columns: ids for the semi-join
     # broadcast, distinct pairs while they provably fit, and the
-    # overflow-marker count
-    need: set[int] = set()
-    pairs_acc: set[tuple[int, int]] | None = set()
+    # overflow-marker count.  Above max_driver_ids the exact id set
+    # degrades to a bloom (O(bits) driver), and verification stays
+    # fully distributed.
+    if max_driver_ids is None:
+        max_driver_ids = max(8 * broadcast_max_docs, 1)
+    n_pairs_upper = cand.count()  # includes overflow markers: safe upper bound
+    use_bloom = 2 * n_pairs_upper > max_driver_ids
+    need: set[int] | BloomFilter = (
+        BloomFilter(2 * n_pairs_upper) if use_bloom else set()
+    )
+    pairs_acc: set[tuple[int, int]] | None = None if use_bloom else set()
     max_driver_pairs = max(4 * broadcast_max_docs, 1)
     n_overflow = 0
     for b in cand.iter_batches(batch_format="pyarrow"):
@@ -237,8 +271,12 @@ def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7
         ov = a_np < 0
         n_overflow += int(ov.sum())
         keep = ~ov
-        need.update(a_np[keep].tolist())
-        need.update(b_np[keep].tolist())
+        if use_bloom:
+            need.add_many(a_np[keep])
+            need.add_many(b_np[keep])
+        else:
+            need.update(a_np[keep].tolist())
+            need.update(b_np[keep].tolist())
         if pairs_acc is not None:
             pairs_acc.update(zip(a_np[keep].tolist(), b_np[keep].tolist()))
             if len(pairs_acc) > max_driver_pairs:
@@ -263,7 +301,7 @@ def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7
 
     def doc_shingles(batch: pd.DataFrame) -> pd.DataFrame:
         nd = _get_broadcast(need_ref)
-        sub = batch[batch[id_col].isin(nd)]
+        sub = batch[member_mask(nd, batch[id_col])]
         sh = [
             np.fromiter(word_shingles(str(t), k), dtype=np.uint64).tobytes()
             for t in sub[text_col]

@@ -50,6 +50,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.bloom import BloomFilter, member_mask
+
 EXTRACTED_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -253,7 +255,9 @@ def _plan_combine(g: pd.DataFrame) -> pd.DataFrame:
     return pa.Table.from_pandas(out, preserve_index=False)  # Arrow out (see _plan_partial)
 
 
-def plan_url_dedup(keys_ds, num_buckets: int = 64) -> tuple[dict[str, int], frozenset]:
+def plan_url_dedup(
+    keys_ds, num_buckets: int = 64, max_winners: int | None = None,
+) -> tuple["dict[str, int] | BloomFilter", frozenset]:
     """Dedup *planning* pass over (url, warc_ts) keys ONLY — a pruned
     columnar scan, never the html.  Returns:
 
@@ -265,14 +269,29 @@ def plan_url_dedup(keys_ds, num_buckets: int = 64) -> tuple[dict[str, int], froz
       them matches the single-exchange formulation (tie versions'
       spans concatenate, documented-unspecified).
 
-    Scale note: the winner dict is broadcast via ``ray.put``; at
-    extreme dup cardinality swap it for a bloom filter of dup urls —
-    false positives only route extra pages through the (correct)
-    shuffle path."""
+    **Driver bound** (``max_winners``): when the dup-url count exceeds
+    the cap, the exact dict degrades to a fixed-size
+    :class:`~..functions.bloom.BloomFilter` of dup urls — O(bits) on the
+    driver no matter how duplicated the crawl is.  Callers detect the
+    bloom by type: loser versions can no longer be dropped pre-parse
+    (no per-url winning ts), so ALL versions of bloom-positive urls
+    (dups + ~0.5% false positives) route through the merge exchange,
+    where ``final_merge`` keeps the max-ts version — identical output,
+    and ``ties`` folds into the same routing (returned empty)."""
     parts = keys_ds.map_batches(
         _plan_partial, fn_kwargs={"num_buckets": num_buckets}, batch_format="pandas"
     )
     dups = parts.groupby("bucket").map_groups(_plan_combine, batch_format="pandas")
+
+    if max_winners is not None:
+        dups = dups.materialize()
+        n_dups = dups.count()
+        if n_dups > max_winners:
+            bloom = BloomFilter(n_dups)
+            for b in dups.select_columns(["url"]).iter_batches(batch_format="pyarrow"):
+                bloom.add_many(b["url"].to_numpy(zero_copy_only=False))
+            return bloom, frozenset()
+
     winners: dict[str, int] = {}
     ties: list[str] = []
     for b in dups.iter_batches(batch_format="pyarrow"):
@@ -381,7 +400,14 @@ def merge_extracted(
 
     ``tie_urls=frozenset``: planned formulation — the caller already
     winner-filtered pages (``make_winner_filter``), so every url has
-    exactly one surviving version.  Finalize strategy depends on
+    exactly one surviving version.
+
+    ``tie_urls=BloomFilter``: bounded-driver planned formulation — the
+    filter holds the DUP urls (pages were NOT winner-filtered; see
+    ``plan_url_dedup(max_winners=...)``).  Bloom-positive urls (all
+    their versions, plus ~0.5% false-positive unique urls) route through
+    the bucket exchange where ``final_merge`` performs the max-ts dedup;
+    bloom-negative urls are provably unique and stream.  Finalize strategy depends on
     ``splits_possible``:
 
     * ``splits_possible=False`` — the caller statically guarantees no
@@ -439,10 +465,12 @@ def merge_extracted(
         tref = ray.put(tie_urls)
 
         def uniq_only(batch: pd.DataFrame) -> pd.DataFrame:
-            return _finalize_partials(batch[~batch["url"].isin(_get_broadcast(tref))])
+            return _finalize_partials(
+                batch[~member_mask(_get_broadcast(tref), batch["url"])]
+            )
 
         def tie_only(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["url"].isin(_get_broadcast(tref))]
+            return batch[member_mask(_get_broadcast(tref), batch["url"])]
 
         parts = partials.materialize()  # only reached when exact-ts ties exist
         out = parts.map_batches(uniq_only, batch_format="pandas").union(
@@ -466,13 +494,13 @@ def merge_extracted(
     def split_unique(batch: pd.DataFrame) -> pd.DataFrame:
         risky = batch["boundary"].to_numpy(dtype=bool)
         if ref is not None:
-            risky = risky | batch["url"].isin(_get_broadcast(ref)).to_numpy()
+            risky = risky | member_mask(_get_broadcast(ref), batch["url"])
         return _finalize_partials(batch[~risky])
 
     def split_risky(batch: pd.DataFrame) -> pd.DataFrame:
         risky = batch["boundary"].to_numpy(dtype=bool)
         if ref is not None:
-            risky = risky | batch["url"].isin(_get_broadcast(ref)).to_numpy()
+            risky = risky | member_mask(_get_broadcast(ref), batch["url"])
         return batch[risky].drop(columns=["boundary"])
 
     # materialize the SLIM partials once so the two branches below don't

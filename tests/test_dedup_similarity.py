@@ -89,6 +89,22 @@ def test_minhash_scale_path_matches_broadcast(ray_session, planted_docs):
     assert len(small) > 0
 
 
+def test_minhash_bloom_id_filter_matches_exact(ray_session, planted_docs):
+    """max_driver_ids=0 forces the candidate-id semi-join filter onto the
+    bloom path (O(bits) driver) with the fully distributed verify — the
+    output must equal the exact-set path bit for bit (bloom false
+    positives only shingle extra docs; they cannot add or drop pairs)."""
+    df, _, _ = planted_docs
+    ds = rd.from_pandas(df)
+    exact = (minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.7, k=3)
+             .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    bloom = (minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.7, k=3,
+                                 max_driver_ids=0)
+             .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, bloom)
+    assert len(exact) > 0
+
+
 def test_minhash_overflow_buckets_dropped(ray_session, planted_docs):
     """max_bucket=1 forces every multi-doc LSH bucket into the overflow
     marker path: the run must complete cleanly (empty typed Dataset),
