@@ -10,9 +10,12 @@ the detect stage (stages/detect.py) now calls first.
 The PDF parser is public-format knowledge only (PDF 1.x / ISO 32000):
 
 * content streams are located via the ``stream``/``endstream``
-  keywords; FlateDecode is undone with stdlib ``zlib`` (the only
-  filter in scope — no external PDF library exists in this
-  environment); already-plain streams pass through;
+  keywords; the stream dict's declared /Filter chain is applied in
+  order — FlateDecode (stdlib ``zlib``), ASCIIHexDecode,
+  ASCII85Decode, RunLengthDecode and LZWDecode (ISO 32000 §7.4.4,
+  implemented here) are in scope; unsupported filters (DCT, JBIG2,
+  CCITT, JPX, Crypt) and corrupt streams degrade to zero text blocks;
+  already-plain streams pass through;
 * text is recovered from the text-showing operators (``Tj``, ``'``,
   ``"``, ``TJ``) inside ``BT``...``ET`` text objects, with literal
   strings (incl. balanced parens, all escape forms, octal) and hex
@@ -133,6 +136,8 @@ def _pdf_text(raw: bytes) -> str:
 # --------------------------------------------------------------------------
 
 _STREAM_RE = re.compile(rb"stream\r?\n")
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _BT_RE = re.compile(rb"\bBT\b(.*?)\bET\b", re.S)
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 _SHOW_OPS = (b"Tj", b"TJ")
@@ -140,9 +145,140 @@ _NEWLINE_SHOW_OPS = (b"'", b'"')
 _NEWLINE_OPS = (b"Td", b"TD", b"T*", b"Tm")
 
 
+def _strip_eol(raw: bytes) -> bytes:
+    """Strip the spec EOL separator before ``endstream``."""
+    if raw.endswith(b"\r\n"):
+        return raw[:-2]
+    if raw.endswith((b"\n", b"\r")):
+        return raw[:-1]
+    return raw
+
+
+def _flate(raw: bytes) -> bytes:
+    """FlateDecode on the UNSTRIPPED bytes: the spec's EOL before
+    ``endstream`` is not part of the stream, but compressed data may
+    itself end in 0x0D/0x0A, so guessing which bytes to strip can eat a
+    real data byte (~1/256 of streams).  decompressobj stops exactly at
+    the deflate stream end and leaves any trailing EOL in unused_data —
+    no stripping needed."""
+    d = zlib.decompressobj()
+    content = d.decompress(raw)
+    if not d.eof:
+        raise zlib.error("truncated deflate stream")
+    return content
+
+
+def _asciihex(raw: bytes) -> bytes:
+    body = raw.split(b">", 1)[0]
+    hx = re.sub(rb"\s", b"", body)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ascii85(raw: bytes) -> bytes:
+    import base64
+
+    body = re.sub(rb"\s", b"", raw)
+    if body.startswith(b"<~"):
+        body = body[2:]
+    end = body.find(b"~>")
+    if end != -1:
+        body = body[:end]
+    return base64.a85decode(body)
+
+
+def _runlength(raw: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        l = raw[i]
+        if l == 128:
+            break
+        if l < 128:
+            out += raw[i + 1 : i + 2 + l]
+            i += 2 + l
+        else:
+            out += raw[i + 1 : i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+def _lzw(raw: bytes) -> bytes:
+    """PDF LZWDecode (ISO 32000 §7.4.4): MSB-first variable-width codes
+    (9→12 bits), clear=256, EOD=257, 'early change' code-width bump."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in raw:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (acc >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) - 1 and width < 12:  # early change
+                width += 1
+    return bytes(out)
+
+
+#: supported stream filters, applied in declared order.  Flate runs on
+#: unstripped bytes (self-delimiting); the ASCII family ignores
+#: whitespace so stripping is moot; RunLength/LZW self-delimit via EOD.
+_FILTERS = {
+    b"FlateDecode": _flate, b"Fl": _flate,
+    b"ASCIIHexDecode": _asciihex, b"AHx": _asciihex,
+    b"ASCII85Decode": _ascii85, b"A85": _ascii85,
+    b"RunLengthDecode": _runlength, b"RL": _runlength,
+    b"LZWDecode": _lzw, b"LZW": _lzw,
+}
+
+
+def _stream_filters(data: bytes, stream_kw_at: int) -> list[bytes] | None:
+    """Filter-name chain from the stream dict preceding ``stream``, or
+    None when no /Filter entry is visible (plain stream or out of the
+    lookback window)."""
+    window = data[max(0, stream_kw_at - 2048): stream_kw_at]
+    # only look at THIS object's dict: past the previous stream's end
+    prev_end = window.rfind(b"endstream")
+    start = prev_end + len(b"endstream") if prev_end != -1 else 0
+    m = None
+    for m in _FILTER_RE.finditer(window, start):
+        pass  # keep the last (nearest to the stream keyword)
+    if m is None:
+        return None
+    if m.group(2) is not None:
+        return [m.group(2)]
+    return _NAME_RE.findall(m.group(1))
+
+
 def iter_content_streams(data: bytes):
     """Yield every decoded stream in the file that contains a BT text
-    object (zlib-decompressed when FlateDecode'd, raw otherwise)."""
+    object.  The declared /Filter chain (Flate, ASCIIHex, ASCII85,
+    RunLength, LZW — incl. chains like [/ASCII85Decode /FlateDecode])
+    is applied in order; a stream with an unsupported filter
+    (DCT/JBIG2/...) or a failing decode degrades to zero text blocks,
+    mirroring the reference's no-boxes result on unreadable input
+    (src/det.rs:351-360).  Without a visible /Filter entry the legacy
+    heuristic applies: try Flate, else pass bytes through raw."""
     pos = 0
     while True:
         m = _STREAM_RE.search(data, pos)
@@ -154,25 +290,22 @@ def iter_content_streams(data: bytes):
             return
         raw = data[start:end]
         pos = end + len(b"endstream")
-        # Flate first, on the UNSTRIPPED bytes: the spec's EOL before
-        # `endstream` is not part of the stream, but compressed data may
-        # itself end in 0x0D/0x0A, so guessing which bytes to strip can
-        # eat a real data byte (~1/256 of streams).  decompressobj stops
-        # exactly at the deflate stream end and leaves any trailing EOL
-        # in unused_data — no stripping needed on this path.
-        try:
-            d = zlib.decompressobj()
-            content = d.decompress(raw)
-            if not d.eof:
-                raise zlib.error("truncated deflate stream")
-        except zlib.error:
-            # Not Flate (or truncated): pass the bytes through raw, with
-            # the spec EOL separator stripped.
-            if raw.endswith(b"\r\n"):
-                raw = raw[:-2]
-            elif raw.endswith((b"\n", b"\r")):
-                raw = raw[:-1]
+
+        chain = _stream_filters(data, m.start())
+        if chain is not None:
+            if not all(f in _FILTERS for f in chain):
+                continue  # unsupported filter: degrade (no text from this stream)
             content = raw
+            try:
+                for f in chain:
+                    content = _FILTERS[f](content)
+            except Exception:
+                continue  # corrupt stream: degrade
+        else:
+            try:
+                content = _flate(raw)
+            except zlib.error:
+                content = _strip_eol(raw)
         if b"BT" in content:
             yield content
 
@@ -306,3 +439,98 @@ def image_sentinel_span() -> dict:
         "line_start": 0, "line_end": 0, "tag": "image", "depth": 0,
         "order": 0, "score": 0.0, "raw": "",
     }
+
+
+# --------------------------------------------------------------------------
+# image header metadata (pure-Python, public container formats)
+# --------------------------------------------------------------------------
+
+def _u16le(b: bytes, i: int) -> int:
+    return b[i] | (b[i + 1] << 8)
+
+
+def _u24le(b: bytes, i: int) -> int:
+    return b[i] | (b[i + 1] << 8) | (b[i + 2] << 16)
+
+
+def parse_image_meta(data: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) from a raster payload's header, or None.
+
+    Pure public-format knowledge, no image libraries: PNG IHDR
+    (RFC 2083 §4.1.1), JPEG SOFn marker walk (ITU T.81 §B.2.2), GIF
+    logical screen descriptor (GIF89a spec §18), WEBP VP8 key-frame /
+    VP8L signature / VP8X canvas chunks (public RIFF container docs).
+    The analog of the reference's det-model raster ingestion
+    (/root/reference/src/det.rs:176-360) reduced to the metadata this
+    engine can extract without a decoder."""
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            # 8-byte sig, 4-byte chunk len, b"IHDR", then w/h u32 BE
+            if len(data) >= 24 and data[12:16] == b"IHDR":
+                w = int.from_bytes(data[16:20], "big")
+                h = int.from_bytes(data[20:24], "big")
+                if w and h:
+                    return ("png", w, h)
+            return None
+        if data[:3] == b"\xff\xd8\xff":
+            # marker walk to the first SOFn frame header
+            i = 2
+            n = len(data)
+            while i + 9 < n:
+                if data[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = data[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers, no length
+                    continue
+                seg_len = (data[i + 2] << 8) | data[i + 3]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h = (data[i + 5] << 8) | data[i + 6]
+                    w = (data[i + 7] << 8) | data[i + 8]
+                    if w and h:
+                        return ("jpeg", w, h)
+                    return None
+                if seg_len < 2:
+                    return None
+                i += 2 + seg_len
+            return None
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            if len(data) >= 10:
+                w, h = _u16le(data, 6), _u16le(data, 8)
+                if w and h:
+                    return ("gif", w, h)
+            return None
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 30:
+            chunk = data[12:16]
+            if chunk == b"VP8 " and data[23:26] == b"\x9d\x01\x2a":
+                return ("webp", _u16le(data, 26) & 0x3FFF,
+                        _u16le(data, 28) & 0x3FFF)
+            if chunk == b"VP8L" and data[20] == 0x2F:
+                bits = int.from_bytes(data[21:25], "little")
+                return ("webp", (bits & 0x3FFF) + 1,
+                        ((bits >> 14) & 0x3FFF) + 1)
+            if chunk == b"VP8X":
+                return ("webp", _u24le(data, 24) + 1, _u24le(data, 27) + 1)
+            return None
+    except IndexError:
+        return None
+    return None
+
+
+def image_meta_span(data: bytes) -> dict:
+    """Image payload -> one ``tag="image"`` span.  When the container
+    header parses, ``raw`` carries a deterministic metadata text
+    (``"image <fmt> <w>x<h>"`` — alnum+space only, so recognition
+    decodes it losslessly); otherwise the bare sentinel (empty text),
+    mirroring the reference's no-boxes result on an unreadable raster
+    (src/det.rs:351-360)."""
+    meta = parse_image_meta(data)
+    span = image_sentinel_span()
+    if meta is not None:
+        fmt, w, h = meta
+        raw = f"image {fmt} {w}x{h}"
+        span["raw"] = raw
+        span["end"] = span["tend"] = len(raw)
+        span["score"] = 255.0
+    return span

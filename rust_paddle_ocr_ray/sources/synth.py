@@ -258,11 +258,35 @@ def _pdf_string(line: str) -> bytes:
     return b"(" + esc + b")"
 
 
+def _rl_encode(data: bytes) -> bytes:
+    """RunLengthDecode-compatible encoder: literal runs only + EOD."""
+    out = bytearray()
+    for i in range(0, len(data), 127):
+        chunk = data[i : i + 127]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)
+    return bytes(out)
+
+
+#: encoders matching functions/pdf._FILTERS (applied in REVERSE of the
+#: declared decode chain when building a stream)
+_PDF_ENCODERS = {
+    "FlateDecode": zlib.compress,
+    "ASCIIHexDecode": lambda b: b.hex().encode("ascii") + b">",
+    "ASCII85Decode": lambda b: __import__("base64").a85encode(b) + b"~>",
+    "RunLengthDecode": _rl_encode,
+}
+
+
 def make_pdf(paragraphs: list[str], words_per_line: int = 12,
-             compress: bool = True) -> bytes:
+             compress: bool = True,
+             filters: tuple[str, ...] | None = None) -> bytes:
     """A minimal valid single-page PDF: one BT..ET text object per
     paragraph, lines broken every ``words_per_line`` words with ``T*``,
-    content FlateDecode'd by default.  Pure function of its inputs."""
+    content FlateDecode'd by default.  ``filters`` overrides the
+    default: a /Filter decode chain in declared order (encoders run in
+    reverse).  Pure function of its inputs."""
     ops = []
     for para in paragraphs:
         words = para.split()
@@ -273,7 +297,14 @@ def make_pdf(paragraphs: list[str], words_per_line: int = 12,
         body = b"\nT*\n".join(_pdf_string(ln) + b" Tj" for ln in lines)
         ops.append(b"BT\n/F1 12 Tf\n72 720 Td\n" + body + b"\nET")
     content = b"\n".join(ops)
-    if compress:
+    if filters is not None:
+        stream = content
+        for f in reversed(filters):
+            stream = _PDF_ENCODERS[f](stream)
+        names = b" ".join(b"/" + f.encode("ascii") for f in filters)
+        filt = (b"/Filter /" + filters[0].encode("ascii") + b" "
+                if len(filters) == 1 else b"/Filter [" + names + b"] ")
+    elif compress:
         stream, filt = zlib.compress(content), b"/Filter /FlateDecode "
     else:
         stream, filt = content, b""
@@ -324,9 +355,18 @@ def mixed_pages_from_documents(batch: pa.Table, pdf_every: int = 5,
         if doc_id % pdf_every == 0:
             payload = make_pdf(paras)
         elif doc_id % image_every == 0:
-            payload = b"\x89PNG\r\n\x1a\n" + hashlib.blake2b(
-                (text or "").encode("utf-8"), digest_size=64
-            ).digest()
+            # valid PNG signature + IHDR header (deterministic dims from
+            # doc_id) so the detect stage's header-metadata route is
+            # exercised; digest tail keeps the payload content-unique
+            w = 16 + int(doc_id) % 1024
+            h = 16 + (int(doc_id) * 7) % 1024
+            payload = (
+                b"\x89PNG\r\n\x1a\n"
+                + b"\x00\x00\x00\x0dIHDR"
+                + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00"
+                + hashlib.blake2b((text or "").encode("utf-8"), digest_size=64).digest()
+            )
         else:
             body = "\n".join(f"<p>{p}.</p>" for p in paras if p)
             payload = (

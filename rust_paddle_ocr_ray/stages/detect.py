@@ -4,7 +4,9 @@ The analog of ``Det::find_text_rect`` (/root/reference/src/det.rs:121-132).
 Each payload is routed by magic bytes (functions/pdf.sniff_payload):
 ``%PDF`` payloads take the pure-Python PDF text-block path
 (functions/pdf.py — north_rule "PDF/layout parse"); image payloads
-(PNG/JPEG/GIF/WEBP) emit one ``tag="image"`` marker span; everything
+(PNG/JPEG/GIF/WEBP) emit one ``tag="image"`` span carrying header
+metadata (format + dimensions) when the container header parses, else
+the bare sentinel; everything
 else is decoded (F7, UTF-8 with replacement), segmented into scored
 blocks, thresholded, min-size-filtered, border-expanded and optionally
 merged (functions/html.py).  All routes emit FLAT span rows — one row
@@ -27,7 +29,7 @@ import pyarrow as pa
 
 from ..config import ExtractConfig
 from ..functions.html import segment_page
-from ..functions.pdf import extract_pdf_spans, image_sentinel_span, sniff_payload
+from ..functions.pdf import extract_pdf_spans, image_meta_span, sniff_payload
 
 SPANS_SCHEMA = pa.schema(
     [
@@ -65,7 +67,7 @@ def detect_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
         if kind == "pdf":
             spans = extract_pdf_spans(payload, cfg)
         elif kind == "image":
-            spans = [image_sentinel_span()]
+            spans = [image_meta_span(payload)]
         else:
             page = payload.decode("utf-8", errors="replace")
             spans = segment_page(page, cfg) if page else []

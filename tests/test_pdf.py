@@ -143,6 +143,92 @@ def test_make_pdf_roundtrip_property():
 
 
 # --------------------------------------------------------------------------
+# filter coverage: every supported /Filter chain must reproduce the
+# Flate result; unsupported filters must degrade to zero blocks
+# --------------------------------------------------------------------------
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("chain", [
+    ("ASCIIHexDecode",),
+    ("ASCII85Decode",),
+    ("RunLengthDecode",),
+    ("ASCII85Decode", "FlateDecode"),
+    ("ASCIIHexDecode", "FlateDecode"),
+    ("ASCII85Decode", "RunLengthDecode"),
+])
+def test_pdf_filter_chains(chain):
+    want = [_expected_lines(p) for p in PARAS]
+    got = pdf_text_blocks(make_pdf(PARAS, filters=chain))
+    assert got == want, chain
+
+
+def test_pdf_lzw_roundtrip():
+    """PDF-variant LZW decode (MSB-first 9-12 bit codes, clear/EOD,
+    early change) against a from-spec encoder written here."""
+    from rust_paddle_ocr_ray.functions.pdf import _lzw
+
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        nxt = 258
+        codes = [256]  # leading clear
+        w = b""
+        for b in data:
+            c = bytes([b])
+            wc = w + c
+            if wc in table:
+                w = wc
+            else:
+                codes.append(table[w])
+                table[wc] = nxt
+                nxt += 1
+                w = c
+        if w:
+            codes.append(table[w])
+        codes.append(257)  # EOD
+        # pack MSB-first; width follows the DECODER's table growth (one
+        # entry per processed code after the first), bumping at
+        # 2^width - 1 (early change)
+        out = bytearray()
+        acc = bits = 0
+        width = 9
+        j = 0  # data codes emitted since the clear
+        for code in codes:
+            acc = (acc << width) | code
+            bits += width
+            while bits >= 8:
+                out.append((acc >> (bits - 8)) & 0xFF)
+                bits -= 8
+            if code == 256:
+                width, j = 9, 0
+            elif code != 257:
+                j += 1
+                if 257 + j >= (1 << width) - 1 and width < 12:
+                    width += 1
+        if bits:
+            out.append((acc << (8 - bits)) & 0xFF)
+        return bytes(out)
+
+    for payload in (b"", b"A", b"ABABABABABABABAB" * 20,
+                    bytes(range(256)) * 3,
+                    "BT (hello world) Tj ET".encode() * 40):
+        assert _lzw(lzw_encode(payload)) == payload
+
+
+def test_pdf_unsupported_filter_degrades_to_zero_blocks():
+    """The degradation contract (module docstring): DCT/JBIG2/corrupt
+    streams yield NO text, never garbage."""
+    base = make_pdf(PARAS[:1], filters=("ASCIIHexDecode",))
+    dct = base.replace(b"/Filter /ASCIIHexDecode", b"/Filter /DCTDecode")
+    assert pdf_text_blocks(dct) == []
+    # corrupt supported-filter stream: also zero blocks, no exception
+    broken = make_pdf(PARAS[:1])  # Flate
+    broken = broken.replace(b"stream\n", b"stream\n\xff\xfe\x00", 1)
+    assert pdf_text_blocks(broken) == []
+
+
+# --------------------------------------------------------------------------
 # detect routing
 # --------------------------------------------------------------------------
 
@@ -174,6 +260,75 @@ def test_image_sentinel_shape():
     from rust_paddle_ocr_ray.stages.detect import SPANS_SCHEMA
 
     assert set(s) | {"url", "warc_ts", "lang"} == set(SPANS_SCHEMA.names)
+
+
+# --------------------------------------------------------------------------
+# image header metadata (mixed-corpus golden per format)
+# --------------------------------------------------------------------------
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00")
+
+
+def _jpeg(w, h):
+    # SOI, APP0 (JFIF), DQT (skipped segment), SOF0, then junk
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb\x00\x05" + b"\x00" * 3
+    sof0 = (b"\xff\xc0\x00\x11\x08" + h.to_bytes(2, "big")
+            + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9)
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 6
+
+
+def _webp_vp8(w, h):
+    payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 8
+    return b"RIFF" + (4 + 8 + len(payload)).to_bytes(4, "little") + b"WEBP" + b"VP8 " + len(payload).to_bytes(4, "little") + payload
+
+
+def _webp_vp8l(w, h):
+    bits = (w - 1) | ((h - 1) << 14)
+    payload = b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 8
+    return b"RIFF" + (4 + 8 + len(payload)).to_bytes(4, "little") + b"WEBP" + b"VP8L" + len(payload).to_bytes(4, "little") + payload
+
+
+def _webp_vp8x(w, h):
+    payload = (b"\x00" + b"\x00" * 3 + (w - 1).to_bytes(3, "little")
+               + (h - 1).to_bytes(3, "little") + b"\x00" * 4)
+    return b"RIFF" + (4 + 8 + len(payload)).to_bytes(4, "little") + b"WEBP" + b"VP8X" + len(payload).to_bytes(4, "little") + payload
+
+
+def test_image_meta_per_format():
+    """Mixed-corpus golden: every supported container header yields its
+    format + dimensions; unparseable rasters degrade to the sentinel."""
+    from rust_paddle_ocr_ray.functions.pdf import image_meta_span, parse_image_meta
+
+    cases = [
+        (_png(800, 600), ("png", 800, 600)),
+        (_jpeg(1024, 768), ("jpeg", 1024, 768)),
+        (_gif(320, 200), ("gif", 320, 200)),
+        (_webp_vp8(640, 480), ("webp", 640, 480)),
+        (_webp_vp8l(333, 77), ("webp", 333, 77)),
+        (_webp_vp8x(4000, 3000), ("webp", 4000, 3000)),
+    ]
+    for data, want in cases:
+        assert parse_image_meta(data) == want, want
+        span = image_meta_span(data)
+        fmt, w, h = want
+        assert span["raw"] == f"image {fmt} {w}x{h}"
+        assert span["tag"] == "image" and span["end"] == len(span["raw"])
+
+    # degradation contract: magic without a parseable header -> sentinel
+    for junk in (b"\x89PNG\r\n\x1a\n" + b"\x00" * 32,
+                 b"\xff\xd8\xff" + b"\x00" * 8,
+                 b"GIF89a",
+                 b"RIFF\x00\x00\x00\x00WEBPJUNK" + b"\x00" * 20):
+        assert parse_image_meta(junk) is None
+        assert image_meta_span(junk)["raw"] == ""
 
 
 # --------------------------------------------------------------------------
@@ -217,6 +372,9 @@ def test_mixed_extract_e2e(ray_session):
     # PDF line breaks collapse back to spaces; spans join with "\n"
     assert pdf_row["extracted_text"] == "\n".join(paras)
     img_row = out.loc["https://docs.test/web/00000011"]
-    assert img_row["extracted_text"] == "" and img_row["n_spans"] == 1
+    # synth writes a valid PNG IHDR (w=16+id%1024, h=16+7*id%1024); the
+    # metadata text is alnum+space so recognition decodes it losslessly
+    assert img_row["extracted_text"] == "image png 27x93"
+    assert img_row["n_spans"] == 1
     html_row = out.loc["https://docs.test/web/00000001"]
     assert "htmlword00" in html_row["extracted_text"]
