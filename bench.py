@@ -283,7 +283,15 @@ def main() -> None:
     import ray
 
     ray.shutdown()
-    print(json.dumps(result))
+    # ONE compact JSON line on stdout (r2's line, with the per-query row
+    # counts inlined and default separators, was truncated by the
+    # driver's tail window -> BENCH parsed=null).  Bulky detail goes to
+    # a sidecar file instead.
+    rows = result.pop("rows", None)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump({**result, "rows": rows}, f, indent=1)
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

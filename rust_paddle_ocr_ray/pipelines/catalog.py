@@ -554,21 +554,17 @@ WHERE a.label = b.label AND a.vec_id < b.vec_id
 # ===========================================================================
 
 def _doc_pages(sf_dir: str):
-    from ..stages.join import _strip_schema_metadata
-
-    # metadata strip fused with the read: the repartition reduce below
-    # logs a schema-hash warning per block otherwise (unhashable metadata)
-    docs = _rp(sf_dir, "documents").map_batches(
-        _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
-    )
     # The test documents file is one tiny parquet -> 1 read block -> every
-    # downstream stage would run as ONE task.  Split to cluster width first
-    # (trivial exchange at this size; a real 100 TB read yields thousands of
-    # blocks natively and skips this).
+    # downstream stage would run as ONE task.  override_num_blocks splits
+    # the READ itself to 2x cluster width — no repartition exchange, no
+    # extra metadata-strip wave (r3 A/B at sf0.1/32cpu: min 7.1 s vs 7.2 s
+    # for the old strip+repartition form; see BASELINE.md).  A real 100 TB
+    # read yields thousands of blocks natively and skips this.
     import ray
 
     width = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return docs.repartition(width * 2).map_batches(pages_from_documents, batch_format="pyarrow")
+    docs = rd.read_parquet(_t(sf_dir, "documents"), override_num_blocks=width * 2)
+    return docs.map_batches(pages_from_documents, batch_format="pyarrow")
 
 
 def q23_extract(sf_dir: str):
@@ -587,16 +583,11 @@ def q30_mixed_extract(sf_dir: str):
     import ray
 
     from ..sources.synth import mixed_pages_from_documents
-    from ..stages.join import _strip_schema_metadata
     from .extract import ExtractPipeline
 
-    docs = _rp(sf_dir, "documents").map_batches(
-        _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
-    )
     width = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    pages = docs.repartition(width * 2).map_batches(
-        mixed_pages_from_documents, batch_format="pyarrow"
-    )
+    docs = rd.read_parquet(_t(sf_dir, "documents"), override_num_blocks=width * 2)
+    pages = docs.map_batches(mixed_pages_from_documents, batch_format="pyarrow")
     return ExtractPipeline(CLI_CONFIG).run(pages)
 
 
@@ -665,8 +656,10 @@ FROM documents
 def q32_rolling_fingerprint(sf_dir: str):
     """Winnowing-style document fingerprint: min Karp-Rabin rolling hash
     over 16-char windows (functions/textstats.rolling_fingerprint).
-    Not SQL-expressible — unit-tested against an independent brute-force
-    twin (tests/test_wired_ops.py); rows-only driver check."""
+    Hash-checked against a closed-form DuckDB twin (SQL_Q32: the window
+    hash as sum(ord * 257^(16-j)) mod 2^61 over generate_series windows
+    in HUGEINT arithmetic) and unit-tested against an independent
+    brute-force twin (tests/test_wired_ops.py)."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
@@ -676,6 +669,32 @@ def q32_rolling_fingerprint(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+_RFP_MOD = 1 << 61
+_RFP_POWS = ", ".join(
+    f"({j}, {pow(257, 16 - j, _RFP_MOD)}::HUGEINT)" for j in range(1, 17)
+)
+
+# the rolling (Karp-Rabin) hash in closed form: each 16-char window's
+# hash is sum_j ord(char_j) * 257^(16-j) mod 2^61 — identical to the
+# iterative add/subtract formulation in functions/textstats.py.  Short
+# docs are \x00-padded to one window (ord 0 terms vanish, hence the
+# CASE).  HUGEINT (int128) holds the pre-mod sum (< 2^86).
+SQL_Q32 = f"""
+WITH pw(j, p) AS (VALUES {_RFP_POWS}),
+docs AS (SELECT doc_id, text, greatest(length(text), 16) AS L FROM documents),
+win AS (SELECT doc_id, unnest(generate_series(1, L - 15)) AS i FROM docs),
+h AS (
+  SELECT w.doc_id, w.i,
+         (SUM(CASE WHEN w.i + pw.j - 1 <= length(d.text)
+               THEN unicode(substr(d.text, w.i + pw.j - 1, 1))::HUGEINT
+               ELSE 0 END * pw.p) % {_RFP_MOD}::HUGEINT)::BIGINT AS hv
+  FROM win w JOIN docs d USING (doc_id) CROSS JOIN pw
+  GROUP BY w.doc_id, w.i
+)
+SELECT doc_id, MIN(hv) AS rfp FROM h GROUP BY doc_id
+"""
 
 
 # ===========================================================================
@@ -1028,7 +1047,7 @@ QUERIES: dict[str, tuple] = {
     "q29_multijoin": (q29_multijoin, SQL_Q29),
     "q30_mixed_extract": (q30_mixed_extract, None),
     "q31_frame_sample": (q31_frame_sample, SQL_Q31),
-    "q32_rolling_fingerprint": (q32_rolling_fingerprint, None),
+    "q32_rolling_fingerprint": (q32_rolling_fingerprint, SQL_Q32),
     "q33_bpe_tokens": (q33_bpe_tokens, SQL_Q33),
     "q34_hopping_window": (q34_hopping_window, SQL_Q34),
     "q35_knn_ivf": (q35_knn_ivf, None),

@@ -25,6 +25,41 @@ def cluster_cpus(default: int = 4) -> int:
     return int(ray.cluster_resources().get("CPU", default)) if ray.is_initialized() else default
 
 
+#: per-bucket row budget for bucket-exchange operators: one bucket task
+#: sorts/merges this many rows in heap (slim 3-5 column rows — ~100 MB)
+DEFAULT_ROWS_PER_BUCKET = 2_000_000
+
+
+def estimate_rows(*datasets) -> int | None:
+    """Metadata-only row estimate of the given Datasets (parquet reads
+    and other metadata-bearing sources), or None when any input's count
+    would require execution — callers fall back to width-based sizing."""
+    total = 0
+    for ds in datasets:
+        try:
+            n = ds._meta_count()
+        except Exception:
+            return None
+        if n is None:
+            return None
+        total += int(n)
+    return total
+
+
+def data_aware_buckets(rows: int | None,
+                       rows_per_bucket: int = DEFAULT_ROWS_PER_BUCKET) -> int:
+    """Bucket count for a bucket-exchange operator (sessionize, bucketed
+    as-of join, hash join): at least ~8 tasks per cpu for overlap, AND at
+    least rows/rows_per_bucket so per-bucket heap stays bounded as data
+    grows on a fixed-width cluster (a width-only count concentrates a
+    linearly growing share of the stream in each task)."""
+    width = max(64, 8 * cluster_cpus())
+    if rows:
+        floor = -(-rows // rows_per_bucket)  # ceil div
+        return max(width, floor)
+    return width
+
+
 def proportional_pool(share: float = 0.75, warm: bool = False) -> tuple[int, int]:
     """(min, max) actor-pool ``concurrency`` for a stateful stage.
 

@@ -59,9 +59,18 @@ def _nullable_dtype(t: pa.DataType) -> str:
     return "object"
 
 
-def hash_join(left, right, on: str, num_buckets: int = 32, how: str = "inner",
-              suffix: str = "_r"):
-    """Explicit partitioned hash join of two Datasets on integer key ``on``."""
+def hash_join(left, right, on: str, num_buckets: int | None = None,
+              how: str = "inner", suffix: str = "_r"):
+    """Explicit partitioned hash join of two Datasets on integer key ``on``.
+
+    ``num_buckets=None`` sizes the bucket count from cluster width AND
+    (when the inputs carry metadata row counts) a per-bucket row budget,
+    so one bucket's heap stays bounded as data grows on a fixed-width
+    cluster (sizing.data_aware_buckets)."""
+    if num_buckets is None:
+        from ..sizing import data_aware_buckets, estimate_rows
+
+        num_buckets = data_aware_buckets(estimate_rows(left, right))
     l_schema = left.schema()
     r_schema = right.schema()
     l_cols = list(l_schema.names)

@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..sizing import cluster_cpus
+from ..sizing import cluster_cpus, data_aware_buckets, estimate_rows
 from .merge import _get_broadcast
 
 
@@ -47,10 +47,12 @@ def _key_bucket(values: pd.Series, num_buckets: int) -> np.ndarray:
     return h.astype("int32")
 
 
-def _default_buckets() -> int:
-    # ~8 bucket tasks per cpu: enough slack for skewed buckets to
-    # overlap, small enough that per-task overhead stays negligible
-    return max(64, 8 * cluster_cpus())
+def _default_buckets(*datasets) -> int:
+    """~8 bucket tasks per cpu (overlap slack) with a data-size floor:
+    when the inputs carry a metadata row count, the count also grows
+    with rows / sizing.DEFAULT_ROWS_PER_BUCKET so per-bucket heap stays
+    bounded on a fixed-width cluster (sizing.data_aware_buckets)."""
+    return data_aware_buckets(estimate_rows(*datasets))
 
 
 # ---------------------------------------------------------------------------
@@ -65,7 +67,7 @@ def sessionize(events, key_col: str, ts_col: str, id_col: str,
 
     Returns a Dataset of (id_col, key_col, session_seq:int64).
     """
-    buckets = num_buckets or _default_buckets()
+    buckets = num_buckets or _default_buckets(events)
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         b = b[[id_col, key_col, ts_col]].copy()
@@ -178,7 +180,7 @@ def asof_join_bucketed(left, right, key_col: str, ts_col: str,
     plus ``out_cols`` as float64 with NaN for misses.
     """
     out_cols = out_cols or payload_cols
-    buckets = num_buckets or _default_buckets()
+    buckets = num_buckets or _default_buckets(left, right)
     rk = right_key_col or key_col
     rt = right_ts_col or ts_col
     l_schema = left.schema()
