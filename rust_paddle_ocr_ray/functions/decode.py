@@ -147,10 +147,17 @@ def decode_spans(
     if cp.size > 1:
         ib[1:] = (cp[1:] == cp[:-1]) & ~punct[1:]
     ib &= pos_in_span > 0  # span-adjacency only
-    ins_before = np.cumsum(ib) - ib  # inserted blanks strictly before i (global)
-    ins_at_start = ins_before[span_start]
+    # inserted blanks at-or-before i: a blank inserted before char i occupies
+    # a timestep of its own, so it SHIFTS i's timestep index too (the oracle
+    # enumerates [blank, c0, ..., blank, ci, ...] — src/rec.rs:341-357 indexes
+    # scores by model timestep).  cumsum(ib)-ib (exclusive of i's own blank)
+    # under-counted the repeat-second char's timestep by one: same text (the
+    # synthetic non-punct score floor 0.62 always clears min_score), wrong
+    # per-char score -> ~1e-8 confidence skew vs the oracle.
+    ins_incl = np.cumsum(ib)
+    ins_at_start = ins_incl[span_start]
     # timestep index within span: leading blank is 0, so char timesteps start at 1
-    p = pos_in_span + 1 + (ins_before - ins_at_start)
+    p = pos_in_span + 1 + (ins_incl - ins_at_start)
 
     scores = timestep_scores(cp, p)
     return greedy_decode(

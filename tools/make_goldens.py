@@ -25,6 +25,98 @@ N_PAGES = 240
 SEED = 42
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden")
 
+#: the driver's correctness-gate scale factor — q23/q24 golden twins are
+#: generated at exactly this sf and surfaced through oracle_sql() as
+#: ``read_parquet`` golden twins (VERDICT r2 item 7)
+GATE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def make_driver_gate_goldens() -> None:
+    """Oracle goldens for the driver-gate extraction queries (q23, q24)
+    over the sf0.01 ``documents`` table — computed by the independent
+    oracle (tests/oracle_impl.py), never by the engine under test.  The
+    page wrapping (sources/synth.pages_from_documents) is shared input
+    synthesis, not system-under-test code."""
+    import numpy as np
+
+    from rust_paddle_ocr_ray.sources.synth import pages_from_documents
+
+    docs = pq.read_table(os.path.join(GATE_SF_DIR, "documents.parquet"))
+    pages = pages_from_documents(docs)
+    rows = pages.to_pylist()
+    results = extract_corpus(rows, CLI_CONFIG)
+
+    q23 = pa.Table.from_pylist(
+        [
+            {
+                "url": r["url"],
+                "warc_ts": r["warc_ts"],
+                "lang": r["lang"],
+                "extracted_text": r["extracted_text"],
+                "n_spans": r["n_spans"],
+                "confidence": r["confidence"],
+            }
+            for r in results
+        ],
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us")),
+                ("lang", pa.string()),
+                ("extracted_text", pa.string()),
+                ("n_spans", pa.int64()),
+                ("confidence", pa.float64()),
+            ]
+        ),
+    )
+    # q24 = detect-stage span rows (SPANS_SCHEMA minus raw); the oracle's
+    # integer density score is stored float32, matching the engine schema
+    # exactly (integers <= 255 are exact in both widths)
+    q24 = pa.Table.from_pylist(
+        [
+            {
+                "url": r["url"],
+                "warc_ts": r["warc_ts"],
+                "lang": r["lang"],
+                "block_id": s["block_id"],
+                "start": s["start"],
+                "end": s["end"],
+                "tstart": s["tstart"],
+                "tend": s["tend"],
+                "line_start": s["line_start"],
+                "line_end": s["line_end"],
+                "tag": s["tag"],
+                "depth": s["depth"],
+                "order": s["order"],
+                "score": np.float32(s["score"]),
+            }
+            for r in results
+            for s in r["spans"]
+        ],
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us")),
+                ("lang", pa.string()),
+                ("block_id", pa.int32()),
+                ("start", pa.int64()),
+                ("end", pa.int64()),
+                ("tstart", pa.int64()),
+                ("tend", pa.int64()),
+                ("line_start", pa.int32()),
+                ("line_end", pa.int32()),
+                ("tag", pa.string()),
+                ("depth", pa.int32()),
+                ("order", pa.int32()),
+                ("score", pa.float32()),
+            ]
+        ),
+    )
+    os.makedirs(OUT, exist_ok=True)
+    pq.write_table(q23, os.path.join(OUT, "q23_sf0.01.parquet"))
+    pq.write_table(q24, os.path.join(OUT, "q24_sf0.01.parquet"))
+    print(f"wrote gate goldens: q23 {q23.num_rows} rows, q24 {q24.num_rows} rows")
+
 
 def main() -> None:
     pages = generate_pages(N_PAGES, seed=SEED)
