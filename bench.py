@@ -207,6 +207,16 @@ def extract_corpus(corpus_dir: str, num_cpus: int) -> dict:
     rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
         lambda b: b, batch_format="pyarrow"
     ).count()
+    # warm the ACTOR path too: a tiny corpus through the same pipeline
+    # shape prestarts + caches the worker processes the recognizer pool
+    # reuses, so the timed window is steady-state (a long-lived cluster
+    # job amortizes pool spawn; measured ~1 s at 32 cpus, more under
+    # host noise).  ~3 s, outside the timed region, both levels equally.
+    from rust_paddle_ocr_ray.sources.synth import generate_pages
+
+    ExtractPipeline(CLI_CONFIG).run(
+        rd.from_arrow(generate_pages(512, seed=3))
+    ).count()
     t0 = time.perf_counter()
     out = pipe.run_paths(corpus_dir)
     out.write_parquet(out_dir)

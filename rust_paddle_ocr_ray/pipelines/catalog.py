@@ -595,6 +595,11 @@ SELECT url, warc_ts, lang, extracted_text, n_spans, confidence
 FROM read_parquet('{_GOLDEN_DIR}/q23_sf0.01.parquet')
 """
 
+SQL_Q30 = f"""
+SELECT url, warc_ts, lang, extracted_text, n_spans, confidence
+FROM read_parquet('{_GOLDEN_DIR}/q30_sf0.01.parquet')
+"""
+
 SQL_Q24 = f"""
 SELECT url, warc_ts, lang, block_id, start, "end", tstart, tend,
        line_start, line_end, tag, depth, "order", score
@@ -606,8 +611,12 @@ def q30_mixed_extract(sf_dir: str):
     """Mixed-payload extraction (north_rule "PDF/layout parse"): the
     documents table wrapped as pages where every 5th doc_id carries its
     text as a FlateDecode'd PDF and every 11th an image payload; the
-    detect stage routes by magic bytes (functions/pdf.py).  Rows-only
-    driver check; byte-level goldens live in tests/test_pdf.py."""
+    detect stage routes by magic bytes (functions/pdf.py).  Hash-checked
+    against a committed golden of the INDEPENDENT mixed oracle
+    (tests/oracle_impl.py extract_mixed_corpus: spec-subset PDF reader +
+    PNG IHDR parser, tools/make_goldens.py) surfaced as a DuckDB
+    ``read_parquet`` twin — valid at the driver gate's sf0.01 only;
+    byte-level micro-goldens live in tests/test_pdf.py."""
     import ray
 
     from ..sources.synth import mixed_pages_from_documents
@@ -1080,7 +1089,7 @@ QUERIES: dict[str, tuple] = {
     "q27_asof_join": (q27_asof_join, SQL_Q27),
     "q28_json_extract": (q28_json_extract, SQL_Q28),
     "q29_multijoin": (q29_multijoin, SQL_Q29),
-    "q30_mixed_extract": (q30_mixed_extract, None),
+    "q30_mixed_extract": (q30_mixed_extract, SQL_Q30),
     "q31_frame_sample": (q31_frame_sample, SQL_Q31),
     "q32_rolling_fingerprint": (q32_rolling_fingerprint, SQL_Q32),
     "q33_bpe_tokens": (q33_bpe_tokens, SQL_Q33),

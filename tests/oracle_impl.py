@@ -438,3 +438,188 @@ def extract_corpus(rows: list[dict], cfg) -> list[dict]:
         r = best[url]
         out.append(extract_page(r["url"], r["warc_ts"], r["html"], r["lang"], cfg))
     return out
+
+
+# ---------------------------------------------------------------------------
+# mixed-payload oracle (q30): independent readers for the PDF / image routes
+# ---------------------------------------------------------------------------
+#
+# Written against the PUBLIC format specs (ISO 32000 §7.3.4 strings,
+# §7.4.4 FlateDecode; PNG RFC 2083 IHDR), not against functions/pdf.py —
+# scoped to the subset the synthetic mixed corpus emits (single Flate
+# content stream, literal + UTF-16BE hex strings, Tj/T* operators).
+
+import re as _re
+import zlib as _zlib
+
+
+def _oracle_pdf_strings(body: bytes) -> list[str]:
+    """Decode the string operand of each Tj in order, T* starting new lines."""
+    out = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == 0x28:  # literal string
+            raw = bytearray()
+            depth = 1
+            i += 1
+            while i < n and depth:
+                b = body[i]
+                if b == 0x5C and i + 1 < n:
+                    d = body[i + 1]
+                    table = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+                    if d in table:
+                        raw.append(table[d]); i += 2
+                    elif d in (0x28, 0x29, 0x5C):
+                        raw.append(d); i += 2
+                    elif 0x30 <= d <= 0x37:
+                        j = i + 1; val = 0
+                        while j < n and j < i + 4 and 0x30 <= body[j] <= 0x37:
+                            val = val * 8 + (body[j] - 0x30); j += 1
+                        raw.append(val & 0xFF); i = j
+                    else:
+                        i += 2
+                elif b == 0x28:
+                    depth += 1; raw.append(b); i += 1
+                elif b == 0x29:
+                    depth -= 1
+                    if depth:
+                        raw.append(b)
+                    i += 1
+                else:
+                    raw.append(b); i += 1
+            out.append(("s", bytes(raw).decode("latin-1")))
+        elif c == 0x3C and (i + 1 >= n or body[i + 1] != 0x3C):  # hex string
+            j = body.index(b">", i)
+            hx = bytes(ch for ch in body[i + 1 : j] if not chr(ch).isspace())
+            if len(hx) % 2:
+                hx += b"0"
+            raw = bytes.fromhex(hx.decode("ascii"))
+            if raw[:2] == b"\xfe\xff":
+                out.append(("s", raw[2:].decode("utf-16-be")))
+            else:
+                out.append(("s", raw.decode("latin-1")))
+            i = j + 1
+        elif body[i : i + 2] == b"T*":
+            out.append(("nl", "")); i += 2
+        else:
+            i += 1
+    return out
+
+
+def oracle_pdf_text_blocks(data: bytes) -> list[str]:
+    """One text string per BT..ET object: Tj strings on a line, T* breaks."""
+    blocks = []
+    # exact stream slicing via the preceding dict's /Length (ISO 32000 §7.3.8)
+    for m in _re.finditer(rb"<<([^>]*?)/Length\s+(\d+)([^>]*?)>>\s*stream\r?\n", data):
+        ln = int(m.group(2))
+        start = m.end()
+        raw = data[start : start + ln]
+        dict_txt = m.group(0)
+        if b"/Filter" in dict_txt:
+            if b"FlateDecode" not in dict_txt:
+                continue  # outside the oracle subset
+            try:
+                content = _zlib.decompress(raw)
+            except Exception:
+                continue
+        else:
+            content = raw
+        for bm in _re.finditer(rb"BT\b(.*?)\bET", content, _re.DOTALL):
+            lines = [""]
+            for kind, s in _oracle_pdf_strings(bm.group(1)):
+                if kind == "nl":
+                    lines.append("")
+                else:
+                    lines[-1] += s
+            blocks.append("\n".join(lines))
+    return blocks
+
+
+def oracle_image_meta(data: bytes):
+    """PNG IHDR per RFC 2083 (the only image container in the mixed corpus)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR" and len(data) >= 24:
+        w = int.from_bytes(data[16:20], "big")
+        h = int.from_bytes(data[20:24], "big")
+        return ("png", w, h)
+    return None
+
+
+def _mixed_spans(payload: bytes, cfg) -> list[dict]:
+    """Span dicts for a non-html payload (pdf / image routes)."""
+    if payload[:4] == b"%PDF":
+        spans = []
+        offset = line = order = 0
+        for text in oracle_pdf_text_blocks(payload):
+            vis = sum(len(p) for p in text.split())
+            floor = cfg.density_length_floor
+            lf = min(1.0, vis / cfg.density_length_norm)
+            p = floor + (1.0 - floor) * lf  # link density 0, no boiler penalty
+            score = min(int(p * 255.0), 255)
+            nl = text.count("\n")
+            if score > cfg.threshold and vis > cfg.min_box_size:
+                spans.append(
+                    {
+                        "block_id": order, "start": offset, "end": offset + len(text),
+                        "tstart": offset, "tend": offset + len(text),
+                        "line_start": line, "line_end": line + nl,
+                        "tag": "pdf", "depth": 1, "order": order,
+                        "score": float(score), "raw": text,
+                    }
+                )
+                order += 1
+                if order >= cfg.max_spans_per_page:
+                    break
+            offset += len(text) + 1
+            line += nl + 1
+        return spans
+    meta = oracle_image_meta(payload)
+    if meta is None:
+        return []
+    fmt, w, h = meta
+    raw = f"image {fmt} {w}x{h}"
+    return [
+        {
+            "block_id": 0, "start": 0, "end": len(raw), "tstart": 0,
+            "tend": len(raw), "line_start": 0, "line_end": 0, "tag": "image",
+            "depth": 0, "order": 0, "score": 255.0, "raw": raw,
+        }
+    ]
+
+
+def extract_mixed_page(url: str, warc_ts, payload: bytes, lang: str, cfg) -> dict:
+    """extract_page twin that routes non-html payloads like the engine's
+    detect stage (magic-byte sniff -> pdf / image span extraction)."""
+    payload = (payload or b"")[: cfg.max_html_bytes]
+    if payload[:4] == b"%PDF" or oracle_image_meta(payload) is not None:
+        spans = _mixed_spans(payload, cfg)
+        route = route_of(lang)
+        texts, confs, out_spans = [], [], []
+        for s in spans:
+            canon = canonicalize(s["raw"], route)
+            t, c = decode(canon, route, cfg.min_score, cfg.punct_min_score)
+            out_spans.append({**s, "text": t, "confidence": c})
+            if t:
+                texts.append(t)
+                confs.append(c)
+        return {
+            "url": url, "warc_ts": warc_ts, "lang": lang,
+            "extracted_text": "\n".join(texts),
+            "n_spans": len(spans),
+            "confidence": (sum(confs) / len(confs)) if confs else 0.0,
+            "spans": out_spans,
+        }
+    return extract_page(url, warc_ts, payload, lang, cfg)
+
+
+def extract_mixed_corpus(rows: list[dict], cfg) -> list[dict]:
+    best: dict[str, dict] = {}
+    for r in rows:
+        cur = best.get(r["url"])
+        if cur is None or (r["warc_ts"], r["html"]) > (cur["warc_ts"], cur["html"]):
+            best[r["url"]] = r
+    return [
+        extract_mixed_page(best[u]["url"], best[u]["warc_ts"], best[u]["html"],
+                           best[u]["lang"], cfg)
+        for u in sorted(best)
+    ]

@@ -115,7 +115,24 @@ def make_driver_gate_goldens() -> None:
     os.makedirs(OUT, exist_ok=True)
     pq.write_table(q23, os.path.join(OUT, "q23_sf0.01.parquet"))
     pq.write_table(q24, os.path.join(OUT, "q24_sf0.01.parquet"))
-    print(f"wrote gate goldens: q23 {q23.num_rows} rows, q24 {q24.num_rows} rows")
+
+    # q30: mixed html/pdf/image corpus through the independent mixed oracle
+    from rust_paddle_ocr_ray.sources.synth import mixed_pages_from_documents
+    from tests.oracle_impl import extract_mixed_corpus
+
+    mixed_rows = mixed_pages_from_documents(docs).to_pylist()
+    mixed = extract_mixed_corpus(mixed_rows, CLI_CONFIG)
+    q30 = pa.Table.from_pylist(
+        [
+            {k: r[k] for k in
+             ("url", "warc_ts", "lang", "extracted_text", "n_spans", "confidence")}
+            for r in mixed
+        ],
+        schema=q23.schema,
+    )
+    pq.write_table(q30, os.path.join(OUT, "q30_sf0.01.parquet"))
+    print(f"wrote gate goldens: q23 {q23.num_rows}, q24 {q24.num_rows}, "
+          f"q30 {q30.num_rows} rows")
 
 
 def main() -> None:
