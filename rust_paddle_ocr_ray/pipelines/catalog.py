@@ -1055,6 +1055,77 @@ FROM s WHERE rn = 1 GROUP BY source
 """
 
 
+def q37_range_join(sf_dir: str):
+    """Keyed interval (range) join + aggregate: for every click event,
+    the count and value-sum of the SAME user's events in the following
+    hour (stages/temporal.range_join_agg — one (key, time-window)
+    bucket exchange, right side replicated into <= 2 windows so
+    per-bucket aggregation is complete)."""
+    from ..stages.temporal import range_join_agg
+
+    ev = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    return range_join_agg(clicks, ev, key_col="user_id", ts_col="ts",
+                          id_col="event_id", delta_us=3_600_000_000,
+                          value_col="value")
+
+
+SQL_Q37 = """
+SELECT a.event_id,
+       COUNT(b.event_id) AS n_matches,
+       ROUND(COALESCE(SUM(b.value), 0), 2) AS sum_value
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'click'
+GROUP BY a.event_id
+"""
+
+
+def q38_vocab_topk(sf_dir: str):
+    """Corpus vocabulary top-k: whitespace-tokenized lowercase term
+    frequencies over documents, top 100 by (count desc, token asc).
+
+    Scale shape: per-batch Counter pre-aggregation collapses each block
+    to its distinct terms BEFORE the exchange (the A1 combiner pattern);
+    the global combine is a groupby(token) sum — vocabulary-sized, not
+    corpus-sized — followed by a tiny sort+limit."""
+    from collections import Counter
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b["text"]:
+            c.update(str(t).lower().split())
+        if not c:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "cnt": pd.Series(dtype="int64")})
+        toks, cnts = zip(*c.items())
+        return pd.DataFrame({"token": list(toks), "cnt": np.asarray(cnts, dtype="int64")})
+
+    counts = ds.map_batches(partial, batch_format="pandas").groupby("token").aggregate(
+        Sum("cnt", alias_name="n")
+    )
+    top = counts.sort(["n", "token"], descending=[True, False]).limit(100)
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["n"] = b["n"].astype("int64")
+        return b
+
+    return top.map_batches(cast, batch_format="pandas")
+
+
+SQL_Q38 = r"""
+SELECT token, COUNT(*)::BIGINT AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 100
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1096,4 +1167,6 @@ QUERIES: dict[str, tuple] = {
     "q34_hopping_window": (q34_hopping_window, SQL_Q34),
     "q35_knn_ivf": (q35_knn_ivf, None),
     "q36_curation": (q36_curation, SQL_Q36),
+    "q37_range_join": (q37_range_join, SQL_Q37),
+    "q38_vocab_topk": (q38_vocab_topk, SQL_Q38),
 }

@@ -296,3 +296,107 @@ def asof_join(left, right, key_col: str, ts_col: str, payload_cols: list[str],
                                    payload_cols, out_cols)
     return asof_join_bucketed(left, right, key_col, ts_col, payload_cols,
                               out_cols, right_key_col, right_ts_col, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join: left row x right rows with ts in (t, t + delta]
+# ---------------------------------------------------------------------------
+
+def range_join_agg(left, right, key_col: str, ts_col: str, id_col: str,
+                   delta_us: int, value_col: str | None = None,
+                   num_buckets: int | None = None):
+    """Keyed interval join + aggregate: for every left row, count (and
+    optionally sum ``value_col`` over) the right rows with the same
+    ``key_col`` and ``ts_r`` in the half-open window ``(ts_l, ts_l +
+    delta_us]`` — the attribution / follow-up-events query.  No
+    reference analog (the reference has no joins, SURVEY §2.4); the
+    operator class is the brief's "range join" custom-operator example.
+
+    Scale shape (ONE exchange, the q08/q34 window pattern generalized
+    to two sides): both sides bucket on ``hash(key, time-window)`` with
+    window width = ``delta_us``, so a left row lives in EXACTLY one
+    bucket while each right row is replicated into the two windows it
+    can serve (its own and the previous) — per-bucket aggregation is
+    therefore complete, needing no second combine exchange.  Inside a
+    bucket everything is one vectorized ``pd.merge`` + interval filter
+    + groupby; bucket count scales with cluster width AND a metadata
+    row estimate (sizing.data_aware_buckets), and the window hash
+    spreads hot keys across time so a single hot user does not pin one
+    task.  Left rows with zero matches are preserved (count 0, sum 0).
+
+    Returns a Dataset of (id_col, n_matches:int64[, sum_<value_col>
+    rounded to 2]).
+    """
+    buckets = num_buckets or _default_buckets(left, right)
+    val_out = f"sum_{value_col}" if value_col else None
+
+    def _mix(key: pd.Series, win: np.ndarray) -> np.ndarray:
+        k = key.to_numpy()
+        if not np.issubdtype(k.dtype, np.integer):
+            k = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ win.astype(np.uint64)
+        return (h % np.uint64(buckets)).astype("int32")
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            key_col: b[key_col].to_numpy(),
+            "_ts": _ts_us(b[ts_col]),
+        })
+        win = out["_ts"].to_numpy() // delta_us
+        out["_win"] = win
+        out["bucket"] = _mix(out[key_col], win)
+        out["_side"] = np.int8(0)
+        out["_val"] = 0.0
+        return out
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(b[ts_col])
+        base = pd.DataFrame({
+            id_col: np.int64(-1),
+            key_col: b[key_col].to_numpy(),
+            "_ts": ts,
+        })
+        base["_val"] = b[value_col].to_numpy(dtype="float64") if value_col else 0.0
+        win = ts.to_numpy() // delta_us if hasattr(ts, "to_numpy") else np.asarray(ts) // delta_us
+        parts = []
+        for w in (win, win - 1):  # serve own window and the previous one
+            p = base.copy()
+            p["_win"] = w
+            p["bucket"] = _mix(p[key_col], w)
+            parts.append(p)
+        out = pd.concat(parts, ignore_index=True)
+        out["_side"] = np.int8(1)
+        return out
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0]
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "n_matches": pd.Series(dtype="int64"),
+                              **({val_out: pd.Series(dtype="float64")} if val_out else {})})
+        if len(lg) == 0:
+            return empty
+        rg = g[g["_side"] == 1]
+        lg = lg[[id_col, key_col, "_ts", "_win"]].copy()
+        if len(rg):
+            m = lg.merge(rg[[key_col, "_win", "_ts", "_val"]],
+                         on=[key_col, "_win"], how="inner", suffixes=("", "_r"))
+            hit = m[(m["_ts_r"] > m["_ts"]) & (m["_ts_r"] <= m["_ts"] + delta_us)]
+            per = hit.groupby(id_col, sort=False).agg(
+                n_matches=("_ts_r", "size"),
+                **({val_out: ("_val", "sum")} if val_out else {}),
+            )
+        else:
+            per = pd.DataFrame(index=pd.Index([], name=id_col))
+        out = pd.DataFrame({id_col: lg[id_col].to_numpy()})
+        n = per["n_matches"].reindex(out[id_col]).to_numpy() if "n_matches" in per else np.full(len(out), np.nan)
+        out["n_matches"] = np.nan_to_num(n, nan=0.0).astype("int64")
+        if val_out:
+            v = per[val_out].reindex(out[id_col]).to_numpy() if val_out in per else np.full(len(out), np.nan)
+            out[val_out] = np.round(np.nan_to_num(v, nan=0.0), 2)
+        return out
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+    return both.groupby("bucket").map_groups(agg_bucket, batch_format="pandas")
