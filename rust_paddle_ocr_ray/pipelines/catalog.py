@@ -35,6 +35,7 @@ from ..functions.textstats import (
     rolling_fingerprint,
 )
 from ..sources.synth import pages_from_documents
+from ..stages.cluster import connected_components
 from ..stages.dedup import minhash_dedup_pairs, ngram_jaccard_pairs, simhash_pairs
 from ..stages.join import broadcast_lookup, native_join
 from ..stages.multimodal import featurize_media, frame_sample
@@ -1126,6 +1127,63 @@ LIMIT 100
 """
 
 
+def q39_dup_clusters(sf_dir: str):
+    """Corpus-level near-dup clustering: transitive closure of the q19
+    Jaccard pair graph, every document assigned cluster_id = min doc_id
+    in its connected component (singletons keep their own id).  The
+    graph analog of the reference's transitive box merge
+    (src/det.rs worklist merge); the step that turns PAIRS into a
+    keep-one-per-cluster dedup decision.  Pair count is measured and
+    the driver union-find fast path taken under the cap; above it,
+    distributed min-label propagation (see stages/cluster.py)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", ["lang", "n_chars"],
+                                threshold=0.5, k=1).drop_columns(["jaccard"])
+    out = connected_components(pairs, ds, id_col="doc_id", out_col="cluster_id")
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["doc_id"] = b["doc_id"].astype("int64")
+        b["cluster_id"] = b["cluster_id"].astype("int64")
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+#: q19's edge set + a recursive min-label walk: comp(x) = min id that
+#: can reach x through the symmetric pair graph = min id in x's
+#: connected component (UNION recursion deduplicates visited states)
+SQL_Q39 = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+  FROM documents
+),
+sized AS (
+  SELECT lang, n_chars FROM documents
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 200
+),
+edges AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a
+  JOIN d b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+  JOIN sized s ON s.lang = a.lang AND s.n_chars = a.n_chars
+  WHERE 3 * len(list_intersect(a.toks, b.toks)) >= len(a.toks) + len(b.toks)
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL
+  SELECT b AS src, a AS dst FROM edges
+),
+walk (id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
+)
+SELECT id::BIGINT AS doc_id, MIN(comp)::BIGINT AS cluster_id
+FROM walk GROUP BY id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1169,4 +1227,5 @@ QUERIES: dict[str, tuple] = {
     "q36_curation": (q36_curation, SQL_Q36),
     "q37_range_join": (q37_range_join, SQL_Q37),
     "q38_vocab_topk": (q38_vocab_topk, SQL_Q38),
+    "q39_dup_clusters": (q39_dup_clusters, SQL_Q39),
 }
