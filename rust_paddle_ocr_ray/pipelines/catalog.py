@@ -1184,6 +1184,82 @@ FROM walk GROUP BY id
 """
 
 
+def q40_dedup_canonical(sf_dir: str):
+    """Quality-aware canonical keep: near-dup clusters (q39) reduced to
+    ONE kept document each — the longest member, doc_id as tie-break
+    (real curation keeps the best-quality member, not an arbitrary
+    one).  Composition: connected_components -> slim hash join of the
+    (doc_id, cluster_id) assignment against (doc_id, n_chars) — ids and
+    ints only, documents never shuffle — -> coarse-bucket vectorized
+    argmax per cluster (the q15/q36 pattern: never
+    groupby(cluster).map_groups on an unbounded key)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", ["lang", "n_chars"],
+                                threshold=0.5, k=1).drop_columns(["jaccard"])
+    assign = connected_components(pairs, ds, id_col="doc_id", out_col="cluster_id")
+    sizes = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    joined = native_join(assign, sizes, on="doc_id")
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_cb"] = (b["cluster_id"].to_numpy() % 256).astype("int32")
+        return b
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_id", "n_chars", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+        g = g.drop_duplicates("cluster_id", keep="first")
+        out = pd.DataFrame({
+            "cluster_id": g["cluster_id"].astype("int64"),
+            "keep_id": g["doc_id"].astype("int64"),
+            "n_chars": g["n_chars"].astype("int64"),
+        })
+        return out
+
+    return (joined.map_batches(bucket, batch_format="pandas")
+            .groupby("_cb").map_groups(argmax, batch_format="pandas"))
+
+
+SQL_Q40 = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+  FROM documents
+),
+sized AS (
+  SELECT lang, n_chars FROM documents
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 200
+),
+edges AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a
+  JOIN d b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+  JOIN sized s ON s.lang = a.lang AND s.n_chars = a.n_chars
+  WHERE 3 * len(list_intersect(a.toks, b.toks)) >= len(a.toks) + len(b.toks)
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL
+  SELECT b AS src, a AS dst FROM edges
+),
+walk (id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
+),
+cl AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY id),
+ranked AS (
+  SELECT cl.cluster_id, doc.doc_id, doc.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY doc.n_chars DESC, doc.doc_id ASC) AS rn
+  FROM cl JOIN documents doc ON doc.doc_id = cl.doc_id
+)
+SELECT cluster_id::BIGINT AS cluster_id, doc_id::BIGINT AS keep_id,
+       n_chars::BIGINT AS n_chars
+FROM ranked WHERE rn = 1
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1228,4 +1304,5 @@ QUERIES: dict[str, tuple] = {
     "q37_range_join": (q37_range_join, SQL_Q37),
     "q38_vocab_topk": (q38_vocab_topk, SQL_Q38),
     "q39_dup_clusters": (q39_dup_clusters, SQL_Q39),
+    "q40_dedup_canonical": (q40_dedup_canonical, SQL_Q40),
 }
