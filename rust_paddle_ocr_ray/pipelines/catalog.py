@@ -34,6 +34,7 @@ from ..functions.textstats import (
     quality_frame,
     rolling_fingerprint,
 )
+from ..sizing import estimate_rows
 from ..sources.synth import pages_from_documents
 from ..stages.cluster import connected_components
 from ..stages.dedup import minhash_dedup_pairs, ngram_jaccard_pairs, simhash_pairs
@@ -160,8 +161,10 @@ def q05_join_hash(sf_dir: str):
     """§2.4: large-large hash-partitioned join (native Dataset.join)."""
     orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    # rows_hint: the rename drops the metadata count, so estimate first
+    est = estimate_rows(orders, cust)
     joined = native_join(orders, cust.rename_columns({"c_custkey": "o_custkey"}),
-                         on="o_custkey")
+                         on="o_custkey", rows_hint=est)
     out = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
     )
@@ -851,8 +854,10 @@ def q29_multijoin(sf_dir: str, broadcast_max_rows: int = 2_000_000):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
     orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    big_est = estimate_rows(li, orders)
     joined = native_join(
-        li, orders.rename_columns({"o_orderkey": "l_orderkey"}), on="l_orderkey")
+        li, orders.rename_columns({"o_orderkey": "l_orderkey"}), on="l_orderkey",
+        rows_hint=big_est)
 
     def attach_dim(ds, name, key_file_col, join_key, out_col):
         dim = _rp(sf_dir, name, columns=[key_file_col, out_col])
@@ -861,7 +866,7 @@ def q29_multijoin(sf_dir: str, broadcast_max_rows: int = 2_000_000):
             lut = dict(zip(df[key_file_col].astype(int), df[out_col].astype(int)))
             return broadcast_lookup(ds, lut, join_key, out_col)
         return native_join(ds, dim.rename_columns({key_file_col: join_key}),
-                           on=join_key)
+                           on=join_key, rows_hint=big_est)
 
     joined = attach_dim(joined, "supplier", "s_suppkey", "l_suppkey", "s_nationkey")
     joined = attach_dim(joined, "customer", "c_custkey", "o_custkey", "c_nationkey")
@@ -1198,7 +1203,9 @@ def q40_dedup_canonical(sf_dir: str):
                                 threshold=0.5, k=1).drop_columns(["jaccard"])
     assign = connected_components(pairs, ds, id_col="doc_id", out_col="cluster_id")
     sizes = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    joined = native_join(assign, sizes, on="doc_id")
+    est = estimate_rows(sizes)
+    joined = native_join(assign, sizes, on="doc_id",
+                         rows_hint=None if est is None else 2 * est)
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()

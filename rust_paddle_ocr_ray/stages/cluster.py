@@ -124,6 +124,7 @@ def connected_components(pairs, nodes, id_col: str = "doc_id",
 
     edges = pairs.select_columns([a_col, b_col]).map_batches(
         symmetric, batch_format="pandas").materialize()
+    n_edges = edges.count()  # metadata count of the materialized table
 
     def self_label(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"id": batch["src"], "comp": batch["src"]})
@@ -140,7 +141,7 @@ def connected_components(pairs, nodes, id_col: str = "doc_id",
         prop = native_join(
             edges, labels.map_batches(
                 lambda b: b.rename(columns={"id": "src"}), batch_format="pandas"),
-            on="src",
+            on="src", rows_hint=2 * n_edges,
         ).map_batches(
             lambda b: pd.DataFrame({"id": b["dst"], "comp": b["comp"]}),
             batch_format="pandas",

@@ -28,17 +28,32 @@ def _strip_schema_metadata(b: pa.Table) -> pa.Table:
 
 
 def native_join(left, right, on: str, join_type: str = "inner",
-                num_partitions: int | None = None):
-    """Hash-partitioned ``Dataset.join``.  ``num_partitions=None`` scales
-    the partition count with the cluster width: the hash-shuffle
-    aggregators are actors, and asking for many more of them than there
-    are cpus starves the upstream read tasks on small clusters, while
-    capping below the width under-partitions wide clusters (at real
-    scale pass an explicit count sized to the data)."""
-    from ..sizing import cluster_cpus
+                num_partitions: int | None = None,
+                rows_per_partition: int = 1_000_000,
+                rows_hint: int | None = None):
+    """Hash-partitioned ``Dataset.join``.  ``num_partitions=None`` derives
+    the partition count from a metadata-only row estimate of both sides:
+    every partition is an AGGREGATOR ACTOR, so a small join should not
+    pay width actor spawns (measured: a ~750k-row sf0.1 join is 2-3x
+    slower with 32 aggregators than with a handful), while a large join
+    scales up to the cluster width minus read headroom — asking for more
+    actors than cpus starves the upstream read tasks (reproduced hang at
+    16 partitions on a 4-cpu session).  When the inputs carry no
+    metadata count (post-map lineage), falls back to the width cap.  At
+    real scale per-partition rows = total/width can still be large —
+    pass an explicit ``num_partitions`` when one partition's reduce
+    exceeds a task heap.  ``rows_hint`` lets a caller that renamed /
+    mapped its inputs (which drops the metadata count) pass the
+    pre-transform estimate instead."""
+    from ..sizing import cluster_cpus, estimate_rows
 
     if num_partitions is None:
-        num_partitions = max(2, cluster_cpus())
+        width = max(2, cluster_cpus() - 2)
+        rows = rows_hint if rows_hint is not None else estimate_rows(left, right)
+        if rows is not None:
+            num_partitions = min(width, max(2, -(-rows // rows_per_partition)))
+        else:
+            num_partitions = width
     left = left.map_batches(_strip_schema_metadata, batch_format="pyarrow",
                             zero_copy_batch=True)
     right = right.map_batches(_strip_schema_metadata, batch_format="pyarrow",
