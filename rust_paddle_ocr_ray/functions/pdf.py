@@ -252,17 +252,65 @@ _FILTERS = {
 }
 
 
+#: sentinel filter name: the stream declares DecodeParms this decoder
+#: cannot honor (Predictor > 1, LZW EarlyChange 0) — decoding with the
+#: raw filter would emit garbage text, so the caller degrades instead
+_UNSUPPORTED = b"__unsupported_parms__"
+
+#: how far back a stream's own dict may start (dicts are tens of bytes;
+#: this bounds the backward nesting scan on malformed input)
+_DICT_SCAN_MAX = 8192
+
+
+def _stream_dict(data: bytes, stream_kw_at: int) -> bytes | None:
+    """The ``<< ... >>`` dict IMMEDIATELY preceding the ``stream``
+    keyword (ISO 32000 §7.3.8: every stream is dict + ``stream``), or
+    None when no well-formed dict sits there.  Anchoring the /Filter
+    search to this dict — instead of a flat lookback window — stops a
+    /Filter entry of an unrelated earlier (non-stream) object dict from
+    being attributed to a filterless stream (which would decode with
+    the wrong filter and silently drop text the try-flate-else-raw
+    heuristic recovers)."""
+    j = stream_kw_at
+    while j > 0 and data[j - 1] in (0x20, 0x09, 0x0D, 0x0A):
+        j -= 1
+    if data[j - 2:j] != b">>":
+        return None
+    depth = 0
+    i = j
+    floor = max(0, j - _DICT_SCAN_MAX)
+    while i - 2 >= floor:
+        two = data[i - 2:i]
+        if two == b">>":
+            depth += 1
+            i -= 2
+        elif two == b"<<":
+            depth -= 1
+            i -= 2
+            if depth == 0:
+                return data[i:j]
+        else:
+            i -= 1
+    return None
+
+
 def _stream_filters(data: bytes, stream_kw_at: int) -> list[bytes] | None:
-    """Filter-name chain from the stream dict preceding ``stream``, or
-    None when no /Filter entry is visible (plain stream or out of the
-    lookback window)."""
-    window = data[max(0, stream_kw_at - 2048): stream_kw_at]
-    # only look at THIS object's dict: past the previous stream's end
-    prev_end = window.rfind(b"endstream")
-    start = prev_end + len(b"endstream") if prev_end != -1 else 0
-    m = None
-    for m in _FILTER_RE.finditer(window, start):
-        pass  # keep the last (nearest to the stream keyword)
+    """Filter-name chain from the stream's OWN dict, or None when the
+    dict is absent/malformed or carries no /Filter entry (plain stream
+    -> legacy try-flate-else-raw heuristic).  Streams whose DecodeParms
+    declares a Predictor > 1 or LZW EarlyChange 0 return the
+    ``_UNSUPPORTED`` sentinel so the caller degrades to zero text
+    instead of decoding garbage."""
+    d = _stream_dict(data, stream_kw_at)
+    if d is None:
+        return None
+    if re.search(rb"/(?:DecodeParms|DP)\b", d) is not None:
+        pm = re.search(rb"/Predictor\s+(\d+)", d)
+        if pm is not None and int(pm.group(1)) > 1:
+            return [_UNSUPPORTED]
+        if re.search(rb"/EarlyChange\s+0\b", d) is not None:
+            return [_UNSUPPORTED]
+    m = _FILTER_RE.search(d)
     if m is None:
         return None
     if m.group(2) is not None:

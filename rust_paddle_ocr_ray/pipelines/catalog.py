@@ -859,14 +859,23 @@ def q29_multijoin(sf_dir: str, broadcast_max_rows: int = 2_000_000):
         li, orders.rename_columns({"o_orderkey": "l_orderkey"}), on="l_orderkey",
         rows_hint=big_est)
 
+    # the fact stream past the first join is ~lineitem-sized (each l_orderkey
+    # matches exactly one order), NOT li+orders — the dim joins size their
+    # exchange from this estimate plus the dim's OWN row count, never from
+    # big_est (which would spawn fact-join-scaled aggregator actors, ~1 s
+    # each, for a dimension-sized right side)
+    fact_est = estimate_rows(li)
+
     def attach_dim(ds, name, key_file_col, join_key, out_col):
         dim = _rp(sf_dir, name, columns=[key_file_col, out_col])
-        if dim.count() <= broadcast_max_rows:  # metadata-only count
+        n_dim = dim.count()  # metadata-only count
+        if n_dim <= broadcast_max_rows:
             df = pq.read_table(_t(sf_dir, name), columns=[key_file_col, out_col]).to_pandas()
             lut = dict(zip(df[key_file_col].astype(int), df[out_col].astype(int)))
             return broadcast_lookup(ds, lut, join_key, out_col)
         return native_join(ds, dim.rename_columns({key_file_col: join_key}),
-                           on=join_key, rows_hint=big_est)
+                           on=join_key,
+                           rows_hint=None if fact_est is None else fact_est + n_dim)
 
     joined = attach_dim(joined, "supplier", "s_suppkey", "l_suppkey", "s_nationkey")
     joined = attach_dim(joined, "customer", "c_custkey", "o_custkey", "c_nationkey")
@@ -1066,20 +1075,41 @@ def q37_range_join(sf_dir: str):
     the count and value-sum of the SAME user's events in the following
     hour (stages/temporal.range_join_agg — one (key, time-window)
     bucket exchange, right side replicated into <= 2 windows so
-    per-bucket aggregation is complete)."""
+    per-bucket aggregation is complete).
+
+    Values aggregate as INTEGER CENTS on both sides (each stored double
+    is a 2-decimal price, so round(v*100) is its exact cent count and
+    integer sums are order-independent below 2^53) — float summation
+    order and the np.round/DuckDB-ROUND half-even/half-away difference
+    can otherwise flip a .xx5-boundary sum between the engine and the
+    twin."""
     from ..stages.temporal import range_join_agg
 
     ev = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["value"] = np.round(b["value"].to_numpy(dtype="float64") * 100.0)
+        return b
+
+    ev = ev.map_batches(cents, batch_format="pandas")
     clicks = ev.filter(expr="event_type == 'click'")
-    return range_join_agg(clicks, ev, key_col="user_id", ts_col="ts",
-                          id_col="event_id", delta_us=3_600_000_000,
-                          value_col="value")
+    out = range_join_agg(clicks, ev, key_col="user_id", ts_col="ts",
+                         id_col="event_id", delta_us=3_600_000_000,
+                         value_col="value")
+
+    def dollars(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["sum_value"] = np.round(b["sum_value"].to_numpy(dtype="float64") / 100.0, 2)
+        return b
+
+    return out.map_batches(dollars, batch_format="pandas")
 
 
 SQL_Q37 = """
 SELECT a.event_id,
        COUNT(b.event_id) AS n_matches,
-       ROUND(COALESCE(SUM(b.value), 0), 2) AS sum_value
+       ROUND(COALESCE(SUM(ROUND(b.value * 100)::BIGINT), 0) / 100.0, 2) AS sum_value
 FROM events a
 LEFT JOIN events b
   ON a.user_id = b.user_id
@@ -1093,23 +1123,19 @@ def q38_vocab_topk(sf_dir: str):
     """Corpus vocabulary top-k: whitespace-tokenized lowercase term
     frequencies over documents, top 100 by (count desc, token asc).
 
-    Scale shape: per-batch Counter pre-aggregation collapses each block
-    to its distinct terms BEFORE the exchange (the A1 combiner pattern);
-    the global combine is a groupby(token) sum — vocabulary-sized, not
-    corpus-sized — followed by a tiny sort+limit."""
-    from collections import Counter
-
+    Scale shape: per-batch pre-aggregation collapses each block to its
+    distinct terms BEFORE the exchange (the A1 combiner pattern), fully
+    vectorized (lower/split/explode/value_counts — no per-document
+    Python loop); the global combine is a groupby(token) sum —
+    vocabulary-sized, not corpus-sized — followed by a tiny sort+limit."""
     ds = _rp(sf_dir, "documents", columns=["text"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        c: Counter = Counter()
-        for t in b["text"]:
-            c.update(str(t).lower().split())
-        if not c:
-            return pd.DataFrame({"token": pd.Series(dtype="object"),
-                                 "cnt": pd.Series(dtype="int64")})
-        toks, cnts = zip(*c.items())
-        return pd.DataFrame({"token": list(toks), "cnt": np.asarray(cnts, dtype="int64")})
+        toks = (b["text"].astype(str).str.lower().str.split()
+                .explode(ignore_index=True).dropna())
+        vc = toks.value_counts(sort=False)
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(dtype="int64")})
 
     counts = ds.map_batches(partial, batch_format="pandas").groupby("token").aggregate(
         Sum("cnt", alias_name="n")

@@ -191,10 +191,20 @@ class ExtractPipeline:
             if n_rows <= self.config.plan_local_max_rows:
                 import ray
 
+                from ..functions.bloom import BloomFilter
                 from ..stages.merge import make_winner_filter
 
-                winners, ties = plan_url_dedup_local(paths)
+                winners, ties = plan_url_dedup_local(
+                    paths, max_winners=self.config.dedup_max_winners
+                )
                 pages = self.read_pages(paths)
+                if isinstance(winners, BloomFilter):
+                    # same driver-bounded degradation as the distributed
+                    # plan (run()): no exact winning ts exists, so dup
+                    # urls dedup inside the merge exchange instead
+                    return self.merge(
+                        self.recognize(self.detect(pages)), tie_urls=winners
+                    )
                 if winners:
                     pages = pages.map_batches(
                         make_winner_filter(ray.put(winners)),

@@ -105,10 +105,16 @@ def connected_components(pairs, nodes, id_col: str = "doc_id",
 
             m = _get_broadcast(ref)
             ids = batch[id_col]
-            return pd.DataFrame({
-                id_col: ids,
-                out_col: ids.map(m).fillna(ids).astype(ids.dtype),
-            })
+            # int64-preserving mapped/unmapped combine: Series.map + fillna
+            # would upcast unmapped rows through float64 and corrupt ids
+            # >= 2^53 (hash-derived 64-bit doc ids are plausible at scale)
+            arr = ids.to_numpy()
+            out = arr.copy()
+            if m:
+                hit = ids.isin(m.keys()).to_numpy()
+                if hit.any():
+                    out[hit] = [m[i] for i in arr[hit]]
+            return pd.DataFrame({id_col: arr, out_col: out})
 
         return nodes.select_columns([id_col]).map_batches(assign, batch_format="pandas")
 

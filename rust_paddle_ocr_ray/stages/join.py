@@ -19,6 +19,17 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _key_bucket(values: pd.Series, num_buckets: int) -> np.ndarray:
+    """Deterministic key -> bucket for any dtype: integer keys take the
+    cheap modulo; everything else goes through ``pd.util.hash_array``
+    (SipHash, fixed key — stable across processes/nodes).  Shared by the
+    bucket-exchange operators (hash_join, sessionize, bucketed as-of)."""
+    if pd.api.types.is_integer_dtype(values):
+        return (values.to_numpy(dtype="int64") % num_buckets).astype("int32")
+    h = pd.util.hash_array(values.to_numpy(dtype=object)) % num_buckets
+    return h.astype("int32")
+
+
 def _strip_schema_metadata(b: pa.Table) -> pa.Table:
     """Parquet-read schemas carry file metadata (e.g. the b'pandas' blob);
     ``pa.Schema.__hash__`` raises on any metadata dict, which makes Ray's
@@ -62,7 +73,19 @@ def native_join(left, right, on: str, join_type: str = "inner",
                      on=(on,))
 
 
-def _nullable_dtype(t: pa.DataType) -> str:
+def _nullable_dtype(t) -> str:
+    if not isinstance(t, pa.DataType):
+        # pandas-backed datasets report numpy dtypes / python classes
+        s = str(t)
+        if "int" in s:
+            return "Int64"
+        if "float" in s:
+            return "Float64"
+        if "datetime" in s:
+            return "datetime64[ns]"
+        if "bool" in s:
+            return "boolean"
+        return "object"
     if pa.types.is_integer(t):
         return "Int64"
     if pa.types.is_floating(t):
@@ -76,7 +99,8 @@ def _nullable_dtype(t: pa.DataType) -> str:
 
 def hash_join(left, right, on: str, num_buckets: int | None = None,
               how: str = "inner", suffix: str = "_r"):
-    """Explicit partitioned hash join of two Datasets on integer key ``on``.
+    """Explicit partitioned hash join of two Datasets on key ``on``
+    (integer or string — ``_key_bucket`` hashes any dtype).
 
     ``num_buckets=None`` sizes the bucket count from cluster width AND
     (when the inputs carry metadata row counts) a per-bucket row budget,
@@ -106,7 +130,7 @@ def hash_join(left, right, on: str, num_buckets: int | None = None,
                 else:
                     out[c] = pd.Series([pd.NA] * len(batch), index=batch.index,
                                        dtype=dtypes[c])
-            out["__bucket"] = (batch[on].astype("int64") % num_buckets).astype("int64")
+            out["__bucket"] = _key_bucket(batch[on], num_buckets)
             out["__side"] = side
             return out
 

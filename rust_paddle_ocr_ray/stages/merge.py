@@ -303,13 +303,21 @@ def plan_url_dedup(
     return winners, frozenset(ties)
 
 
-def plan_url_dedup_local(paths) -> tuple[dict[str, int], frozenset]:
+def plan_url_dedup_local(
+    paths, max_winners: int | None = None,
+) -> tuple["dict[str, int] | BloomFilter", frozenset]:
     """Driver-local fast path of :func:`plan_url_dedup` for parquet
     inputs below ``ExtractConfig.plan_local_max_rows``: a threaded
     columnar scan of the two key columns + one vectorized pandas pass.
     The distributed plan pays ~3 sequential Ray operator waves of fixed
     latency — measured 13 s on 8 MB of keys — which dwarfs planning
-    itself until the key set reaches driver-memory scale."""
+    itself until the key set reaches driver-memory scale.
+
+    ``max_winners`` applies the SAME driver bound as the distributed
+    plan: above the cap the exact url->winning-ts dict (which would be
+    ``ray.put`` at multi-GB size) degrades to a fixed-size
+    :class:`~..functions.bloom.BloomFilter` of dup urls and the max-ts
+    dedup moves into the merge exchange for bloom-positive urls."""
     import pyarrow.dataset as pds
 
     tbl = pds.dataset(paths, format="parquet").to_table(columns=["url", "warc_ts"])
@@ -325,6 +333,10 @@ def plan_url_dedup_local(paths) -> tuple[dict[str, int], frozenset]:
         n=("ts", "size"), max_ts=("ts", "max"), n_at_max=("at_max", "sum")
     )
     dups = agg[agg["n"] > 1]
+    if max_winners is not None and len(dups) > max_winners:
+        bloom = BloomFilter(len(dups))
+        bloom.add_many(dups.index.to_numpy(dtype=object))
+        return bloom, frozenset()
     winners = dict(zip(dups.index, dups["max_ts"]))
     ties = frozenset(dups.index[dups["n_at_max"] > 1])
     return winners, ties

@@ -30,21 +30,12 @@ import numpy as np
 import pandas as pd
 
 from ..sizing import cluster_cpus, data_aware_buckets, estimate_rows
+from .join import _key_bucket
 from .merge import _get_broadcast
 
 
 def _ts_us(series: pd.Series) -> np.ndarray:
     return series.to_numpy(dtype="datetime64[us]").astype("int64")
-
-
-def _key_bucket(values: pd.Series, num_buckets: int) -> np.ndarray:
-    """Deterministic key -> bucket for any dtype: integer keys take the
-    cheap modulo; everything else goes through ``pd.util.hash_array``
-    (SipHash, fixed key — stable across processes/nodes)."""
-    if pd.api.types.is_integer_dtype(values):
-        return (values.to_numpy(dtype="int64") % num_buckets).astype("int32")
-    h = pd.util.hash_array(values.to_numpy(dtype=object)) % num_buckets
-    return h.astype("int32")
 
 
 def _default_buckets(*datasets) -> int:

@@ -53,3 +53,14 @@ def test_convergence_cap_oversegments_but_completes(ray_session):
     assert all(v <= k for k, v in got.items())
     full = _run(chain, list(range(10)), "distributed", max_iters=16)
     assert full == {i: 0 for i in range(10)}
+
+
+def test_broadcast_assign_preserves_int64_above_2e53(ray_session):
+    """The broadcast assign path must never route ids through float64
+    (ADVICE r3): ids >= 2^53 would silently corrupt.  Mapped AND
+    unmapped huge ids must come back bit-exact."""
+    base = 1 << 62
+    pairs = [(base + 1, base + 3)]
+    nodes = [base + 1, base + 3, base + 5]  # +5 is an unmapped singleton
+    got = _run(pairs, nodes, "broadcast")
+    assert got == {base + 1: base + 1, base + 3: base + 1, base + 5: base + 5}

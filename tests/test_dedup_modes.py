@@ -166,3 +166,27 @@ def test_scattered_merge_is_layout_independent(ray_session, dup_corpus):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, expected)
+
+
+def test_local_plan_applies_max_winners_bound(ray_session, dup_corpus):
+    """plan_url_dedup_local must honor the same driver bound as the
+    distributed plan (ADVICE r3): above ``max_winners`` the exact
+    winners dict degrades to a bloom of dup urls, and the pipeline
+    output is unchanged (dups dedup in the merge exchange instead)."""
+    from rust_paddle_ocr_ray.functions.bloom import BloomFilter
+    from rust_paddle_ocr_ray.stages.merge import plan_url_dedup_local
+
+    exact_w, _ = plan_url_dedup_local(dup_corpus)
+    assert len(exact_w) > 0
+    bloom, ties = plan_url_dedup_local(dup_corpus, max_winners=0)
+    assert isinstance(bloom, BloomFilter)
+    assert ties == frozenset()
+    assert bloom.contains_many(
+        pd.Series(sorted(exact_w)).to_numpy(dtype=object)
+    ).all()  # no false negatives on the dup urls
+
+    cfg = dataclasses.replace(CLI_CONFIG, dedup_mode="planned", dedup_max_winners=0)
+    a = (ExtractPipeline(cfg).run_paths(dup_corpus).to_pandas()
+         .sort_values("url").reset_index(drop=True))
+    b = _run("at_merge", dup_corpus)
+    pd.testing.assert_frame_equal(a, b)

@@ -378,3 +378,58 @@ def test_mixed_extract_e2e(ray_session):
     assert img_row["n_spans"] == 1
     html_row = out.loc["https://docs.test/web/00000001"]
     assert "htmlword00" in html_row["extracted_text"]
+
+
+# --------------------------------------------------------------------------
+# stream-dict anchoring + DecodeParms degradation (ADVICE r4)
+# --------------------------------------------------------------------------
+
+def test_filter_from_unrelated_dict_not_attributed():
+    """A /Filter entry in an earlier NON-stream object dict (no
+    intervening endstream) must not be attributed to a filterless
+    stream: the stream's own dict has no /Filter, so the legacy
+    try-flate-else-raw heuristic applies and the text survives."""
+    import zlib as _z
+
+    body = b"BT (anchored text) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page /Filter /ASCIIHexDecode >> endobj\n"
+        b"2 0 obj << /Length 99 >>\nstream\n" + _z.compress(body) +
+        b"\nendstream\nendobj\n"
+    )
+    assert pdf_text_blocks(pdf) == ["anchored text"]
+    # same, with a raw (uncompressed) stream
+    pdf_raw = pdf.replace(_z.compress(body), body)
+    assert pdf_text_blocks(pdf_raw) == ["anchored text"]
+
+
+def test_anchored_dict_still_finds_filter_chain():
+    """The dict immediately before ``stream`` still supplies the chain."""
+    want = [_expected_lines(p) for p in PARAS[:1]]
+    pdf = make_pdf(PARAS[:1], filters=("ASCIIHexDecode", "FlateDecode"))
+    # prepend an unrelated dict claiming a DIFFERENT filter: must be ignored
+    pdf = pdf.replace(b"%PDF", b"%PDF-x\n9 0 obj << /Filter /DCTDecode >> endobj\n%PDF", 1)
+    assert pdf_text_blocks(pdf) == want
+
+
+def test_decodeparms_predictor_degrades():
+    """Predictor/EarlyChange DecodeParms this decoder cannot honor must
+    degrade to zero text, never garbage (ADVICE r4)."""
+    base = make_pdf(PARAS[:1])  # Flate
+    pred = base.replace(
+        b"/Filter /FlateDecode",
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>",
+    )
+    assert pdf_text_blocks(pred) == []
+    early = base.replace(
+        b"/Filter /FlateDecode",
+        b"/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+    )
+    assert pdf_text_blocks(early) == []
+    # Predictor 1 (the default, a no-op) must NOT degrade
+    ok = base.replace(
+        b"/Filter /FlateDecode",
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 1 >>",
+    )
+    assert pdf_text_blocks(ok) == pdf_text_blocks(base)

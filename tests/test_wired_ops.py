@@ -168,3 +168,52 @@ def test_data_aware_buckets_floor_beats_cluster_width(ray_session):
     assert n and n > 0
     assert estimate_rows(ds, ds) == 2 * n
     assert estimate_rows(ds.map_batches(lambda b: b)) is None
+
+
+def test_hash_join_string_keys_match_pandas(ray_session):
+    """hash_join must accept non-integer keys (VERDICT r3 #7): string
+    keys bucket via the shared _key_bucket hash, same result as a
+    pandas merge."""
+    rng = np.random.RandomState(11)
+    keys = [f"url-{i}" for i in range(40)]
+    left = pd.DataFrame({
+        "k": [keys[i] for i in rng.randint(0, 40, size=200)],
+        "x": rng.randint(0, 1000, size=200).astype("int64"),
+    })
+    right = pd.DataFrame({
+        "k": [keys[i] for i in rng.randint(20, 40, size=80)],
+        "y": rng.standard_normal(80),
+    })
+    got = _norm(hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k", num_buckets=8).to_pandas())
+    expect = _norm(left.merge(right, on="k", how="inner"))
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_q29_dim_join_partitions_derive_from_dim_estimate(ray_session, monkeypatch):
+    """VERDICT r3 #4: on the forced non-broadcast path the dimension
+    joins must size their exchange from the fact-stream estimate plus
+    the dim's OWN row count — never from the lineitem+orders estimate
+    (which would spawn fact-join-scaled aggregator actors for a
+    dimension-sized side)."""
+    import pyarrow.parquet as pq
+
+    from rust_paddle_ocr_ray.pipelines import catalog as cat
+
+    sf = "/root/testdata/sf0.001"
+    n = {t: pq.ParquetFile(f"{sf}/{t}.parquet").metadata.num_rows
+         for t in ("lineitem", "orders", "supplier", "customer")}
+
+    calls: list[int | None] = []
+    real = cat.native_join
+
+    def spy(left, right, on, **kw):
+        calls.append(kw.get("rows_hint"))
+        return real(left, right, on, **kw)
+
+    monkeypatch.setattr(cat, "native_join", spy)
+    cat.q29_multijoin(sf, broadcast_max_rows=0).to_pandas()
+    # call 0 = lineitem x orders (big_est), calls 1/2 = supplier/customer
+    assert calls[0] == n["lineitem"] + n["orders"]
+    assert calls[1] == n["lineitem"] + n["supplier"]
+    assert calls[2] == n["lineitem"] + n["customer"]
