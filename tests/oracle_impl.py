@@ -623,3 +623,220 @@ def extract_mixed_corpus(rows: list[dict], cfg) -> list[dict]:
                            best[u]["lang"], cfg)
         for u in sorted(best)
     ]
+
+
+# ---------------------------------------------------------------------------
+# approximate-family oracles (q17 MinHash, q18 SimHash, q21 LSH, q35 IVF)
+# ---------------------------------------------------------------------------
+#
+# Independent straight-line implementations of the same published
+# algorithms (MinHash/LSH banding per Broder; SimHash per Charikar;
+# hyperplane LSH; IVF coarse quantization): naive dict-bucket loops
+# here vs the engine's distributed groupby exchanges.  All four
+# pipelines are DETERMINISTIC — the seeded parameter derivations
+# (permutation (a, b) pairs, hyperplanes, k-means init) are shared
+# spec data like the charset table above, re-derived from the same
+# seeds.  Outputs carry only integers (ids, ranks, hamming), so the
+# committed goldens are float-robust: floats enter only through exact
+# rational comparisons (Jaccard) or well-separated cosine rankings.
+
+import hashlib as _hashlib
+
+import numpy as _np
+
+_M64 = (1 << 64) - 1
+
+
+def _h64(token: str) -> int:
+    return int.from_bytes(
+        _hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def _shingle_set(text: str, k: int) -> set[int]:
+    words = text.lower().split()
+    if len(words) < k:
+        return {_h64(" ".join(words))} if words else set()
+    return {_h64(" ".join(words[i:i + k])) for i in range(len(words) - k + 1)}
+
+
+def oracle_minhash_pairs(ids, texts, threshold=0.5, num_perm=128, bands=16,
+                         k=3, seed=1, max_bucket=200) -> list[tuple[int, int]]:
+    """MinHash+LSH near-dup pairs: signature -> banded buckets ->
+    candidate pairs (oversized buckets dropped) -> exact-Jaccard verify.
+    Per-perm loop + dict buckets (vs the engine's broadcast matrix +
+    groupby exchange)."""
+    rng = _np.random.RandomState(seed)  # shared spec data: the permutation params
+    a = rng.randint(0, 1 << 62, size=num_perm).astype(_np.uint64) * _np.uint64(2) + _np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=num_perm).astype(_np.uint64)
+    rows = num_perm // bands
+
+    shingles = {int(i): _shingle_set(str(t), k) for i, t in zip(ids, texts)}
+    buckets: dict[tuple[int, bytes], set[int]] = {}
+    for doc_id, sh in shingles.items():
+        if sh:
+            xs = _np.fromiter(sh, dtype=_np.uint64, count=len(sh))
+            sig = []
+            with _np.errstate(over="ignore"):
+                for ai, bi in zip(a, b):
+                    sig.append(int(((xs ^ bi) * ai).min()))
+        else:
+            sig = [_M64] * num_perm
+        for bi_ in range(bands):
+            packed = b"".join(v.to_bytes(8, "little")
+                              for v in sig[bi_ * rows:(bi_ + 1) * rows])
+            key = _hashlib.md5(packed).digest()[:8]
+            buckets.setdefault((bi_, key), set()).add(doc_id)
+
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > max_bucket:
+            continue  # oversized buckets dropped (recall loss, as the engine logs)
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+
+    out = []
+    for pa_, pb_ in sorted(cand):
+        sa, sb = shingles[pa_], shingles[pb_]
+        if not sa and not sb:
+            j = 1.0
+        elif not sa or not sb:
+            j = 0.0
+        else:
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out.append((pa_, pb_))
+    return out
+
+
+def oracle_simhash_pairs(ids, texts, max_hamming=3, max_bucket=500) -> list[tuple[int, int, int]]:
+    """Banded 64-bit SimHash near-dup pairs (4 x 16-bit bands)."""
+    sigs = {}
+    for i, t in zip(ids, texts):
+        words = str(t).lower().split()
+        if not words:
+            sigs[int(i)] = 0
+            continue
+        hs = _np.fromiter((_h64(w) for w in words), dtype=_np.uint64, count=len(words))
+        sig = 0
+        for bit in range(64):
+            cnt = int(((hs >> _np.uint64(bit)) & _np.uint64(1)).sum())
+            if 2 * cnt > len(words):  # strict majority == votes > 0
+                sig |= 1 << bit
+        sigs[int(i)] = sig
+
+    buckets: dict[tuple[int, int], set[int]] = {}
+    for doc_id, sig in sigs.items():
+        for bi in range(4):
+            buckets.setdefault((bi, (sig >> (16 * bi)) & 0xFFFF, ), set()).add(doc_id)
+
+    pairs: dict[tuple[int, int], int] = {}
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > max_bucket:
+            continue
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                h = bin(sigs[ms[x]] ^ sigs[ms[y]]).count("1")
+                if h <= max_hamming:
+                    pairs[(ms[x], ms[y])] = h
+    return [(a_, b_, h) for (a_, b_), h in sorted(pairs.items())]
+
+
+def _norm_rows_oracle(m: _np.ndarray) -> _np.ndarray:
+    n = _np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _oracle_topk(ids, mat_norm, q_ids, q_norm, cand_rows_of, k):
+    """Shared exact top-k over per-query candidate row sets: sims by
+    plain per-query dot, sorted (sim desc, neighbor asc), rank 1-based."""
+    out = []
+    for qi, qid in enumerate(q_ids):
+        rows = cand_rows_of(qi)
+        scored = []
+        for r in rows:
+            if ids[r] == qid:
+                continue
+            scored.append((float(q_norm[qi] @ mat_norm[r]), int(ids[r])))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_s, nid) in enumerate(scored[:k], 1):
+            out.append((int(qid), nid, rank))
+    return out
+
+
+def oracle_knn_lsh(ids, mat, q_ids, q_mat, k=5, dim=64, bits=8, seed=7,
+                   probes=1) -> list[tuple[int, int, int]]:
+    """Hyperplane-LSH ANN: queries probe their own bucket plus all
+    single-bit-flip neighbours (probes=1)."""
+    rng = _np.random.RandomState(seed)  # shared spec data: the hyperplanes
+    planes = rng.standard_normal((bits, dim))
+
+    def code_of(v: _np.ndarray) -> int:
+        c = 0
+        for bi in range(bits):
+            if float(planes[bi] @ v) > 0:
+                c |= 1 << bi
+        return c
+
+    mat = _np.asarray(mat, dtype=_np.float64)
+    q_mat = _np.asarray(q_mat, dtype=_np.float64)
+    row_codes = [code_of(v) for v in mat]
+    by_code: dict[int, list[int]] = {}
+    for r, c in enumerate(row_codes):
+        by_code.setdefault(c, []).append(r)
+
+    mat_n = _norm_rows_oracle(mat)
+    q_n = _norm_rows_oracle(q_mat)
+
+    def cand(qi):
+        c = code_of(q_mat[qi])
+        codes = [c]
+        if probes >= 1:
+            codes += [c ^ (1 << b_) for b_ in range(bits)]
+        rows = []
+        for cc in codes:
+            rows.extend(by_code.get(cc, []))
+        return rows
+
+    return _oracle_topk(list(ids), mat_n, list(q_ids), q_n, cand, k)
+
+
+def oracle_knn_ivf(ids, mat, q_ids, q_mat, k=5, nlist=16, nprobe=4,
+                   train_rows=4096, iters=10, seed=5) -> list[tuple[int, int, int]]:
+    """IVF ANN: spherical Lloyd k-means coarse quantizer (full-corpus
+    training below train_rows, matching the engine at the gate scale),
+    rows assigned to argmax-cosine cells, queries scan their nprobe
+    closest cells."""
+    mat = _np.asarray(mat, dtype=_np.float64)
+    q_mat = _np.asarray(q_mat, dtype=_np.float64)
+    assert len(mat) <= train_rows, "oracle pinned to the full-train regime (gate sf)"
+    x = _norm_rows_oracle(mat)
+    rng = _np.random.RandomState(seed)  # shared spec data: the k-means init
+    kk = min(nlist, len(x))
+    cent = x[rng.choice(len(x), size=kk, replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for j in range(kk):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        cent = _norm_rows_oracle(cent)
+
+    cells = (x @ cent.T).argmax(axis=1)
+    by_cell: dict[int, list[int]] = {}
+    for r, c in enumerate(cells):
+        by_cell.setdefault(int(c), []).append(r)
+    q_n = _norm_rows_oracle(q_mat)
+
+    def cand(qi):
+        order = _np.argsort(-(q_n[qi] @ cent.T))[: min(nprobe, kk)]
+        rows = []
+        for c in order:
+            rows.extend(by_cell.get(int(c), []))
+        return rows
+
+    return _oracle_topk(list(ids), x, list(q_ids), q_n, cand, k)

@@ -67,3 +67,36 @@ def test_span_rows_match_golden(ray_session):
         b = golden[col].to_numpy()
         assert (a == b).all(), f"span column {col} diverges"
     assert abs(spans["confidence"].to_numpy() - golden["confidence"].to_numpy()).max() < 1e-6
+
+
+# --------------------------------------------------------------------------
+# approximate-family goldens (q17/q18/q21/q35): the engine must
+# reproduce the committed independent-oracle output at the gate sf
+# --------------------------------------------------------------------------
+
+_APPROX_GOLDENS = [
+    ("q17_minhash_pairs", "q17_sf0.01.parquet", ["a", "b"]),
+    ("q18_simhash_pairs", "q18_sf0.01.parquet", ["a", "b", "hamming"]),
+    ("q21_knn_lsh", "q21_sf0.01.parquet", ["query_id", "neighbor_id", "rank"]),
+    ("q35_knn_ivf", "q35_sf0.01.parquet", ["query_id", "neighbor_id", "rank"]),
+]
+
+
+@pytest.mark.parametrize("name,golden_file,cols", _APPROX_GOLDENS)
+def test_approx_family_matches_committed_golden(ray_session, name, golden_file, cols):
+    """All four approximate pipelines are deterministic (seeded
+    permutations / hyperplanes / k-means); their sf0.01 output must
+    equal the committed independent-oracle golden (tests/oracle_impl:
+    oracle_minhash_pairs / oracle_simhash_pairs / oracle_knn_lsh /
+    oracle_knn_ivf via tools/make_goldens.make_approx_goldens)."""
+    from rust_paddle_ocr_ray.pipelines.catalog import QUERIES
+
+    def norm(df):
+        df = df[cols].copy()
+        for c in cols:
+            df[c] = df[c].astype("int64")
+        return df.sort_values(cols, kind="stable").reset_index(drop=True)
+
+    got = norm(QUERIES[name][0]("/root/testdata/sf0.01").to_pandas())
+    want = norm(pq.read_table(os.path.join(GOLDEN_DIR, golden_file)).to_pandas())
+    assert got.equals(want), f"{name}: engine output diverged from the golden"

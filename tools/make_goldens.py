@@ -135,6 +135,62 @@ def make_driver_gate_goldens() -> None:
           f"q30 {q30.num_rows} rows")
 
 
+def make_approx_goldens() -> None:
+    """Oracle goldens for the deterministic approximate family (q17
+    MinHash, q18 SimHash, q21 LSH ANN, q35 IVF ANN) over the sf0.01
+    gate tables — computed by the independent straight-line oracles
+    (tests/oracle_impl.py), never by the engine under test, and
+    surfaced through oracle_sql() as DuckDB ``read_parquet`` twins
+    (VERDICT r3 item 1; the same mechanism as q23/q24/q30)."""
+    from tests.oracle_impl import (
+        oracle_knn_ivf,
+        oracle_knn_lsh,
+        oracle_minhash_pairs,
+        oracle_simhash_pairs,
+    )
+
+    import numpy as np
+
+    docs = pq.read_table(os.path.join(GATE_SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+
+    mh = oracle_minhash_pairs(ids, texts, threshold=0.5)
+    q17 = pa.Table.from_pydict(
+        {"a": pa.array([p[0] for p in mh], pa.int64()),
+         "b": pa.array([p[1] for p in mh], pa.int64())})
+    pq.write_table(q17, os.path.join(OUT, "q17_sf0.01.parquet"))
+
+    sh = oracle_simhash_pairs(ids, texts, max_hamming=3)
+    q18 = pa.Table.from_pydict(
+        {"a": pa.array([p[0] for p in sh], pa.int64()),
+         "b": pa.array([p[1] for p in sh], pa.int64()),
+         "hamming": pa.array([p[2] for p in sh], pa.int64())})
+    pq.write_table(q18, os.path.join(OUT, "q18_sf0.01.parquet"))
+
+    emb = pq.read_table(os.path.join(GATE_SF_DIR, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    vec_ids = emb["vec_id"].to_pylist()
+    mat = np.stack(emb["embedding"].to_pandas().to_numpy())
+    q_rows = sorted(i for i, v in enumerate(vec_ids) if v < 3)
+    q_ids = [vec_ids[i] for i in q_rows]
+    q_mat = mat[q_rows]
+
+    def topk_table(rows):
+        return pa.Table.from_pydict(
+            {"query_id": pa.array([r[0] for r in rows], pa.int64()),
+             "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+             "rank": pa.array([r[2] for r in rows], pa.int64())})
+
+    lsh = oracle_knn_lsh(vec_ids, mat, q_ids, q_mat, k=5, dim=64, bits=8)
+    pq.write_table(topk_table(lsh), os.path.join(OUT, "q21_sf0.01.parquet"))
+    ivf = oracle_knn_ivf(vec_ids, mat, q_ids, q_mat, k=5, nlist=16, nprobe=4)
+    pq.write_table(topk_table(ivf), os.path.join(OUT, "q35_sf0.01.parquet"))
+    print(f"wrote approx goldens: q17 {q17.num_rows} pairs, q18 {q18.num_rows} "
+          f"pairs, q21 {len(lsh)} rows, q35 {len(ivf)} rows")
+
+
 def main() -> None:
     pages = generate_pages(N_PAGES, seed=SEED)
     rows = pages.to_pylist()
