@@ -94,33 +94,22 @@ class ExtractPipeline:
 
     def _splits_possible(self) -> bool:
         """Static check: can a page version's span run straddle a block
-        boundary?  Ray's BlockOutputBuffer holds < target bytes between
-        adds and slices a built block mid-row-run only when it reaches
-        1.5x ``target_max_block_size`` — so blocks always cut between
-        the recognizer's page-aligned yields iff every yield is
-        <= target/2.  A yield overshoots the cap by at most one page
-        (<= PAGE_SPAN_BYTES_FACTOR * max_html_bytes), so the exact
-        condition — the SAME bound ``page_aligned_yield_cap`` is derived
-        from (stages/recognize.py) — is
-
-            cap + PAGE_SPAN_BYTES_FACTOR * max_html_bytes <= target / 2
-
-        which at defaults needs target >= ~8x ``max_html_bytes``.
-        Below that (tiny target, giant pages) — or with the explicit
-        ``skew_split_rows`` page splitter — the merge routes
-        batch-boundary partials through the bucket exchange instead of
-        streaming."""
-        if self.config.skew_split_rows:
-            return True
+        boundary?  Delegates to ``stages.recognize.streaming_merge_safe``
+        — the recognizer evaluates the SAME predicate to decide whether
+        to enforce the per-page byte model strictly (a model-violating
+        page raises instead of silently splitting).  Streaming is safe
+        when the worst-case single page (text bound + enforced
+        span-count cap x per-span allowance) fits the greedy
+        page-aligned yield cap of 0.45x target; below that — or with
+        the explicit ``skew_split_rows`` page splitter — the merge
+        routes batch-boundary partials through the bucket exchange
+        instead of streaming."""
         from ray.data import DataContext
 
-        from ..stages.recognize import PAGE_SPAN_BYTES_FACTOR, page_aligned_yield_cap
+        from ..stages.recognize import streaming_merge_safe
 
         target = DataContext.get_current().target_max_block_size
-        if not target:
-            return False  # no slicing at all without a target
-        cap = page_aligned_yield_cap(target, self.config.max_html_bytes)
-        return cap + PAGE_SPAN_BYTES_FACTOR * self.config.max_html_bytes > target // 2
+        return not streaming_merge_safe(self.config, target)
 
     def merge(self, recognized: Dataset, tie_urls: frozenset | None = None) -> Dataset:
         return merge_extracted(

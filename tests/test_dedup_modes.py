@@ -107,33 +107,49 @@ def test_planned_correct_under_block_splits(ray_session, dup_corpus):
 
 def test_streaming_mode_page_aligned_yields(ray_session, dup_corpus):
     """With target_max_block_size past the streaming-safe bound
-    (cap + page-overshoot <= target/2, i.e. target >= ~6x
-    max_html_bytes — see stages.recognize.page_aligned_yield_cap) the
-    pipeline statically selects the zero-exchange streaming finalize and
-    relies on the recognizer's page-aligned bounded yields to keep block
-    cuts between pages.  Verify the guarantee holds with a target small
-    enough that many blocks are produced (8x a shrunken max_html_bytes),
-    i.e. the streaming path really is exercised AND correct — and that
-    just below the bound the pipeline refuses to stream."""
+    (worst_page_span_bytes(cfg) <= 0.45 x target — see
+    stages.recognize.streaming_merge_safe) the pipeline statically
+    selects the zero-exchange streaming finalize and relies on the
+    recognizer's greedy page-aligned bounded yields to keep block cuts
+    between pages.  Verify the guarantee holds with a target small
+    enough that many blocks are produced, i.e. the streaming path
+    really is exercised AND correct — and that below the bound the
+    pipeline refuses to stream."""
     from ray.data import DataContext
 
     from rust_paddle_ocr_ray.config import ExtractConfig
+    from rust_paddle_ocr_ray.stages.recognize import (
+        page_aligned_yield_cap,
+        worst_page_span_bytes,
+    )
 
     cfg = dataclasses.replace(
-        ExtractConfig().cli(), max_html_bytes=64 * 1024, dedup_mode="planned"
+        ExtractConfig().cli(), max_html_bytes=64 * 1024,
+        max_spans_per_page=256, dedup_mode="planned",
     )
     pipe = ExtractPipeline(cfg)
     ctx = DataContext.get_current()
     old = ctx.target_max_block_size
     try:
-        # the old 4x threshold is no longer streaming-safe: one oversized
-        # page can straddle a block slice (ADVICE r2) -> boundary routing
+        # below the bound (the worst-case page — text bound PLUS the
+        # span-count x per-span allowance the r3 model ignored — does
+        # not fit the cap): boundary routing
         ctx.target_max_block_size = 4 * cfg.max_html_bytes
+        assert worst_page_span_bytes(cfg) > page_aligned_yield_cap(
+            ctx.target_max_block_size)
         assert pipe._splits_possible()
-        ctx.target_max_block_size = 8 * cfg.max_html_bytes  # above the bound
+        ctx.target_max_block_size = 16 * cfg.max_html_bytes  # above the bound
+        assert worst_page_span_bytes(cfg) <= page_aligned_yield_cap(
+            ctx.target_max_block_size)
         assert not pipe._splits_possible()
         planned = pipe.run_paths(dup_corpus).to_pandas().sort_values("url").reset_index(drop=True)
-        at_merge = _run("at_merge", dup_corpus)
+        # at_merge twin under the SAME detection config (max_spans_per_page
+        # binds on this corpus) — only the merge formulation differs
+        at_merge = (
+            ExtractPipeline(dataclasses.replace(cfg, dedup_mode="at_merge"))
+            .run_paths(dup_corpus).to_pandas()
+            .sort_values("url").reset_index(drop=True)
+        )
     finally:
         ctx.target_max_block_size = old
     assert planned["url"].is_unique
@@ -190,3 +206,95 @@ def test_local_plan_applies_max_winners_bound(ray_session, dup_corpus):
          .sort_values("url").reset_index(drop=True))
     b = _run("at_merge", dup_corpus)
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------------------
+# _page_aligned_slices: greedy no-overshoot cuts + strict model check
+# --------------------------------------------------------------------------
+
+def _span_table(pages: list[tuple[str, int, int]]) -> pa.Table:
+    """Recognized-span-shaped table: (url, n_spans, text_bytes_per_span)."""
+    import numpy as np
+
+    cols = {k: [] for k in ("url", "warc_ts", "lang", "block_id", "start", "end",
+                            "tstart", "tend", "line_start", "line_end", "tag",
+                            "depth", "order", "score", "text", "confidence")}
+    for url, n_spans, tb in pages:
+        for i in range(n_spans):
+            cols["url"].append(url)
+            cols["warc_ts"].append(pd.Timestamp("2024-01-01"))
+            cols["lang"].append("en")
+            cols["block_id"].append(i)
+            for k in ("start", "end", "tstart", "tend"):
+                cols[k].append(0)
+            for k in ("line_start", "line_end", "depth", "order"):
+                cols[k].append(i)
+            cols["tag"].append("p")
+            cols["score"].append(230.0)
+            cols["text"].append("x" * tb)
+            cols["confidence"].append(0.9)
+    t = pa.table({
+        "url": pa.array(cols["url"]),
+        "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+        "lang": pa.array(cols["lang"]),
+        "block_id": pa.array(cols["block_id"], pa.int32()),
+        "start": pa.array(cols["start"], pa.int64()),
+        "end": pa.array(cols["end"], pa.int64()),
+        "tstart": pa.array(cols["tstart"], pa.int64()),
+        "tend": pa.array(cols["tend"], pa.int64()),
+        "line_start": pa.array(cols["line_start"], pa.int32()),
+        "line_end": pa.array(cols["line_end"], pa.int32()),
+        "tag": pa.array(cols["tag"]),
+        "depth": pa.array(cols["depth"], pa.int32()),
+        "order": pa.array(cols["order"], pa.int32()),
+        "score": pa.array(cols["score"], pa.float32()),
+        "text": pa.array(cols["text"]),
+        "confidence": pa.array(cols["confidence"], pa.float64()),
+    })
+    return t
+
+
+def _measured(tbl: pa.Table) -> int:
+    import pyarrow.compute as pc
+
+    from rust_paddle_ocr_ray.stages.recognize import FIXED_ROW_BYTES
+
+    total = FIXED_ROW_BYTES * tbl.num_rows
+    for c in ("url", "lang", "tag", "text"):
+        total += int(pc.sum(pc.binary_length(tbl[c])).as_py() or 0)
+    return total
+
+
+def test_page_aligned_slices_greedy_no_overshoot():
+    """Chunks cut BEFORE the page that would exceed the cap: every yield
+    <= cap (no page-sized overshoot, the r3 bound's weak point) and cuts
+    land on page boundaries."""
+    from rust_paddle_ocr_ray.stages.recognize import _page_aligned_slices
+
+    pages = [(f"u{i:02d}", 3, 300) for i in range(10)]  # ~1.2 KB/page measured
+    tbl = _span_table(pages)
+    per_page = _measured(tbl.slice(0, 3))
+    cap = int(2.5 * per_page)
+    chunks = list(_page_aligned_slices(tbl, cap, strict=True))
+    assert sum(c.num_rows for c in chunks) == tbl.num_rows
+    assert len(chunks) == 5  # 2 pages per chunk
+    for c in chunks:
+        assert _measured(c) <= cap
+        urls = c["url"].to_pylist()
+        # page-aligned: whole pages only (3 rows per url)
+        assert all(urls.count(u) == 3 for u in set(urls))
+
+
+def test_page_aligned_slices_oversized_page_strict_raises():
+    """A single page exceeding the cap violates the worst-case model:
+    loud error in strict (streaming) mode, solo yield otherwise."""
+    from rust_paddle_ocr_ray.stages.recognize import _page_aligned_slices
+
+    tbl = _span_table([("small", 2, 100), ("huge", 50, 2000), ("tail", 2, 100)])
+    cap = 20_000  # huge page measures ~105 KB
+    with pytest.raises(RuntimeError, match="streaming merge cannot guarantee"):
+        list(_page_aligned_slices(tbl, cap, strict=True))
+    chunks = list(_page_aligned_slices(tbl, cap, strict=False))
+    assert sum(c.num_rows for c in chunks) == tbl.num_rows
+    huge_chunks = [c for c in chunks if "huge" in c["url"].to_pylist()]
+    assert len(huge_chunks) == 1 and set(huge_chunks[0]["url"].to_pylist()) == {"huge"}
