@@ -89,26 +89,43 @@ def canonicalize(raw: str, route: str) -> str:
     j_lt, j_gt = s.rfind("<"), s.rfind(">")
     if j_lt != -1 and (j_gt == -1 or j_gt < j_lt):
         s = s[:j_lt]
-    s = _COMMENT_RE.sub(" ", s)
-    s = _TAG_RE.sub(" ", s)
-    s = _htmlmod.unescape(s)
+    if "<" in s:  # no "<" -> no comments and no tags (pure fast path)
+        s = _COMMENT_RE.sub(" ", s)
+        s = _TAG_RE.sub(" ", s)
+    s = _htmlmod.unescape(s)  # stdlib fast-paths the no-"&" case itself
     if route in ("zh", "ja"):
         s = unicodedata.normalize("NFKC", s)
-    return _WS_RE.sub(" ", s).strip()
+    # identical to _WS_RE.sub(" ", s).strip(): str.split's whitespace set
+    # equals \s for every codepoint (verified exhaustively over U+0000..
+    # U+10FFFF), and joining the maximal non-ws runs with single spaces
+    # is exactly collapse-runs-then-strip — at C speed, no regex pass
+    return " ".join(s.split())
 
 
 def _codepoints(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """Concatenated codepoint array + per-text lengths."""
+    """Concatenated codepoint array + per-text lengths.
+
+    Codepoints are int32 (max 0x10FFFF) and every derived positional
+    array below stays int32 too: the decode working set is the hot
+    memory-bandwidth consumer of the whole pipeline (~15 derived arrays
+    per chunk), so halving the element width halves the stage's DRAM
+    traffic — the quantity that caps wide-node scaling on one socket."""
     joined = "".join(texts)
-    cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.int32)
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
     return cp, lens
 
 
 def timestep_scores(cp: np.ndarray, p: np.ndarray) -> np.ndarray:
-    """Deterministic pseudo-confidence per (codepoint, timestep-index)."""
-    h = (cp * 2654435761 + (p + 1) * 97) & 0xFFFFFFFF
-    u = (h >> 16).astype(np.float64) / 65536.0
+    """Deterministic pseudo-confidence per (codepoint, timestep-index).
+
+    Computed in uint32 wraparound arithmetic — bit-identical to the
+    original int64-then-mask form (the hash IS mod-2^32 math: cp and
+    (p+1)*97 both < 2^32, multiplication wraps to the same residue)."""
+    with np.errstate(over="ignore"):
+        h = (cp.astype(np.uint32) * np.uint32(2654435761)
+             + (p.astype(np.uint32) + np.uint32(1)) * np.uint32(97))
+    u = (h >> np.uint32(16)).astype(np.float64) / 65536.0
     punct = _PUNCT_LUT[np.where(cp < 0x10000, cp, 0)]
     return np.where(punct, 0.05 + 0.90 * u, 0.62 + 0.38 * u)
 
@@ -134,9 +151,10 @@ def decode_spans(
 
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    span_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    starts = starts.astype(np.int32)  # chunk size bounded << 2^31
+    span_of = np.repeat(np.arange(n, dtype=np.int32), lens)
     span_start = np.repeat(starts, lens)
-    pos_in_span = np.arange(cp.size, dtype=np.int64) - span_start
+    pos_in_span = np.arange(cp.size, dtype=np.int32) - span_start
 
     bmp = np.where(cp < 0x10000, cp, 0)
     punct = _PUNCT_LUT[bmp]
@@ -154,7 +172,7 @@ def decode_spans(
     # under-counted the repeat-second char's timestep by one: same text (the
     # synthetic non-punct score floor 0.62 always clears min_score), wrong
     # per-char score -> ~1e-8 confidence skew vs the oracle.
-    ins_incl = np.cumsum(ib)
+    ins_incl = np.cumsum(ib, dtype=np.int32)
     ins_at_start = ins_incl[span_start]
     # timestep index within span: leading blank is 0, so char timesteps start at 1
     p = pos_in_span + 1 + (ins_incl - ins_at_start)
@@ -201,8 +219,9 @@ def greedy_decode(
     # --- last_char propagation (see module docstring) ---
     # pointer to the most recent non-S char timestep at-or-before each position
     non_s = typ != _S
-    anchor = np.maximum.accumulate(np.where(non_s, np.arange(cp.size), -1))
-    prev_val = np.full(cp.size, -1, dtype=np.int64)  # -1 == None
+    anchor = np.maximum.accumulate(
+        np.where(non_s, np.arange(cp.size, dtype=np.int32), np.int32(-1)))
+    prev_val = np.full(cp.size, -1, dtype=cp.dtype)  # -1 == None
     if cp.size > 1:
         j = anchor[:-1]
         valid = (j >= 0) & (j >= span_start[1:])

@@ -124,8 +124,9 @@ def segment_page(page: str, cfg: ExtractConfig) -> list[dict]:
         cur.runs.append((a, b))
         decoded = _htmlmod.unescape(seg)
         # non-whitespace char count; str.split() splits on the same Unicode
-        # whitespace set as str.isspace(), at C speed
-        vis = sum(len(p) for p in decoded.split())
+        # whitespace set as str.isspace(), at C speed (map(len, ...) keeps
+        # the summation frame-free — this line runs once per text run)
+        vis = sum(map(len, decoded.split()))
         cur.vis += vis
         if link_depth > 0:
             cur.link += vis
