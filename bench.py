@@ -185,6 +185,17 @@ def prep_corpus(corpus_dir: str, n_pages: int, num_cpus: int) -> None:
     ray.shutdown()
 
 
+def _cpu_jiffies() -> int:
+    """System-wide user+nice+system jiffies (/proc/stat).  Under the
+    --scaling taskset pinning the machine runs nothing else, so the
+    delta over the timed window measures the JOB's cpu-seconds — the
+    quantity whose 8->32 inflation (memory-subsystem contention on one
+    socket) explains the pinned wide-pair efficiency gap (BASELINE.md)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    return sum(int(x) for x in parts[:3])
+
+
 def extract_corpus(corpus_dir: str, num_cpus: int) -> dict:
     """One fresh-session extraction run over the on-disk corpus: read ->
     detect -> recognize -> merge -> write_parquet (full e2e incl. sink).
@@ -226,10 +237,12 @@ def extract_corpus(corpus_dir: str, num_cpus: int) -> dict:
     ExtractPipeline(CLI_CONFIG).run(
         rd.from_arrow(generate_pages(512, seed=3))
     ).count()
+    j0 = _cpu_jiffies()
     t0 = time.perf_counter()
     out = pipe.run_paths(corpus_dir)
     out.write_parquet(out_dir)
     wall = time.perf_counter() - t0
+    cpu_s = (_cpu_jiffies() - j0) / os.sysconf("SC_CLK_TCK")
     import pyarrow.dataset as pds
 
     docs = pds.dataset(out_dir, format="parquet").count_rows()
@@ -239,6 +252,7 @@ def extract_corpus(corpus_dir: str, num_cpus: int) -> dict:
         "docs": docs,
         "wall_s": round(wall, 3),
         "docs_per_sec": round(docs / wall, 2),
+        "cpu_s": round(cpu_s, 1),
         "input_mb": round(html_bytes / 1e6, 1),
         "mb_per_sec": round(html_bytes / 1e6 / wall, 2),
     }

@@ -1,20 +1,23 @@
 """Multimodal plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata.
 
-The decode kernels themselves are STUBS (no image/audio libraries in
-this environment — clearly marked below); everything Ray-side is real
-and tested: schema, actor-pool signature, small batch sizes for large
-payloads, and deterministic fake features so pipelines are end-to-end
-runnable.
+PNG payloads decode for REAL — pure-Python RFC 2083 pixel decode
+(functions/png.py), emitting true width/height and pixel-statistics
+features.  Other formats' decode kernels remain STUBS (no image/audio
+libraries in this environment — clearly marked below) and take the
+deterministic fake path; everything Ray-side is real and tested:
+schema, actor-pool signature, small batch sizes for large payloads.
 """
 
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pyarrow as pa
 
+from ..functions.png import PNG_SIG, decode_png, pixel_feature
 from ..sizing import proportional_pool
 
 MEDIA_META_SCHEMA = pa.schema(
@@ -29,12 +32,23 @@ MEDIA_META_SCHEMA = pa.schema(
 )
 
 
-def real_decode(payload: bytes):
-    """The real decode hook.  STUB: image/audio libs are not available in
-    this environment; wire Pillow/ffmpeg here when present."""
+def real_decode(payload: bytes, feat_dim: int = 64) -> tuple[int, int, np.ndarray]:
+    """The real decode hook -> (width, height, feature).
+
+    PNG decodes for real (pure-Python RFC 2083, functions/png.py — zlib
+    IDAT + per-row unfilter, all five filter types, grey/RGB/palette/
+    alpha color types at bit depth 8).  Other formats still require
+    image/audio libraries not present in this environment: wire
+    Pillow/ffmpeg here when present — until then they raise
+    NotImplementedError and the featurizer degrades to the
+    deterministic fake decoder."""
+    if payload[:8] == PNG_SIG:
+        px = decode_png(payload)  # ValueError outside the spec subset
+        h, w = px.shape[0], px.shape[1]
+        return w, h, pixel_feature(px, feat_dim)
     raise NotImplementedError(
-        "media decode requires an image/audio library not present in this "
-        "environment; the pipeline uses the deterministic fake decoder"
+        "non-PNG media decode requires an image/audio library not present "
+        "in this environment; the pipeline uses the deterministic fake decoder"
     )
 
 
@@ -58,7 +72,7 @@ class MediaFeaturizer:
     don't round-trip pandas cleanly)."""
 
     def __init__(self, payload_col: str, id_col: str, feat_dim: int = 64,
-                 use_real_decoder: bool = False):
+                 use_real_decoder: bool = True):
         self.payload_col = payload_col
         self.id_col = id_col
         self.feat_dim = feat_dim
@@ -70,9 +84,17 @@ class MediaFeaturizer:
         rows = {k: [] for k in MEDIA_META_SCHEMA.names}
         for mid, payload in zip(ids, payloads):
             payload = payload or b""
+            feat = None
             if self.use_real:
-                real_decode(payload)  # raises NotImplementedError by design
-            w, h, feat = _fake_decode(payload, self.feat_dim)
+                try:
+                    w, h, feat = real_decode(payload, self.feat_dim)
+                except (NotImplementedError, ValueError, zlib.error):
+                    # NotImplementedError: format needs an absent library;
+                    # ValueError/zlib.error: outside the PNG spec subset or
+                    # corrupt — degrade to the deterministic fake either way
+                    feat = None
+            if feat is None:
+                w, h, feat = _fake_decode(payload, self.feat_dim)
             rows["media_id"].append(mid)
             rows["n_bytes"].append(len(payload))
             rows["sha16"].append(hashlib.sha256(payload).hexdigest()[:16])

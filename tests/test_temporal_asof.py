@@ -116,3 +116,87 @@ def test_sessionize_string_keys(ray_session):
     a = out_s.sort_values("event_id")["session_seq"].to_numpy()
     b = out_i.sort_values("event_id")["session_seq"].to_numpy()
     assert (a == b).all()
+
+
+# --------------------------------------------------------------------------
+# time-sliced sessionization (hot-key bounding, VERDICT r3 #6)
+# --------------------------------------------------------------------------
+
+def _session_map(ds) -> dict:
+    df = ds.to_pandas()
+    return dict(zip(df["event_id"], df["session_seq"]))
+
+
+@pytest.fixture(scope="module")
+def hot_key_events():
+    """One hot key with events spanning many slices (boundary gaps both
+    within and beyond the session gap) + a few cold keys."""
+    rng = np.random.RandomState(17)
+    rows = []
+    eid = 0
+    t0 = pd.Timestamp("2024-03-01").value // 1000  # us
+    # hot key 7: 4000 events, gaps drawn so sessions regularly break AND
+    # regularly continue across the 1-hour slice boundaries
+    t = t0
+    for _ in range(4000):
+        t += int(rng.choice([30, 90, 200, 4000]) * 1e6)  # 30s..66min gaps
+        rows.append((eid, 7, t)); eid += 1
+    for key in (1, 2, 3):
+        t = t0 + key * 1_000_000
+        for _ in range(50):
+            t += int(rng.choice([10, 7200]) * 1e6)
+            rows.append((eid, key, t)); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us"])
+    df["ts"] = pd.to_datetime(df["ts_us"], unit="us")
+    return df[["event_id", "user_id", "ts"]]
+
+
+GAP_US = 30 * 60 * 1_000_000       # 30 min session gap
+SLICE_US = 60 * 60 * 1_000_000     # 1 h slices (> gap, required)
+
+
+def test_sliced_sessionize_matches_unsliced(ray_session, hot_key_events):
+    ds = rd.from_pandas(hot_key_events)
+    base = _session_map(sessionize(ds, "user_id", "ts", "event_id", GAP_US))
+    sliced = _session_map(sessionize(ds, "user_id", "ts", "event_id", GAP_US,
+                                     slice_us=SLICE_US))
+    assert sliced == base
+    # the hot key really is spread over many (key, slice) partitions —
+    # its events can never pin a single bucket task
+    ts_us = hot_key_events.loc[hot_key_events.user_id == 7, "ts"].astype(
+        "datetime64[us]").astype("int64")
+    assert (ts_us // SLICE_US).nunique() > 10
+
+
+def test_sliced_sessionize_forced_join_path(ray_session, hot_key_events):
+    """broadcast_max_slices=0 forces the hash-join offset application —
+    must agree with the broadcast path bit-for-bit."""
+    ds = rd.from_pandas(hot_key_events)
+    a = _session_map(sessionize(ds, "user_id", "ts", "event_id", GAP_US,
+                                slice_us=SLICE_US))
+    b = _session_map(sessionize(ds, "user_id", "ts", "event_id", GAP_US,
+                                slice_us=SLICE_US, broadcast_max_slices=0))
+    assert a == b
+
+
+def test_sliced_sessionize_boundary_rules(ray_session):
+    """Crafted boundary cases: continue across a slice boundary when the
+    gap <= session gap; break when it exceeds it; slice_us <= gap_us is
+    rejected."""
+    h = 3_600_000_000  # 1h slice
+    rows = [
+        # key 1: events at 59:30 and 60:10 (40 s gap across the boundary)
+        (0, 1, int(59.5 * 60e6)), (1, 1, int(60.2 * 60e6)),
+        # key 2: events at 30:00 and 95:00 (65 min gap across the boundary)
+        (2, 2, 30 * 60_000_000), (3, 2, 95 * 60_000_000),
+        # key 3: non-adjacent slices (0 and 3) always break
+        (4, 3, 10 * 60_000_000), (5, 3, 190 * 60_000_000),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us"])
+    df["ts"] = pd.to_datetime(df["ts_us"], unit="us")
+    ds = rd.from_pandas(df[["event_id", "user_id", "ts"]])
+    got = _session_map(sessionize(ds, "user_id", "ts", "event_id",
+                                  GAP_US, slice_us=h))
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 1, 5: 2}
+    with pytest.raises(ValueError, match="slice_us must exceed"):
+        sessionize(ds, "user_id", "ts", "event_id", gap_us=2 * h, slice_us=h)
