@@ -104,18 +104,31 @@ def _drain(obj) -> int:
     return 0
 
 
-def run_catalog(sf_dir: str, num_cpus: int) -> dict:
+#: catalog repeats: this host drifts run-to-run (same-day no-op A/B
+#: measured 23.5/24.7/48.3 s on identical code), so only per-query MIN
+#: across repeats is comparable round-over-round (VERDICT r3 item 8)
+CATALOG_REPEATS = int(os.environ.get("GRAFT_CATALOG_REPEATS", "2"))
+#: pin the catalog bench to its cpu budget like the --scaling legs, so
+#: an N-cpu catalog run cannot borrow idle cores for kernel offload
+CATALOG_PIN = os.environ.get("GRAFT_CATALOG_PIN", "1") == "1"
+
+
+def run_catalog(sf_dir: str, num_cpus: int, repeats: int = CATALOG_REPEATS) -> dict:
     _init_ray(num_cpus)
     from rust_paddle_ocr_ray.pipelines.catalog import QUERIES
 
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
     t_all = time.perf_counter()
-    for name, (fn, _sql) in QUERIES.items():
-        t0 = time.perf_counter()
-        rows[name] = _drain(fn(sf_dir))
-        per_query[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_all, 3)
+    for rep in range(max(1, repeats)):
+        for name, (fn, _sql) in QUERIES.items():
+            t0 = time.perf_counter()
+            rows[name] = _drain(fn(sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            if rep == 0 or dt < per_query[name]:
+                per_query[name] = dt
+    wall = round(time.perf_counter() - t_all, 3)
+    total = round(sum(per_query.values()), 3)  # sum of per-query mins
 
     extract = _time_extract(sf_dir)
     sf = _sf_of(sf_dir)
@@ -126,6 +139,9 @@ def run_catalog(sf_dir: str, num_cpus: int) -> dict:
         "queries": per_query,
         "sf": sf,
         "num_cpus": num_cpus,
+        "repeats": max(1, repeats),
+        "wall_all_repeats_s": wall,
+        "pinned": CATALOG_PIN,
         "rows": rows,
         "extract": extract,
     }
@@ -327,6 +343,9 @@ def main() -> None:
     if args and args[0] == "--scaling":
         print(json.dumps(run_scaling()))
         return
+    if CATALOG_PIN and hasattr(os, "sched_setaffinity"):
+        # pin BEFORE ray.init so raylet + workers inherit the mask
+        os.sched_setaffinity(0, set(range(DEFAULT_CPUS)))
     result = run_catalog(DEFAULT_SF_DIR, DEFAULT_CPUS)
     import ray
 

@@ -1319,6 +1319,136 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q41_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling — the training-data mixture
+    primitive: keep a per-source rate of documents selected by a STABLE
+    content-independent hash (md5 of the id string), so the sample is
+    reproducible across runs/engines and needs no shuffle or state.
+    Rate per source = (100 + 37*len(source)) per-mille — an arbitrary
+    but deterministic per-stratum mixture weight expressible on both
+    sides."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hex(b["doc_id"].astype("int64").astype(str))
+        v = h.str.slice(0, 8).map(lambda s: int(s, 16)).to_numpy() % 1000
+        rate = (100 + (b["source"].str.len().to_numpy() * 37) % 400)
+        return b[v < rate]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+SQL_Q41 = """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000
+      < 100 + (length(source) * 37) % 400
+"""
+
+
+def q42_contamination(sf_dir: str):
+    """Benchmark decontamination: documents of OTHER sources that are
+    near-duplicates (a q19 Jaccard pair) of any document in the probe
+    source (the min source value — stands in for an eval/benchmark
+    set).  Scale shape: the probe id set is benchmark-sized and
+    broadcasts once; pairs come from the bucketed Jaccard verify (slim
+    int rows), and the contaminated-id distinct is a coarse-bucket
+    groupby — the corpus never shuffles."""
+    import ray
+
+    from ..functions.bloom import member_mask
+
+    docs_meta = pq.read_table(_t(sf_dir, "documents"), columns=["source"])
+    probe_src = min(docs_meta["source"].to_pylist())
+    probe_ids = frozenset(
+        pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "source"],
+                      filters=[("source", "==", probe_src)])["doc_id"].to_pylist()
+    )
+    ref = ray.put(probe_ids)
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", ["lang", "n_chars"],
+                                threshold=0.5, k=1).drop_columns(["jaccard"])
+
+    def contaminated(b: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.merge import _get_broadcast
+
+        probe = _get_broadcast(ref)
+        a = b["a"].to_numpy(dtype="int64")
+        bb = b["b"].to_numpy(dtype="int64")
+        a_in = member_mask(probe, b["a"])
+        b_in = member_mask(probe, b["b"])
+        # contaminated = the non-probe member of a probe-crossing pair
+        ids = np.concatenate([a[b_in & ~a_in], bb[a_in & ~b_in]])
+        out = pd.DataFrame({"doc_id": ids})
+        out["_cb"] = (ids % 64).astype("int32")
+        return out
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": np.unique(g["doc_id"].to_numpy())})
+
+    return (pairs.map_batches(contaminated, batch_format="pandas")
+            .groupby("_cb").map_groups(distinct, batch_format="pandas"))
+
+
+SQL_Q42 = r"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+  FROM documents
+),
+sized AS (
+  SELECT lang, n_chars FROM documents
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 200
+),
+edges AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a
+  JOIN d b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+  JOIN sized s ON s.lang = a.lang AND s.n_chars = a.n_chars
+  WHERE 3 * len(list_intersect(a.toks, b.toks)) >= len(a.toks) + len(b.toks)
+),
+probe AS (SELECT doc_id FROM documents
+          WHERE source = (SELECT min(source) FROM documents)),
+sym AS (SELECT a AS id, b AS other FROM edges
+        UNION ALL SELECT b AS id, a AS other FROM edges)
+SELECT DISTINCT x.id AS doc_id
+FROM sym x
+JOIN probe p ON x.other = p.doc_id
+ANTI JOIN probe q ON x.id = q.doc_id
+"""
+
+
+def q43_pack_bins(sf_dir: str):
+    """Sequence-packing bin assignment — per-source exclusive prefix sum
+    of token counts over doc_id order, bin = prefix // 2048 (the window
+    / running-total operator family Ray Data lacks natively).  Two-pass
+    distributed scan: slim (source, chunk) token totals -> broadcast
+    chunk offsets -> ONE bucket exchange on hash(source, chunk) with
+    per-task rows bounded by the chunk size regardless of source skew
+    (stages/packing.py)."""
+    from ..stages.packing import assign_pack_bins
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def toks(b: pd.DataFrame) -> np.ndarray:
+        return b["text"].str.count(r"\S+").to_numpy(dtype="int64")
+
+    out = assign_pack_bins(ds, "doc_id", "source", toks,
+                           bin_size=2048, chunk_rows=100)
+    return out
+
+
+SQL_Q43 = r"""
+SELECT doc_id, source,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_toks,
+       ((SUM(len(regexp_extract_all(text, '\S+')))
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING)
+         - len(regexp_extract_all(text, '\S+'))) // 2048)::BIGINT AS pack_bin
+FROM documents
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1364,4 +1494,7 @@ QUERIES: dict[str, tuple] = {
     "q38_vocab_topk": (q38_vocab_topk, SQL_Q38),
     "q39_dup_clusters": (q39_dup_clusters, SQL_Q39),
     "q40_dedup_canonical": (q40_dedup_canonical, SQL_Q40),
+    "q41_stratified_sample": (q41_stratified_sample, SQL_Q41),
+    "q42_contamination": (q42_contamination, SQL_Q42),
+    "q43_pack_bins": (q43_pack_bins, SQL_Q43),
 }

@@ -1,0 +1,113 @@
+"""Sequence-packing bin assignment via a distributed prefix sum.
+
+Training-data pipelines pack documents into fixed-token-budget
+sequences (bins) in a deterministic order; the bin of a document is
+
+    bin = (running token total of all EARLIER docs in its partition)
+          // bin_size
+
+— a per-partition exclusive prefix sum over an explicit order column.
+Ray Data has no window/prefix operator, so this implements the classic
+two-pass distributed scan:
+
+1. **Partial pass** (map-side combiner): every batch pre-aggregates
+   token counts per (partition, chunk), where ``chunk = order_id //
+   chunk_rows`` — derived from the ORDER COLUMN, not from batch
+   layout, so it is deterministic under any block split.  The exchange
+   then carries one slim row per (partition, chunk), never documents.
+2. **Chunk offsets**: the (partition, chunk) totals — bounded by
+   rows / chunk_rows (e.g. 10^12 docs / 10^5 = 10^7 rows, ~100 MB) —
+   compute each chunk's exclusive prefix on the driver and broadcast
+   once via ``ray.put``.
+3. **Final pass**: ONE bucket exchange on hash(partition, chunk); each
+   task sorts its chunk by the order column, adds the broadcast chunk
+   offset to the local cumulative sum, and emits the bin — per-task
+   rows bounded by ``chunk_rows`` regardless of partition skew (a
+   10^9-doc partition spreads over its chunks, same trick as the
+   sliced sessionizer).
+
+Partitioning assumption (documented per the custom-operator recipe):
+order ids need not be dense, but chunk balance follows their spread —
+pick ``chunk_rows`` near the expected ids-per-chunk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..sizing import data_aware_buckets, estimate_rows
+
+
+def assign_pack_bins(docs, id_col: str, part_col: str, tokens_fn,
+                     bin_size: int = 2048, chunk_rows: int = 100_000,
+                     num_buckets: int | None = None):
+    """Assign each row its packing bin (see module docstring).
+
+    ``tokens_fn(batch: pd.DataFrame) -> np.ndarray[int64]`` computes the
+    per-row token weight (kept pluggable so callers reuse their token
+    counter).  Returns a Dataset of (id_col, part_col, n_toks:int64,
+    pack_bin:int64)."""
+    import ray
+
+    from .join import _key_bucket
+    from .merge import _get_broadcast
+
+    buckets = num_buckets or data_aware_buckets(estimate_rows(docs))
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            id_col: b[id_col].to_numpy(dtype="int64"),
+            part_col: b[part_col].to_numpy(),
+            "n_toks": np.asarray(tokens_fn(b), dtype="int64"),
+        })
+        out["_chunk"] = out[id_col].to_numpy() // chunk_rows
+        return out
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = slim(b)
+        return (g.groupby([part_col, "_chunk"], sort=False)["n_toks"]
+                .sum().rename("toks").reset_index())
+
+    # slim totals -> exclusive per-partition chunk offsets (driver-side;
+    # bounded by rows / chunk_rows)
+    parts = list(docs.map_batches(partial, batch_format="pandas")
+                 .iter_batches(batch_format="pandas", batch_size=65536))
+    totals = (pd.concat(parts, ignore_index=True) if parts
+              else pd.DataFrame({part_col: [], "_chunk": [], "toks": []}))
+    if len(totals):
+        totals = (totals.groupby([part_col, "_chunk"], sort=False)["toks"]
+                  .sum().reset_index()
+                  .sort_values([part_col, "_chunk"], kind="stable"))
+        cum = totals.groupby(part_col, sort=False)["toks"].cumsum().to_numpy()
+        offsets = dict(zip(zip(totals[part_col], totals["_chunk"]),
+                           (cum - totals["toks"].to_numpy()).astype("int64")))
+    else:
+        offsets = {}
+    ref = ray.put(offsets)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        g = slim(b)
+        kb = _key_bucket(g[part_col], 1 << 20).astype("int64")
+        g["bucket"] = ((kb * 1_000_003 + g["_chunk"]) % buckets).astype("int32")
+        return g
+
+    def per_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        off = _get_broadcast(ref)
+        g = g.sort_values([part_col, "_chunk", id_col], kind="stable")
+        toks = g["n_toks"].to_numpy()
+        # exclusive prefix within each (partition, chunk) group
+        grp = pd.Series(list(zip(g[part_col], g["_chunk"])))
+        cum = (pd.Series(toks).groupby(grp.values, sort=False).cumsum()
+               .to_numpy() - toks)
+        base = np.fromiter((off.get(k, 0) for k in grp), dtype="int64",
+                           count=len(g))
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            part_col: g[part_col].to_numpy(),
+            "n_toks": toks,
+            "pack_bin": ((base + cum) // bin_size).astype("int64"),
+        })
+
+    return (docs.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket").map_groups(per_chunk, batch_format="pandas"))

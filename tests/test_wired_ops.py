@@ -217,3 +217,49 @@ def test_q29_dim_join_partitions_derive_from_dim_estimate(ray_session, monkeypat
     assert calls[0] == n["lineitem"] + n["orders"]
     assert calls[1] == n["lineitem"] + n["supplier"]
     assert calls[2] == n["lineitem"] + n["customer"]
+
+
+# --------------------------------------------------------------------------
+# sequence-packing prefix sum (stages/packing.py, q43)
+# --------------------------------------------------------------------------
+
+def _pack_expected(df: pd.DataFrame, bin_size: int) -> pd.DataFrame:
+    df = df.sort_values(["source", "doc_id"], kind="stable").copy()
+    cum = df.groupby("source", sort=False)["n_toks"].cumsum() - df["n_toks"]
+    df["pack_bin"] = (cum // bin_size).astype("int64")
+    return df[["doc_id", "source", "n_toks", "pack_bin"]].reset_index(drop=True)
+
+
+@pytest.mark.parametrize("chunk_rows", [7, 100, 10_000])
+def test_pack_bins_matches_window_twin(ray_session, chunk_rows):
+    """assign_pack_bins must equal the single-pass window formulation
+    for ANY chunk size — including chunks far smaller than a partition
+    (the hot-partition-bounded regime: one source's rows spread over
+    many (source, chunk) tasks)."""
+    from rust_paddle_ocr_ray.stages.packing import assign_pack_bins
+
+    rng = np.random.RandomState(23)
+    n = 600
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(np.arange(n * 3)[:n]).astype("int64"),
+        "source": [f"s{rng.randint(0, 2)}" for _ in range(n)],  # skewed: 2 sources
+        "n_toks": rng.randint(1, 900, size=n).astype("int64"),
+    })
+
+    def toks(b: pd.DataFrame) -> np.ndarray:
+        return b["n_toks"].to_numpy(dtype="int64")
+
+    got = (assign_pack_bins(rd.from_pandas(df), "doc_id", "source", toks,
+                            bin_size=1000, chunk_rows=chunk_rows)
+           .to_pandas()
+           .sort_values(["source", "doc_id"], kind="stable")
+           .reset_index(drop=True))
+    expect = _pack_expected(df, 1000)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "source", "n_toks", "pack_bin"]].astype(
+            {"doc_id": "int64", "n_toks": "int64", "pack_bin": "int64"}),
+        expect)
+    if chunk_rows == 7:
+        # hot-partition bounding: one source's rows really spread over
+        # many (source, chunk) groups
+        assert (df["doc_id"] // chunk_rows).nunique() > 10
