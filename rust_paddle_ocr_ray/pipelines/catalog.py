@@ -1449,6 +1449,207 @@ FROM documents
 """
 
 
+def q44_repetition_stats(sf_dir: str):
+    """Gopher-style repetition screening: per-document word totals,
+    distinct-word counts and the top word's frequency (the
+    most-common-word-fraction filter of web-corpus curation).  Fully
+    vectorized per batch — repeat/concatenate explode, ONE pandas
+    double groupby — and zero exchange: every document's words live in
+    its own row, so the stats never leave the batch."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        parts = b["text"].astype(str).str.split()
+        lens = parts.str.len().to_numpy(dtype="int64")
+        ex = pd.DataFrame({
+            "doc_id": np.repeat(b["doc_id"].to_numpy(dtype="int64"), lens),
+            "word": np.concatenate(parts.to_numpy()) if lens.sum() else
+                    np.array([], dtype=object),
+        })
+        if ex.empty:
+            return pd.DataFrame({c: np.array([], dtype="int64") for c in
+                                 ["doc_id", "n_words", "n_distinct_words",
+                                  "top_word_count"]})
+        wc = ex.groupby(["doc_id", "word"], sort=False).size()
+        g = wc.groupby(level=0, sort=False)
+        tot = g.sum()
+        return pd.DataFrame({
+            "doc_id": tot.index.to_numpy(dtype="int64"),
+            "n_words": tot.to_numpy(dtype="int64"),
+            "n_distinct_words": g.size().to_numpy(dtype="int64"),
+            "top_word_count": g.max().to_numpy(dtype="int64"),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+SQL_Q44 = r"""
+WITH wc AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+)
+SELECT doc_id, SUM(c)::BIGINT AS n_words, COUNT(*)::BIGINT AS n_distinct_words,
+       MAX(c)::BIGINT AS top_word_count
+FROM wc GROUP BY doc_id
+"""
+
+
+def q45_source_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (p50/p90 of document length
+    per source) — the corpus-profiling aggregate behind length-filter
+    thresholds.  Ray Data has no quantile aggregate; see
+    stages/quantile.py for the histogram-combiner scale shape (the
+    exchange carries distinct (source, n_chars) pairs, never rows)."""
+    from ..stages.quantile import grouped_quantile_disc
+
+    ds = _rp(sf_dir, "documents", columns=["source", "n_chars"])
+    return grouped_quantile_disc(ds, "source", "n_chars",
+                                 {"p50": 0.5, "p90": 0.9})
+
+
+SQL_Q45 = """
+SELECT source, COUNT(*)::BIGINT AS n,
+       quantile_disc(n_chars, 0.5)::BIGINT AS p50,
+       quantile_disc(n_chars, 0.9)::BIGINT AS p90
+FROM documents GROUP BY source
+"""
+
+
+def q46_asof_tolerance(sf_dir: str):
+    """q27's as-of join with a staleness bound: a match only counts if
+    the latest order is at most 30 days older than the event (the
+    feature-freshness rule of point-in-time training joins).  Same
+    auto-selected broadcast/bucketed machinery — the tolerance is a
+    vectorized post-filter on the searchsorted hit (broadcast path) or
+    ``pd.merge_asof(tolerance=...)`` (bucketed path)."""
+    from ..stages.temporal import asof_join
+
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    events = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = asof_join(events, orders, "user_id", "ts",
+                    ["o_orderkey", "o_totalprice"],
+                    right_key_col="o_custkey", right_ts_col="o_orderdate",
+                    tolerance_us=30 * 86_400 * 10**6)
+    return out.select_columns(["event_id", "user_id", "o_orderkey", "o_totalprice"])
+
+
+SQL_Q46 = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate,
+         arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN e.ts - r.o_orderdate <= INTERVAL 30 DAY
+            THEN r.o_orderkey::DOUBLE END AS o_orderkey,
+       CASE WHEN e.ts - r.o_orderdate <= INTERVAL 30 DAY
+            THEN r.o_totalprice END AS o_totalprice
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
+def q47_posting_lists(sf_dir: str):
+    """Inverted-index build: for the 50 highest-document-frequency
+    tokens, the distinct-document count and the posting-list head (10
+    smallest doc_ids, comma-joined).  Scale shape: per-batch distinct
+    (token, doc_id) pre-dedup collapses each block before the ONE
+    coarse-bucket exchange (hash(token) % 64, never the unbounded
+    token key — the exact_dedup pattern); the per-token head walk is
+    block-boundary numpy (the only Python loop is over distinct tokens
+    in the bucket — vocabulary-sized); the final sort+limit is
+    vocabulary-sized, not corpus-sized."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        parts = b["text"].astype(str).str.lower().str.split()
+        lens = parts.str.len().to_numpy(dtype="int64")
+        ex = pd.DataFrame({
+            "token": np.concatenate(parts.to_numpy()) if lens.sum() else
+                     np.array([], dtype=object),
+            "doc_id": np.repeat(b["doc_id"].to_numpy(dtype="int64"), lens),
+        })
+        ex = ex.drop_duplicates(["token", "doc_id"])
+        ex["_tb"] = (
+            pd.util.hash_pandas_object(ex["token"], index=False).to_numpy() % 64
+        ).astype("int32")
+        return ex
+
+    def per_token_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["token", "doc_id"])
+        g = g.sort_values(["token", "doc_id"], kind="stable")
+        toks = g["token"].to_numpy()
+        ids = g["doc_id"].to_numpy(dtype="int64")
+        starts = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]])
+        ends = np.r_[starts[1:], len(toks)]
+        heads = [",".join(map(str, ids[s:min(s + 10, e)]))
+                 for s, e in zip(starts, ends)]
+        return pd.DataFrame({"token": toks[starts],
+                             "n_docs": (ends - starts).astype("int64"),
+                             "head": heads})
+
+    pairs = ds.map_batches(partial, batch_format="pandas")
+    postings = pairs.groupby("_tb").map_groups(per_token_bucket,
+                                               batch_format="pandas")
+    return postings.sort(["n_docs", "token"], descending=[True, False]).limit(50)
+
+
+SQL_Q47 = r"""
+SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',') AS head
+FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY n_docs DESC, token ASC
+LIMIT 50
+"""
+
+
+def q48_normalized_dedup(sf_dir: str):
+    """Exact dedup AFTER text canonicalization (lowercase + collapse
+    whitespace runs + trim) — catches the trivially-reformatted
+    duplicates a raw content hash misses.  Combiner shape: each batch
+    collapses to (norm-md5 -> min id, count) partials, ONE coarse-
+    bucket exchange of slim hash rows, vectorized per-bucket combine;
+    document text never shuffles."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        norm = (b["text"].astype(str).str.lower()
+                .str.replace(r"\s+", " ", regex=True).str.strip())
+        t = pd.DataFrame({"h": md5_hex(norm),
+                          "doc_id": b["doc_id"].to_numpy(dtype="int64")})
+        agg = (t.groupby("h", sort=False)
+               .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+               .reset_index())
+        agg["_db"] = (
+            pd.util.hash_pandas_object(agg["h"], index=False).to_numpy() % 256
+        ).astype("int32")
+        return agg
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("h", sort=False)
+               .agg(doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+               .reset_index())
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_db").map_groups(combine, batch_format="pandas"))
+
+
+SQL_Q48 = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+       MIN(doc_id)::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1497,4 +1698,9 @@ QUERIES: dict[str, tuple] = {
     "q41_stratified_sample": (q41_stratified_sample, SQL_Q41),
     "q42_contamination": (q42_contamination, SQL_Q42),
     "q43_pack_bins": (q43_pack_bins, SQL_Q43),
+    "q44_repetition_stats": (q44_repetition_stats, SQL_Q44),
+    "q45_source_quantiles": (q45_source_quantiles, SQL_Q45),
+    "q46_asof_tolerance": (q46_asof_tolerance, SQL_Q46),
+    "q47_posting_lists": (q47_posting_lists, SQL_Q47),
+    "q48_normalized_dedup": (q48_normalized_dedup, SQL_Q48),
 }

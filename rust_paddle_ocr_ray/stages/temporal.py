@@ -271,10 +271,13 @@ def build_asof_index(right_df: pd.DataFrame, key_col: str, ts_col: str,
 
 
 def asof_join_broadcast(left, index_ref, key_col: str, ts_col: str,
-                        payload_cols: list[str], out_cols: list[str] | None = None):
+                        payload_cols: list[str], out_cols: list[str] | None = None,
+                        tolerance_us: int | None = None):
     """For each left row, attach the payload of the latest right row of
     the same key with right_ts <= left_ts (NULLs when none).  The right
-    index (from :func:`build_asof_index`) is broadcast once."""
+    index (from :func:`build_asof_index`) is broadcast once.  With
+    ``tolerance_us`` a match additionally requires
+    left_ts - right_ts <= tolerance (stale right rows become misses)."""
     out_cols = out_cols or payload_cols
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
@@ -295,6 +298,8 @@ def asof_join_broadcast(left, index_ref, key_col: str, ts_col: str,
             r_ts, payload = entry
             pos = np.searchsorted(r_ts, ts[rows], side="right") - 1
             hit = pos >= 0
+            if tolerance_us is not None:
+                hit = hit & (ts[rows] - r_ts[np.maximum(pos, 0)] <= tolerance_us)
             for c in payload_cols:
                 out[c][rows[hit]] = payload[c][pos[hit]].astype("float64")
         res = batch.copy()
@@ -313,7 +318,8 @@ def asof_join_bucketed(left, right, key_col: str, ts_col: str,
                        payload_cols: list[str], out_cols: list[str] | None = None,
                        right_key_col: str | None = None,
                        right_ts_col: str | None = None,
-                       num_buckets: int | None = None):
+                       num_buckets: int | None = None,
+                       tolerance_us: int | None = None):
     """Large-right-side as-of join: neither side fits a broadcast, so
     both are bucketed on ``hash(key) % num_buckets`` and meet in ONE
     union + groupby(bucket) exchange; inside each bucket a vectorized
@@ -403,6 +409,7 @@ def asof_join_bucketed(left, right, key_col: str, ts_col: str,
             on="_ts",
             by=key_col,
             direction="backward",
+            tolerance=tolerance_us,
         )
         out = merged[left_cols].copy()
         for c in left_cols:
@@ -420,7 +427,8 @@ def asof_join_bucketed(left, right, key_col: str, ts_col: str,
 def asof_join(left, right, key_col: str, ts_col: str, payload_cols: list[str],
               out_cols: list[str] | None = None, right_key_col: str | None = None,
               right_ts_col: str | None = None,
-              broadcast_max_rows: int = 2_000_000, num_buckets: int | None = None):
+              broadcast_max_rows: int = 2_000_000, num_buckets: int | None = None,
+              tolerance_us: int | None = None):
     """As-of join with automatic strategy selection: right sides at or
     below ``broadcast_max_rows`` build a driver-side searchsorted index
     and broadcast it (zero exchange on the left); larger right sides
@@ -439,9 +447,10 @@ def asof_join(left, right, key_col: str, ts_col: str, payload_cols: list[str],
             right_df = right_df.rename(columns={rk: key_col, rt: ts_col})
         index = build_asof_index(right_df, key_col, ts_col, payload_cols)
         return asof_join_broadcast(left, ray.put(index), key_col, ts_col,
-                                   payload_cols, out_cols)
+                                   payload_cols, out_cols, tolerance_us)
     return asof_join_bucketed(left, right, key_col, ts_col, payload_cols,
-                              out_cols, right_key_col, right_ts_col, num_buckets)
+                              out_cols, right_key_col, right_ts_col, num_buckets,
+                              tolerance_us)
 
 
 # ---------------------------------------------------------------------------

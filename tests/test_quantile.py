@@ -1,0 +1,66 @@
+"""grouped_quantile_disc (stages/quantile.py) must match DuckDB's
+``quantile_disc`` exactly — rank semantics max(1, floor(q*n + 0.5)) —
+including the float-repr boundary cases (q*n landing on .5 or on an
+integer only up to representation error), because the q45 driver gate
+hash-compares the two."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from rust_paddle_ocr_ray.stages.quantile import grouped_quantile_disc
+
+QS = {"p10": 0.1, "p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9, "p100": 1.0}
+
+
+def _duck_twin(df: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    cols = ", ".join(f"quantile_disc(v, {q})::BIGINT AS {name}"
+                     for name, q in QS.items())
+    out = con.execute(
+        f"SELECT k, COUNT(*)::BIGINT AS n, {cols} FROM t GROUP BY k"
+    ).fetchdf()
+    return out.sort_values("k").reset_index(drop=True)
+
+
+def _engine(df: pd.DataFrame) -> pd.DataFrame:
+    got = grouped_quantile_disc(rd.from_pandas(df), "k", "v", QS).to_pandas()
+    return (got.rename(columns={"k": "k"})
+            .sort_values("k").reset_index(drop=True)[
+                ["k", "n", *QS.keys()]])
+
+
+def test_matches_duckdb_random(ray_session):
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 40, 5000).astype("int64"),
+        "v": rng.randint(-100, 5000, 5000).astype("int64"),
+    })
+    pd.testing.assert_frame_equal(_engine(df), _duck_twin(df))
+
+
+def test_matches_duckdb_boundary_group_sizes(ray_session):
+    """Group sizes 1..12 hit every rank-rounding branch, including the
+    q*n float hazards (0.1*10, 0.75*4, odd-n medians)."""
+    rows = []
+    for size in range(1, 13):
+        for i in range(size):
+            rows.append((size, (i * 37) % 101))
+    df = pd.DataFrame(rows, columns=["k", "v"]).astype("int64")
+    pd.testing.assert_frame_equal(_engine(df), _duck_twin(df))
+
+
+def test_histogram_collapse_handles_heavy_ties(ray_session):
+    """Many duplicate values per group (the histogram the combiner
+    actually ships) — counts, not raw rows, drive the rank walk."""
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 5, 20000).astype("int64"),
+        "v": rng.randint(0, 8, 20000).astype("int64"),  # 8 distinct values
+    })
+    pd.testing.assert_frame_equal(_engine(df), _duck_twin(df))

@@ -200,3 +200,84 @@ def test_sliced_sessionize_boundary_rules(ray_session):
     assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 1, 5: 2}
     with pytest.raises(ValueError, match="slice_us must exceed"):
         sessionize(ds, "user_id", "ts", "event_id", gap_us=2 * h, slice_us=h)
+
+
+# --------------------------------------------------------------------------
+# tolerance (staleness bound) — q46
+# --------------------------------------------------------------------------
+
+def _brute_asof_tolerance(left: pd.DataFrame, right: pd.DataFrame,
+                          tol_us: int) -> pd.DataFrame:
+    """Row-at-a-time reference: latest right row of the same key with
+    right_ts <= left_ts AND left_ts - right_ts <= tol; duplicate
+    (key, ts) right rows keep the greatest payload row."""
+    r = right.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"}).copy()
+    r["_ts"] = r["ts"].astype("int64") // 1000  # ns -> us, like _ts_us
+    r = r.sort_values(["user_id", "_ts", "o_orderkey", "o_totalprice"],
+                      kind="stable").drop_duplicates(["user_id", "_ts"],
+                                                     keep="last")
+    out_k, out_p = [], []
+    for _, row in left.iterrows():
+        ts = int(pd.Timestamp(row["ts"]).value // 1000)
+        cand = r[(r["user_id"] == row["user_id"]) & (r["_ts"] <= ts)
+                 & (ts - r["_ts"] <= tol_us)]
+        if len(cand):
+            best = cand.loc[cand["_ts"].idxmax()]
+            out_k.append(float(best["o_orderkey"]))
+            out_p.append(float(best["o_totalprice"]))
+        else:
+            out_k.append(np.nan)
+            out_p.append(np.nan)
+    res = left.copy()
+    res["o_orderkey"] = out_k
+    res["o_totalprice"] = out_p
+    return res
+
+
+def test_tolerance_both_paths_match_bruteforce(ray_session, asof_sides):
+    left, right = asof_sides
+    payload = ["o_orderkey", "o_totalprice"]
+    tol = 40_000 * 10**6  # 40k seconds: some matches survive, some drop
+    ref = _sorted(_brute_asof_tolerance(left, right, tol))
+    via_broadcast = _sorted(
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), "user_id", "ts",
+                  payload, right_key_col="o_custkey", right_ts_col="o_orderdate",
+                  broadcast_max_rows=10**9, tolerance_us=tol).to_pandas()
+    )
+    via_bucketed = _sorted(
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), "user_id", "ts",
+                  payload, right_key_col="o_custkey", right_ts_col="o_orderdate",
+                  broadcast_max_rows=0, tolerance_us=tol).to_pandas()
+    )
+    # the bound must actually bite vs the unbounded join
+    unbounded = _sorted(
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), "user_id", "ts",
+                  payload, right_key_col="o_custkey", right_ts_col="o_orderdate",
+                  broadcast_max_rows=10**9).to_pandas()
+    )
+    assert via_broadcast["o_orderkey"].isna().sum() > unbounded["o_orderkey"].isna().sum()
+    cols = ["event_id", "user_id", "o_orderkey", "o_totalprice"]
+    pd.testing.assert_frame_equal(via_broadcast[cols], ref[cols])
+    pd.testing.assert_frame_equal(via_bucketed[cols], ref[cols])
+
+
+def test_tolerance_keeps_exact_boundary(ray_session):
+    """left_ts - right_ts == tolerance is a HIT (<=, matching the SQL
+    twin's INTERVAL comparison) on both paths."""
+    left = pd.DataFrame({"event_id": np.array([0, 1], dtype="int64"),
+                         "user_id": np.array([7, 7], dtype="int64"),
+                         "ts": pd.to_datetime([1000, 2001], unit="s")})
+    right = pd.DataFrame({"o_custkey": np.array([7], dtype="int64"),
+                          "o_orderdate": pd.to_datetime([0], unit="s"),
+                          "o_orderkey": np.array([42], dtype="int64"),
+                          "o_totalprice": np.array([9.5])})
+    tol = 1000 * 10**6
+    for cap in (10**9, 0):
+        got = _sorted(
+            asof_join(rd.from_pandas(left), rd.from_pandas(right), "user_id",
+                      "ts", ["o_orderkey", "o_totalprice"],
+                      right_key_col="o_custkey", right_ts_col="o_orderdate",
+                      broadcast_max_rows=cap, tolerance_us=tol).to_pandas()
+        )
+        assert got["o_orderkey"].tolist()[0] == 42.0      # exactly at tol
+        assert np.isnan(got["o_orderkey"].tolist()[1])    # 1 us past tol
