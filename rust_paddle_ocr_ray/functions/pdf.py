@@ -566,18 +566,81 @@ def parse_image_meta(data: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+def parse_jpeg_exif_orientation(data: bytes) -> int | None:
+    """EXIF orientation (1-8) from a JPEG's APP1 segment, or None.
+
+    Pure public-spec parse (CIPA DC-008 Exif 2.x over TIFF 6.0): marker
+    walk to the APP1 ``Exif\\0\\0`` payload, TIFF byte-order header
+    (II/MM + magic 42), IFD0 entry scan for tag 0x0112 (type SHORT).
+    Anything absent, truncated or malformed degrades to None — the
+    same no-signal contract as :func:`parse_image_meta`.  The analog
+    of the reference's raster ingestion honoring capture orientation
+    before the det forward (/root/reference/src/det.rs:176-230)."""
+    try:
+        if data[:3] != b"\xff\xd8\xff":
+            return None
+        i, n = 2, len(data)
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xDA:  # SOS: entropy-coded data, no EXIF past here
+                return None
+            seg_len = (data[i + 2] << 8) | data[i + 3]
+            if seg_len < 2:
+                return None
+            seg = data[i + 4:i + 2 + seg_len]
+            if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+                t = seg[6:]
+                if t[:2] == b"II":
+                    bo = "little"
+                elif t[:2] == b"MM":
+                    bo = "big"
+                else:
+                    return None
+                if int.from_bytes(t[2:4], bo) != 42:
+                    return None
+                off = int.from_bytes(t[4:8], bo)
+                if off + 2 > len(t):
+                    return None
+                cnt = int.from_bytes(t[off:off + 2], bo)
+                for k in range(cnt):
+                    e = off + 2 + 12 * k
+                    if e + 12 > len(t):
+                        return None
+                    if int.from_bytes(t[e:e + 2], bo) == 0x0112:
+                        if int.from_bytes(t[e + 2:e + 4], bo) != 3:  # SHORT
+                            return None
+                        v = int.from_bytes(t[e + 8:e + 10], bo)
+                        return v if 1 <= v <= 8 else None
+                return None
+            i += 2 + seg_len
+        return None
+    except IndexError:
+        return None
+
+
 def image_meta_span(data: bytes) -> dict:
     """Image payload -> one ``tag="image"`` span.  When the container
     header parses, ``raw`` carries a deterministic metadata text
-    (``"image <fmt> <w>x<h>"`` — alnum+space only, so recognition
-    decodes it losslessly); otherwise the bare sentinel (empty text),
-    mirroring the reference's no-boxes result on an unreadable raster
+    (``"image <fmt> <w>x<h>"``, plus ``" o<n>"`` when a JPEG declares
+    an EXIF orientation — alnum+space only, so recognition decodes it
+    losslessly); otherwise the bare sentinel (empty text), mirroring
+    the reference's no-boxes result on an unreadable raster
     (src/det.rs:351-360)."""
     meta = parse_image_meta(data)
     span = image_sentinel_span()
     if meta is not None:
         fmt, w, h = meta
         raw = f"image {fmt} {w}x{h}"
+        if fmt == "jpeg":
+            ori = parse_jpeg_exif_orientation(data)
+            if ori is not None:
+                raw += f" o{ori}"
         span["raw"] = raw
         span["end"] = span["tend"] = len(raw)
         span["score"] = 255.0

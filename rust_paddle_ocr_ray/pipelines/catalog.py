@@ -1650,6 +1650,29 @@ FROM documents GROUP BY 1
 """
 
 
+def q49_grouped_topk(sf_dir: str):
+    """Per-(source, lang) top-3 longest documents with rank — the
+    corpus-curation "best exemplars per stratum" selection.  Unlike
+    q09's per-group map_groups (correct, but ships every row and pays
+    Python dispatch per key), this uses the top-k SEMIGROUP combiner
+    (stages/topk.py): each batch contributes at most k candidate rows
+    per key to the ONE coarse-bucket exchange, so a skewed stratum
+    never concentrates its rows in one task."""
+    from ..stages.topk import grouped_topk
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "lang", "n_chars"])
+    return grouped_topk(ds, ["source", "lang"], "n_chars", k=3,
+                        tie_cols=["doc_id"], with_rank="rnk")
+
+
+SQL_Q49 = """
+SELECT doc_id, source, lang, n_chars, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source, lang
+                               ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents) WHERE rnk <= 3
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1703,4 +1726,5 @@ QUERIES: dict[str, tuple] = {
     "q46_asof_tolerance": (q46_asof_tolerance, SQL_Q46),
     "q47_posting_lists": (q47_posting_lists, SQL_Q47),
     "q48_normalized_dedup": (q48_normalized_dedup, SQL_Q48),
+    "q49_grouped_topk": (q49_grouped_topk, SQL_Q49),
 }

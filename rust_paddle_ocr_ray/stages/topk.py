@@ -1,0 +1,54 @@
+"""Scale-safe per-group top-k (the combiner form).
+
+``groupby(key).map_groups(head)`` (catalog q09) is correct but ships
+EVERY row of every group through the exchange and pays Python dispatch
+per distinct key.  This stage exploits that top-k is a semigroup: the
+top-k of a union is the top-k of the per-part top-ks.  Each batch is
+reduced to at most k candidate rows per key it contains (vectorized
+sort + groupby-cumcount mask — no per-key Python), so the ONE
+coarse-bucket exchange carries O(k * keys_in_batch) rows instead of
+the corpus, and skewed groups are bounded by construction: a key with
+10^9 rows still contributes <= k rows per input block.
+
+Ordering is (value desc, then ``tie_cols`` asc) — deterministic for
+the driver's hash compare.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def grouped_topk(ds, key_cols: list[str], value_col: str, k: int,
+                 tie_cols: list[str] | None = None,
+                 num_buckets: int = 64, with_rank: str | None = None):
+    """Top ``k`` rows per ``key_cols`` group by ``value_col`` desc
+    (ties broken by ``tie_cols`` asc).  Optionally emits a 1-based
+    ``with_rank`` int64 column."""
+    tie_cols = tie_cols or []
+    sort_cols = [*key_cols, value_col, *tie_cols]
+    ascending = [True] * len(key_cols) + [False] + [True] * len(tie_cols)
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(sort_cols, ascending=ascending, kind="stable")
+        keep = b.groupby(key_cols, sort=False).cumcount() < k
+        out = b[keep].copy()
+        out["_kb"] = (
+            pd.util.hash_pandas_object(out[key_cols], index=False).to_numpy()
+            % num_buckets
+        ).astype("int32")
+        return out
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=ascending, kind="stable")
+        ranks = g.groupby(key_cols, sort=False).cumcount()
+        out = g[ranks < k].drop(columns=["_kb"])
+        if with_rank is not None:
+            out = out.copy()
+            out[with_rank] = (ranks[ranks < k] + 1).to_numpy(dtype="int64")
+        return out
+
+    return (ds.map_batches(local_topk, batch_format="pandas")
+            .groupby("_kb")
+            .map_groups(final_topk, batch_format="pandas"))

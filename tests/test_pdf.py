@@ -433,3 +433,60 @@ def test_decodeparms_predictor_degrades():
         b"/Filter /FlateDecode /DecodeParms << /Predictor 1 >>",
     )
     assert pdf_text_blocks(ok) == pdf_text_blocks(base)
+
+
+# --------------------------------------------------------------------------
+# JPEG EXIF orientation (APP1 / TIFF IFD0)
+# --------------------------------------------------------------------------
+
+def _tiff_ifd0(orientation, bo, lead_tags=0):
+    little = bo == b"II"
+    order = "little" if little else "big"
+
+    def u(v, n):
+        return v.to_bytes(n, order)
+
+    entries = b""
+    for k in range(lead_tags):  # dummy entries sorted before 0x0112
+        entries += u(0x0100 + k, 2) + u(3, 2) + u(1, 4) + u(7, 2) + b"\x00\x00"
+    entries += u(0x0112, 2) + u(3, 2) + u(1, 4) + u(orientation, 2) + b"\x00\x00"
+    ifd = u(lead_tags + 1, 2) + entries + u(0, 4)
+    return bo + u(42, 2) + u(8, 4) + ifd
+
+
+def _jpeg_exif(w, h, orientation, bo=b"II", lead_tags=0):
+    tiff = _tiff_ifd0(orientation, bo, lead_tags)
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    sof0 = (b"\xff\xc0\x00\x11\x08" + h.to_bytes(2, "big")
+            + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9)
+    return b"\xff\xd8" + app1 + sof0 + b"\xff\xd9"
+
+
+def test_jpeg_exif_orientation():
+    from rust_paddle_ocr_ray.functions.pdf import (
+        image_meta_span,
+        parse_jpeg_exif_orientation,
+    )
+
+    # both byte orders, orientation first or after dummy IFD0 entries
+    for bo in (b"II", b"MM"):
+        for lead in (0, 3):
+            data = _jpeg_exif(640, 480, 6, bo=bo, lead_tags=lead)
+            assert parse_jpeg_exif_orientation(data) == 6, (bo, lead)
+            assert image_meta_span(data)["raw"] == "image jpeg 640x480 o6"
+
+    # orientation 1..8 round-trips; out-of-range degrades
+    assert parse_jpeg_exif_orientation(_jpeg_exif(10, 10, 8)) == 8
+    assert parse_jpeg_exif_orientation(_jpeg_exif(10, 10, 9)) is None
+
+    # no APP1 -> no suffix (the existing per-format golden contract)
+    plain = _jpeg(1024, 768)
+    assert parse_jpeg_exif_orientation(plain) is None
+    assert image_meta_span(plain)["raw"] == "image jpeg 1024x768"
+
+    # malformed: truncated APP1, bad TIFF magic, wrong entry type
+    good = _jpeg_exif(10, 10, 6)
+    assert parse_jpeg_exif_orientation(good[:20]) is None
+    bad_magic = good.replace((42).to_bytes(2, "little"), b"\x00\x99", 1)
+    assert parse_jpeg_exif_orientation(bad_magic) is None
