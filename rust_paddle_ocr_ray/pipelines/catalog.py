@@ -1673,6 +1673,106 @@ SELECT doc_id, source, lang, n_chars, rnk FROM (
 """
 
 
+def q50_duplicate_ngrams(sf_dir: str):
+    """Per-document duplicate n-gram coverage — for every document, how
+    many of its distinct word trigrams occur in at least one OTHER
+    document and the covered fraction (the exact-substring-dedup
+    ranking signal; stages/dedup.duplicate_ngram_stats — two slim
+    (uint64, int64) exchanges, documents never shuffle)."""
+    from ..stages.dedup import duplicate_ngram_stats
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_ngram_stats(ds, "text", "doc_id", k=3)
+
+
+SQL_Q50 = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+                list_distinct(list_transform(range(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS grams
+  FROM w
+),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+dup AS (SELECT gram FROM e GROUP BY gram HAVING COUNT(*) > 1),
+cov AS (
+  SELECT e.doc_id, COUNT(*) AS n_dup
+  FROM e JOIN dup USING (gram) GROUP BY e.doc_id
+)
+SELECT g.doc_id,
+       len(g.grams)::BIGINT AS n_grams,
+       COALESCE(c.n_dup, 0)::BIGINT AS n_dup,
+       CASE WHEN len(g.grams) = 0 THEN 0.0
+            ELSE COALESCE(c.n_dup, 0) / len(g.grams) END AS dup_fraction
+FROM g LEFT JOIN cov c USING (doc_id)
+"""
+
+
+def q51_chunk_documents(sf_dir: str):
+    """Document chunking for embedding prep: overlapping 512-char
+    windows (stride 384) with codepoint offsets, one output row per
+    chunk (stages/chunk.py — pure flat-map, vectorized per chunk
+    ordinal via pyarrow utf8_slice_codeunits, no exchange)."""
+    from ..stages.chunk import chunk_documents
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, "text", "doc_id", size=512, overlap=128)
+
+
+SQL_Q51 = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE length(text) > 0),
+s AS (SELECT doc_id, text, n, unnest(range(0, n, 384)) AS st FROM d)
+SELECT doc_id, (st // 384)::BIGINT AS chunk_id, st::BIGINT AS begin_at,
+       LEAST(st + 512, n)::BIGINT AS end_at,
+       substr(text, st::INT + 1, 512) AS chunk
+FROM s
+"""
+
+
+def q52_weighted_sample(sf_dir: str):
+    """Deterministic weighted priority sample: 20 documents per source,
+    chosen by the smallest ``hash32(doc_id) / n_chars`` priority key —
+    the seeded-hash form of weighted reservoir sampling (longer docs
+    proportionally likelier), reproducible across engines and runs.
+    Scale shape: the key is a per-batch vectorized column and the
+    selection is the top-k SEMIGROUP combiner (stages/topk.py,
+    ascending) — each batch contributes <= k candidates per source to
+    the ONE coarse-bucket exchange, so the sample never ships the
+    corpus."""
+    from ..stages.topk import grouped_topk
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_chars"] > 0].copy()
+        h = md5_hex(b["doc_id"].astype("int64").astype(str))
+        h32 = h.str.slice(0, 8).map(lambda s: int(s, 16)).to_numpy(dtype="float64")
+        b["pkey"] = h32 / b["n_chars"].to_numpy(dtype="float64")
+        return b
+
+    out = grouped_topk(ds.map_batches(key, batch_format="pandas"),
+                       ["source"], "pkey", k=20, tie_cols=["doc_id"],
+                       with_rank="rnk", ascending=True)
+    return out.drop_columns(["pkey"])
+
+
+SQL_Q52 = """
+SELECT doc_id, source, n_chars, rnk FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                    / n_chars, doc_id) AS rnk
+  FROM documents WHERE n_chars > 0) WHERE rnk <= 20
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1727,4 +1827,7 @@ QUERIES: dict[str, tuple] = {
     "q47_posting_lists": (q47_posting_lists, SQL_Q47),
     "q48_normalized_dedup": (q48_normalized_dedup, SQL_Q48),
     "q49_grouped_topk": (q49_grouped_topk, SQL_Q49),
+    "q50_duplicate_ngrams": (q50_duplicate_ngrams, SQL_Q50),
+    "q51_chunk_documents": (q51_chunk_documents, SQL_Q51),
+    "q52_weighted_sample": (q52_weighted_sample, SQL_Q52),
 }

@@ -459,3 +459,92 @@ def ngram_jaccard_pairs(docs, text_col: str, id_col: str, bucket_cols: list[str]
         return pd.DataFrame(out, columns=["a", "b", "jaccard"])
 
     return docs.groupby(bucket_cols).map_groups(pairs, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# duplicate n-gram coverage (exact-substring-dedup signal)
+# --------------------------------------------------------------------------
+
+def duplicate_ngram_stats(docs, text_col: str, id_col: str, k: int = 3,
+                          num_buckets: int | None = None,
+                          doc_buckets: int = 256,
+                          rows_hint: int | None = None):
+    """Per-document duplicate n-gram coverage: for every doc, how many
+    of its DISTINCT word ``k``-grams also occur in at least one OTHER
+    document, and the covered fraction — the per-doc signal exact
+    substring deduplication ranks and prunes on (the corpus-level
+    "how much of this page is boilerplate shared with other pages"
+    measure; pairwise forms of the same shingle machinery feed q17-q19).
+
+    Scale shape (two slim exchanges, documents never shuffle):
+
+    1. per batch: distinct shingle hashes per doc -> (h:uint64,
+       doc:int64) rows, bucketed by ``h % num_buckets`` — the only
+       corpus-sized stream, 16 bytes/row.
+    2. per hash-bucket group: ``np.unique`` doc-count per hash marks
+       duplicated grams (a gram's occurrences all share a bucket, so
+       the count is complete); reduce to per-(bucket, doc) partials
+       (n, n_dup) — at most ``num_buckets`` rows per doc.
+    3. per doc-bucket group: sum partials, emit fraction.  A zero
+       partial per doc (unioned from a second pruned read) keeps
+       shingle-less docs in the output with ``n_grams = 0``.
+
+    Within-doc repeats do NOT count as duplication (grams are distinct
+    per doc before the exchange) — matching the SQL twin's
+    ``list_distinct`` formulation.
+    """
+    from ..sizing import data_aware_buckets, estimate_rows
+
+    # The exchanged stream is SHINGLE rows, ~1 per word per doc — inflate
+    # the metadata doc count by a nominal grams/doc so the bucket floor
+    # tracks the real exchange volume (callers with a better number pass
+    # rows_hint).
+    est = rows_hint or (lambda e: e * 64 if e else None)(estimate_rows(docs))
+    K = num_buckets or data_aware_buckets(est)
+
+    def shingle_rows(b: pd.DataFrame) -> pd.DataFrame:
+        hs, rid = [], []
+        for i, t in zip(b[id_col].to_numpy(dtype="int64"), b[text_col]):
+            sh = word_shingles(str(t), k)
+            if sh:
+                hs.append(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
+                rid.append(np.full(len(hs[-1]), i, dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        d = np.concatenate(rid) if rid else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({
+            "h": h, "doc": d, "hb": (h % np.uint64(K)).astype("int32"),
+        })
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        out = pd.DataFrame({"doc": g["doc"].to_numpy(),
+                            "isdup": (cnt[inv] > 1).astype("int64")})
+        p = (out.groupby("doc", sort=False)
+             .agg(n=("isdup", "size"), n_dup=("isdup", "sum")).reset_index())
+        p["db"] = (p["doc"].to_numpy() % doc_buckets).astype("int32")
+        return p[["doc", "n", "n_dup", "db"]]
+
+    def zero_partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[id_col].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "doc": d,
+            "n": np.zeros(len(d), dtype="int64"),
+            "n_dup": np.zeros(len(d), dtype="int64"),
+            "db": (d % doc_buckets).astype("int32"),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc", sort=False)[["n", "n_dup"]]
+               .sum().reset_index()
+               .rename(columns={"doc": id_col, "n": "n_grams"}))
+        n = out["n_grams"].to_numpy(dtype="float64")
+        out["dup_fraction"] = np.where(
+            n > 0, out["n_dup"].to_numpy(dtype="float64") / n, 0.0)
+        return out
+
+    partials = (docs.map_batches(shingle_rows, batch_format="pandas")
+                .groupby("hb").map_groups(bucket_partials, batch_format="pandas"))
+    zeros = docs.map_batches(zero_partials, batch_format="pandas")
+    return (partials.union(zeros)
+            .groupby("db").map_groups(combine, batch_format="pandas"))

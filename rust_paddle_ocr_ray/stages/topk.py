@@ -22,13 +22,15 @@ import pandas as pd
 
 def grouped_topk(ds, key_cols: list[str], value_col: str, k: int,
                  tie_cols: list[str] | None = None,
-                 num_buckets: int = 64, with_rank: str | None = None):
+                 num_buckets: int = 64, with_rank: str | None = None,
+                 ascending: bool = False):
     """Top ``k`` rows per ``key_cols`` group by ``value_col`` desc
-    (ties broken by ``tie_cols`` asc).  Optionally emits a 1-based
-    ``with_rank`` int64 column."""
+    (``ascending=True`` selects the k SMALLEST instead — the
+    priority-sample direction; ties broken by ``tie_cols`` asc either
+    way).  Optionally emits a 1-based ``with_rank`` int64 column."""
     tie_cols = tie_cols or []
     sort_cols = [*key_cols, value_col, *tie_cols]
-    ascending = [True] * len(key_cols) + [False] + [True] * len(tie_cols)
+    ascending = [True] * len(key_cols) + [ascending] + [True] * len(tie_cols)
 
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(sort_cols, ascending=ascending, kind="stable")

@@ -59,6 +59,20 @@ def test_small_groups_and_k_larger_than_group(ray_session):
     pd.testing.assert_frame_equal(got[ref.columns], ref)
 
 
+def test_ascending_selects_smallest(ray_session):
+    """ascending=True is the priority-sample direction: k smallest."""
+    df = _make(1500, seed=4)
+    got = (grouped_topk(rd.from_pandas(df).repartition(9),
+                        ["source", "lang"], "n_chars", k=3,
+                        tie_cols=["doc_id"], with_rank="rnk", ascending=True)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    r = df.sort_values(["source", "lang", "n_chars", "doc_id"], kind="stable")
+    r = r.groupby(["source", "lang"], sort=False).head(3).copy()
+    r["rnk"] = r.groupby(["source", "lang"], sort=False).cumcount() + 1
+    ref = r.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[ref.columns], ref)
+
+
 def test_local_partial_bounds_candidates(ray_session):
     """The per-batch partial must emit <= k rows per key per batch —
     the property that bounds a skewed group's exchange volume."""
