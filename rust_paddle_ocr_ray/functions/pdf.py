@@ -358,22 +358,193 @@ def iter_content_streams(data: bytes):
             yield content
 
 
-def _block_text(region: bytes) -> str:
-    """One BT..ET region -> its shown text, positioning ops as newlines."""
+# --------------------------------------------------------------------------
+# ToUnicode CMaps (ISO 32000 §9.10.3, Adobe CMap/CIDFont spec TN 5014)
+# --------------------------------------------------------------------------
+
+_OBJ_RE_TMPL = rb"(?<![0-9])%d\s+\d+\s+obj\b"
+_FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONTREF_RE = re.compile(rb"/([A-Za-z0-9]+)\s+(\d+)\s+\d+\s+R")
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_HEX_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_BFRANGE_ITEM_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)", re.S)
+_CMAP_MAX_ENTRIES = 1 << 16  # bound per-font mapping memory
+
+
+def _object_body(data: bytes, num: int) -> bytes | None:
+    """Bytes between ``<num> <gen> obj`` and its ``endobj``, or None."""
+    m = re.search(_OBJ_RE_TMPL % num, data)
+    if m is None:
+        return None
+    end = data.find(b"endobj", m.end())
+    return data[m.end():end if end != -1 else len(data)]
+
+
+def _decode_stream_in(body: bytes) -> bytes | None:
+    """First stream inside an object body, decoded through its declared
+    filter chain (same machinery/degradation as iter_content_streams)."""
+    m = _STREAM_RE.search(body)
+    if m is None:
+        return None
+    end = body.find(b"endstream", m.end())
+    if end == -1:
+        return None
+    raw = body[m.end():end]
+    chain = _stream_filters(body, m.start())
+    if chain is not None:
+        if not all(f in _FILTERS for f in chain):
+            return None
+        try:
+            for f in chain:
+                raw = _FILTERS[f](raw)
+            return raw
+        except Exception:
+            return None
+    try:
+        return _flate(raw)
+    except zlib.error:
+        return _strip_eol(raw)
+
+
+def _utf16be(hx: bytes) -> str:
+    try:
+        return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
+    except (ValueError, UnicodeDecodeError):
+        return ""
+
+
+def _parse_cmap(cm: bytes) -> tuple[int, dict[int, str]] | None:
+    """(code byte-width, code -> text) from a ToUnicode CMap stream.
+    Width from the codespace range (fallback: first bfchar src token);
+    bfrange increments the LAST 16-bit unit of the dst (per spec).
+    Only widths 1 and 2 are supported; anything else degrades to None
+    (callers fall back to the plain byte decode)."""
+    width = None
+    m = _CODESPACE_RE.search(cm)
+    if m is not None:
+        h = _HEX_TOK_RE.search(m.group(1))
+        if h is not None:
+            width = len(h.group(1)) // 2
+    mapping: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(cm):
+        toks = _HEX_TOK_RE.findall(m.group(1))
+        for s, d in zip(toks[0::2], toks[1::2]):
+            if width is None:
+                width = len(s) // 2
+            if len(mapping) >= _CMAP_MAX_ENTRIES:
+                break
+            mapping[int(s, 16)] = _utf16be(d)
+    for lo, hi, dst in (item for rng in _BFRANGE_RE.finditer(cm)
+                        for item in _BFRANGE_ITEM_RE.findall(rng.group(1))):
+        lo_i, hi_i = int(lo, 16), int(hi, 16)
+        if width is None:
+            width = len(lo) // 2
+        hi_i = min(hi_i, lo_i + _CMAP_MAX_ENTRIES)
+        if dst.startswith(b"["):
+            ds = _HEX_TOK_RE.findall(dst)
+            for off, d in enumerate(ds):
+                if lo_i + off > hi_i or len(mapping) >= _CMAP_MAX_ENTRIES:
+                    break
+                mapping[lo_i + off] = _utf16be(d)
+        else:
+            try:
+                base = bytes.fromhex(dst[1:-1].decode("ascii"))
+            except (ValueError, UnicodeDecodeError):
+                continue
+            if len(base) < 2 or len(base) % 2:
+                continue
+            prefix, last = base[:-2], int.from_bytes(base[-2:], "big")
+            for c in range(lo_i, hi_i + 1):
+                if len(mapping) >= _CMAP_MAX_ENTRIES:
+                    break
+                u = last + (c - lo_i)
+                if u > 0xFFFF:
+                    break
+                mapping[c] = (prefix + u.to_bytes(2, "big")).decode(
+                    "utf-16-be", "replace")
+    if width not in (1, 2) or not mapping:
+        return None
+    return width, mapping
+
+
+def _font_cmaps(data: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
+    """Resource font name (e.g. b"F1") -> parsed ToUnicode CMap, for
+    every font bound by INDIRECT REFERENCE in a ``/Font << ... >>``
+    resource dict (the overwhelmingly common form; inline font dicts
+    are not resolved — their shows fall back to the byte decode)."""
+    out: dict[bytes, tuple[int, dict[int, str]]] = {}
+    cmap_cache: dict[int, tuple[int, dict[int, str]] | None] = {}
+    for fd in _FONTDICT_RE.finditer(data):
+        for name, objnum in _FONTREF_RE.findall(fd.group(1)):
+            if name in out:
+                continue
+            body = _object_body(data, int(objnum))
+            if body is None:
+                continue
+            tu = _TOUNI_RE.search(body)
+            if tu is None:
+                continue
+            tu_num = int(tu.group(1))
+            if tu_num not in cmap_cache:
+                tu_body = _object_body(data, tu_num)
+                cm = _decode_stream_in(tu_body) if tu_body is not None else None
+                cmap_cache[tu_num] = _parse_cmap(cm) if cm is not None else None
+            if cmap_cache[tu_num] is not None:
+                out[name] = cmap_cache[tu_num]
+    return out
+
+
+def _cmap_decode(raw: bytes, cmap: tuple[int, dict[int, str]]) -> str:
+    """Show-string bytes -> text through a ToUnicode CMap: consume
+    ``width``-byte codes, emit the mapped text; unmapped codes emit
+    nothing (degrade silently, never garbage)."""
+    width, mapping = cmap
+    return "".join(
+        mapping.get(int.from_bytes(raw[i:i + width], "big"), "")
+        for i in range(0, len(raw) - width + 1, width)
+    )
+
+
+def _block_text(region: bytes,
+                fonts: dict[bytes, tuple[int, dict[int, str]]] | None = None) -> str:
+    """One BT..ET region -> its shown text, positioning ops as newlines.
+    String operands stay RAW until their show operator executes, so the
+    font selected by the preceding ``Tf`` decides the decode: a font
+    with a ToUnicode CMap decodes through it, everything else through
+    the plain PDF string rules (BOM'd UTF-16BE / Latin-1)."""
     parts: list[str] = []
-    pend: list[str] = []
+    pend: list[bytes] = []
     n = len(region)
     i = 0
+    last_name: bytes | None = None
+    cmap: tuple[int, dict[int, str]] | None = None
 
     def newline() -> None:
         if parts and not parts[-1].endswith("\n"):
             parts.append("\n")
 
+    def show() -> None:
+        for raw in pend:
+            parts.append(_cmap_decode(raw, cmap) if cmap is not None
+                         else _pdf_text(raw))
+        pend.clear()
+
     while i < n:
         c = region[i]
         if c == 0x28:  # ( literal string
             raw, i = _scan_literal(region, i)
-            pend.append(_pdf_text(raw))
+            pend.append(raw)
+        elif c == 0x2F:  # / name (a Tf operand candidate)
+            m = _NAME_RE.match(region, i)
+            if m is not None:
+                last_name = m.group(1)
+                i = m.end()
+            else:
+                i += 1
         elif c == 0x3C:  # < hex string or << dict
             if region[i:i + 2] == b"<<":
                 depth = 1
@@ -396,7 +567,7 @@ def _block_text(region: bytes) -> str:
                 if len(hx) % 2:
                     hx += b"0"
                 try:
-                    pend.append(_pdf_text(bytes.fromhex(hx.decode("ascii"))))
+                    pend.append(bytes.fromhex(hx.decode("ascii")))
                 except (ValueError, UnicodeDecodeError):
                     pass
                 i = j + 1
@@ -408,24 +579,25 @@ def _block_text(region: bytes) -> str:
             op = m.group()
             i = m.end()
             if op in _SHOW_OPS:
-                parts.extend(pend)
-                pend.clear()
+                show()
             elif op in _NEWLINE_SHOW_OPS:
                 newline()
-                parts.extend(pend)
-                pend.clear()
+                show()
             elif op in _NEWLINE_OPS:
                 newline()
                 pend.clear()
+            elif op == b"Tf" and fonts is not None:
+                cmap = fonts.get(last_name) if last_name is not None else None
     return "".join(parts)
 
 
 def pdf_text_blocks(data: bytes) -> list[str]:
     """All non-empty text blocks of a PDF payload, in stream order."""
+    fonts = _font_cmaps(data)
     blocks: list[str] = []
     for content in iter_content_streams(data):
         for m in _BT_RE.finditer(content):
-            t = _block_text(m.group(1)).strip()
+            t = _block_text(m.group(1), fonts or None).strip()
             if t:
                 blocks.append(t)
     return blocks

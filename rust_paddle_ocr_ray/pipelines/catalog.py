@@ -1773,6 +1773,132 @@ SELECT doc_id, source, n_chars, rnk FROM (
 """
 
 
+def q53_tfdf_top_terms(sf_dir: str):
+    """Characteristic terms per document: top-3 tokens by the rational
+    TF-IDF surrogate ``score = tf * N / df`` (no log — transcendental
+    kernels differ in the last ulp between engines; the RATIONAL form
+    ranks identically to tf*(N/df) monotone transforms and compares
+    bit-exactly against the SQL twin).
+
+    Scale shape: per-batch vectorized (doc, term, tf) partials (a doc
+    lives in one batch, so tf is complete) → ONE term-bucket exchange
+    where df-per-term is counted AND joined to the rows in the same
+    task (no second pass) → the grouped top-k semigroup combiner picks
+    3 terms per doc.  Everything exchanged is (int64, token, int64)
+    slim rows; documents never shuffle."""
+    from ..stages.topk import grouped_topk
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = estimate_rows(ds)
+    assert n_docs, "parquet metadata count required"
+
+    def tf_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.lower().str.split().explode()
+        ids = b["doc_id"].to_numpy(dtype="int64")[
+            toks.index.to_numpy(dtype="int64")]
+        out = pd.DataFrame({"doc_id": ids, "term": toks.to_numpy(dtype=object)})
+        out = out.dropna(subset=["term"])
+        g = (out.groupby(["doc_id", "term"], sort=False).size()
+             .reset_index(name="tf"))
+        g["tf"] = g["tf"].astype("int64")
+        g["tb"] = (pd.util.hash_pandas_object(g["term"], index=False)
+                   .to_numpy() % 128).astype("int32")
+        return g
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _, inv, cnt = np.unique(g["term"].to_numpy(dtype=object),
+                                return_inverse=True, return_counts=True)
+        out = g.drop(columns=["tb"]).copy()
+        out["df"] = cnt[inv].astype("int64")
+        out["score"] = (out["tf"].to_numpy(dtype="float64") * float(n_docs)
+                        / out["df"].to_numpy(dtype="float64"))
+        return out
+
+    scored = (ds.map_batches(tf_partial, batch_format="pandas")
+              .groupby("tb").map_groups(score_bucket, batch_format="pandas"))
+    return grouped_topk(scored, ["doc_id"], "score", k=3,
+                        tie_cols=["term"], with_rank="rnk")
+
+
+SQL_Q53 = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)
+SELECT doc_id, term, tf, df, score, rnk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (SELECT n FROM n) / df.df AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * (SELECT n FROM n) / df.df DESC,
+                                     tf.term) AS rnk
+  FROM tf JOIN df USING (term))
+WHERE rnk <= 3
+"""
+
+
+def q54_centroid_exemplars(sf_dir: str):
+    """Per-label centroid exemplars: mean embedding per label, then the
+    5 vectors most cosine-similar to their own label's centroid
+    (stages/similarity.label_centroid_topk — tiny driver-combined
+    partial sums broadcast once, vectorized cosine pass, grouped top-k
+    semigroup combiner; only (label, id, rank) ints leave the pass)."""
+    from ..stages.similarity import label_centroid_topk
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    return label_centroid_topk(ds, "vec_id", "embedding", "label", k=5)
+
+
+SQL_Q54 = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (SELECT vec_id, label, unnest(v) AS val,
+             unnest(range(1, len(v) + 1)) AS dim FROM e),
+c AS (SELECT label, dim, AVG(val) AS m FROM u GROUP BY 1, 2),
+s AS (
+  SELECT u.vec_id, u.label,
+         SUM(u.val * c.m) / (SQRT(SUM(u.val * u.val)) * SQRT(SUM(c.m * c.m))) AS cos
+  FROM u JOIN c USING (label, dim)
+  GROUP BY 1, 2
+)
+SELECT label, vec_id, rnk FROM (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) AS rnk
+  FROM s) WHERE rnk <= 5
+"""
+
+
+def q55_funnel(sf_dir: str):
+    """Ordered-funnel analysis over the event stream: users reaching
+    each stage of signup -> view -> click -> purchase with strictly
+    increasing timestamps (stages/temporal.funnel_counts — type-filter
+    before the ONE user-bucket exchange, vectorized per-stage
+    min-merge inside, (depth, n) partials out)."""
+    from ..stages.temporal import funnel_counts
+
+    ev = _rp(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    return funnel_counts(ev, "user_id", "ts", "event_type",
+                         ["signup", "view", "click", "purchase"])
+
+
+SQL_Q55 = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+SELECT 1::BIGINT AS stage, 'signup' AS event_type,
+       (SELECT COUNT(*) FROM s1)::BIGINT AS users
+UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1830,4 +1956,7 @@ QUERIES: dict[str, tuple] = {
     "q50_duplicate_ngrams": (q50_duplicate_ngrams, SQL_Q50),
     "q51_chunk_documents": (q51_chunk_documents, SQL_Q51),
     "q52_weighted_sample": (q52_weighted_sample, SQL_Q52),
+    "q53_tfdf_top_terms": (q53_tfdf_top_terms, SQL_Q53),
+    "q54_centroid_exemplars": (q54_centroid_exemplars, SQL_Q54),
+    "q55_funnel": (q55_funnel, SQL_Q55),
 }

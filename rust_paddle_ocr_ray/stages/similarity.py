@@ -270,3 +270,63 @@ def embedding_dup_pairs(embeddings, id_col: str, vec_col: str, bucket_col: str,
                              "cos": sims[ii[keep], jj[keep]]})
 
     return embeddings.groupby(bucket_col).map_groups(pairs, batch_format="pandas")
+
+
+def label_centroid_topk(embeddings, id_col: str, vec_col: str,
+                        label_col: str, k: int = 5):
+    """Per-label centroid exemplars: the mean vector of every label
+    group, then the ``k`` vectors most cosine-similar to their OWN
+    label's centroid, ranked (1-based).  The "best exemplars per
+    cluster" curation step downstream of any clustering/labeling pass.
+
+    Scale shape (two streaming passes over the table — a re-read beats
+    a mid-pipeline materialize):
+
+    1. per-batch partial (label, n, sum-vector) rows — at most
+       labels x blocks tiny rows — combined on the DRIVER (labels are
+       few by construction; the sum vector is D floats) and broadcast
+       once via ``ray.put``.
+    2. per-batch cosine of every row against its own label's centroid
+       (one vectorized matmul row-gather), then the grouped top-k
+       SEMIGROUP combiner keeps <= k candidates per label per batch.
+
+    Only (label, id, rank) leave the second pass — floats stay inside
+    (cross-engine float ordering is stable, values are not; the q20
+    rank-only contract)."""
+    import ray
+
+    from .topk import grouped_topk
+
+    def partial_sums(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lab, g in b.groupby(label_col, sort=False):
+            m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+            out.append((lab, len(g), m.sum(axis=0).tobytes()))
+        return pd.DataFrame(out, columns=["label", "n", "vsum"])
+
+    parts = embeddings.map_batches(partial_sums, batch_format="pandas").take_all()
+    acc: dict = {}
+    for r in parts:
+        n0, s0 = acc.get(r["label"], (0, None))
+        v = np.frombuffer(r["vsum"], dtype=np.float64)
+        acc[r["label"]] = (n0 + r["n"], v if s0 is None else s0 + v)
+    cent = {lab: s / n for lab, (n, s) in acc.items()}
+    cent_ref = ray.put(cent)
+
+    def cos_rows(b: pd.DataFrame) -> pd.DataFrame:
+        c = _get_broadcast(cent_ref)
+        mat = _norm_rows(np.stack(b[vec_col].to_numpy()).astype(np.float64))
+        labs = b[label_col].to_numpy()
+        cmat = _norm_rows(np.stack([c[l] for l in pd.unique(labs)]))
+        lut = {l: i for i, l in enumerate(pd.unique(labs))}
+        rows = cmat[[lut[l] for l in labs]]
+        return pd.DataFrame({
+            label_col: labs,
+            id_col: b[id_col].to_numpy(dtype="int64"),
+            "cos": np.einsum("ij,ij->i", mat, rows),
+        })
+
+    top = grouped_topk(embeddings.map_batches(cos_rows, batch_format="pandas"),
+                       [label_col], "cos", k=k, tie_cols=[id_col],
+                       with_rank="rnk")
+    return top.drop_columns(["cos"])

@@ -555,3 +555,59 @@ def range_join_agg(left, right, key_col: str, ts_col: str, id_col: str,
         right.map_batches(tag_right, batch_format="pandas")
     )
     return both.groupby("bucket").map_groups(agg_bucket, batch_format="pandas")
+
+
+def funnel_counts(events, user_col: str, ts_col: str, type_col: str,
+                  stages: list[str], num_buckets: int | None = None):
+    """Ordered-funnel analysis: for each user, the deepest prefix of
+    ``stages`` reachable by strictly-increasing timestamps (stage i+1
+    counts only at an event strictly AFTER the instant stage i was
+    reached, each stage taken at its earliest qualifying event).
+    Returns one row per stage: (stage 1-based, event_type, users who
+    reached at least that stage).
+
+    Scale shape: rows are pre-filtered to funnel event types at the
+    read side of the exchange, then ONE user-bucket exchange (all of a
+    user's funnel events meet in one task — the sessionize contract);
+    per bucket the scan is a vectorized per-stage min-merge, emitting
+    only (depth, n) partial counts; the final combine handles
+    len(stages) x buckets tiny rows."""
+    buckets = num_buckets or _default_buckets(events)
+    order = {s: i for i, s in enumerate(stages)}
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[type_col].isin(order)]
+        out = pd.DataFrame({
+            user_col: b[user_col].to_numpy(),
+            "_ts": _ts_us(b[ts_col]),
+            "_st": b[type_col].map(order).to_numpy(dtype="int8"),
+        })
+        out["bucket"] = _key_bucket(out[user_col], buckets)
+        return out
+
+    def depths(g: pd.DataFrame) -> pd.DataFrame:
+        cur = (g[g["_st"] == 0].groupby(user_col, sort=False)["_ts"].min())
+        counts = np.zeros(len(stages), dtype=np.int64)
+        counts[0] = len(cur)
+        for i in range(1, len(stages)):
+            if cur.empty:
+                break
+            ev = g[g["_st"] == i]
+            m = ev.merge(cur.rename("_prev"), left_on=user_col,
+                         right_index=True).reset_index(drop=True)
+            m = m[m["_ts"] > m["_prev"]]
+            cur = m.groupby(user_col, sort=False)["_ts"].min()
+            counts[i] = len(cur)
+        return pd.DataFrame({"stage": np.arange(1, len(stages) + 1,
+                                                dtype="int64"),
+                             "users": counts, "_one": np.int8(0)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("stage", sort=True)["users"].sum().reset_index())
+        out["event_type"] = [stages[i - 1] for i in out["stage"]]
+        out["users"] = out["users"].astype("int64")
+        return out[["stage", "event_type", "users"]]
+
+    return (events.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket").map_groups(depths, batch_format="pandas")
+            .groupby("_one").map_groups(combine, batch_format="pandas"))

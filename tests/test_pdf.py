@@ -490,3 +490,93 @@ def test_jpeg_exif_orientation():
     assert parse_jpeg_exif_orientation(good[:20]) is None
     bad_magic = good.replace((42).to_bytes(2, "little"), b"\x00\x99", 1)
     assert parse_jpeg_exif_orientation(bad_magic) is None
+
+
+# --------------------------------------------------------------------------
+# ToUnicode CMaps (ISO 32000 §9.10.3)
+# --------------------------------------------------------------------------
+
+def _cmap_pdf(cmap: bytes, content: bytes, font_name: bytes = b"F1") -> bytes:
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Page /Resources << /Font << /" + font_name +
+        b" 2 0 R >> >> >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 3 0 R >>\nendobj\n"
+        b"3 0 obj\n<< >>\nstream\n" + cmap + b"\nendstream\nendobj\n"
+        b"4 0 obj\n<< >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+
+
+_CMAP_2B = b"""\
+/CIDInit /ProcSet findresource begin
+begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0001> <0048>
+<0002> <0065>
+endbfchar
+1 beginbfrange
+<0010> <0012> <006C>
+endbfrange
+1 beginbfrange
+<0020> <0021> [<0041> <00420043>]
+endbfrange
+endcmap
+"""
+
+
+def test_cmap_bfchar_bfrange_and_array():
+    content = b"BT /F1 12 Tf <0001 0002 0010 0010 0012 0020 0021> Tj ET"
+    assert pdf_text_blocks(_cmap_pdf(_CMAP_2B, content)) == ["HellnABC"]
+
+
+def test_cmap_unmapped_codes_degrade_silently():
+    content = b"BT /F1 12 Tf <0001 9999 0002> Tj ET"
+    assert pdf_text_blocks(_cmap_pdf(_CMAP_2B, content)) == ["He"]
+
+
+def test_cmap_only_applies_after_tf_and_per_font():
+    # before Tf: plain byte decode; after Tf /F1: CMap decode
+    content = b"BT (Hi) Tj /F1 12 Tf <0001> Tj ET"
+    assert pdf_text_blocks(_cmap_pdf(_CMAP_2B, content)) == ["HiH"]
+    # a font with no ToUnicode keeps the plain decode
+    content2 = b"BT /G7 9 Tf (Hi) Tj ET"
+    assert pdf_text_blocks(_cmap_pdf(_CMAP_2B, content2)) == ["Hi"]
+
+
+def test_cmap_one_byte_codespace_and_literal_strings():
+    cm = (b"begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+          b"2 beginbfchar\n<41> <0058>\n<42> <0059>\nendbfchar\nendcmap")
+    # literal string bytes route through the CMap too (A->X, B->Y)
+    content = b"BT /F1 8 Tf (AB) Tj ET"
+    assert pdf_text_blocks(_cmap_pdf(cm, content)) == ["XY"]
+
+
+def test_cmap_bfrange_increments_last_utf16_unit():
+    # surrogate-pair dst: <D83DDE00> is U+1F600; range adds to the LOW unit
+    cm = (b"begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+          b"1 beginbfrange\n<0005> <0006> <D83DDE00>\nendbfrange\nendcmap")
+    content = b"BT /F1 8 Tf <00050006> Tj ET"
+    assert pdf_text_blocks(_cmap_pdf(cm, content)) == ["\U0001F600\U0001F601"]
+
+
+def test_cmap_flate_compressed_stream():
+    import zlib
+
+    comp = zlib.compress(_CMAP_2B)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Resources << /Font << /F1 2 0 R >> >> >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Font /ToUnicode 3 0 R >>\nendobj\n"
+        b"3 0 obj\n<< /Filter /FlateDecode >>\nstream\n" + comp +
+        b"\nendstream\nendobj\n"
+        b"4 0 obj\n<< >>\nstream\nBT /F1 12 Tf <00010002> Tj ET\nendstream\nendobj\n"
+    )
+    assert pdf_text_blocks(pdf) == ["He"]
+
+
+def test_no_cmap_pdfs_unchanged():
+    # the synthetic corpus (no ToUnicode anywhere) must extract identically
+    pdf = make_pdf(["alpha beta gamma delta epsilon zeta eta theta"])
+    assert pdf_text_blocks(pdf) == ["alpha beta gamma delta epsilon zeta eta theta"]
