@@ -1899,6 +1899,84 @@ UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)
 """
 
 
+def q56_customers_no_orders(sf_dir: str):
+    """Anti join + dimension rollup: customers with NO urgent order,
+    counted per nation (the NOT-EXISTS shape; TPC-H q22 flavor).
+    Scale shape: the right side filters at the read and ships as
+    DISTINCT KEYS only (per-batch pre-dedup), the anti filter runs
+    inside hash_join's ONE key-bucket exchange (how="anti"), and the
+    25-row nation dim is a broadcast lookup."""
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    okeys = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def distinct_keys(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderpriority"].str.startswith("1-")]
+        return pd.DataFrame({"c_custkey":
+                             pd.unique(b["o_custkey"].to_numpy(dtype="int64"))})
+
+    from ..stages.join import broadcast_lookup, hash_join
+
+    no_orders = hash_join(
+        cust, okeys.map_batches(distinct_keys, batch_format="pandas"),
+        on="c_custkey", how="anti",
+    )
+    counts = no_orders.groupby("c_nationkey").aggregate(Count(alias_name="customers"))
+    nat = pq.read_table(_t(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    out = broadcast_lookup(counts, dict(zip(nat.n_nationkey, nat.n_name)),
+                           "c_nationkey", "n_name")
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_name": b["n_name"],
+                             "customers": b["customers"].astype("int64")})
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_Q56 = """
+SELECT n_name, COUNT(*)::BIGINT AS customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority LIKE '1-%')
+GROUP BY 1
+"""
+
+
+def q57_user_cumspend(sf_dir: str):
+    """Per-user cumulative spend over time — the running-total window
+    (stages/temporal.keyed_running_sum: ONE user-bucket exchange,
+    vectorized sort + cumsum inside).  Values run as INTEGER CENTS so
+    the cumulative sums are order-exact on both engines (the q37
+    rule), divided back to 2-decimal dollars at the end."""
+    from ..stages.temporal import keyed_running_sum
+
+    ev = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["value"] = np.round(b["value"].to_numpy(dtype="float64") * 100.0)
+        return b
+
+    run = keyed_running_sum(ev.map_batches(cents, batch_format="pandas"),
+                            "user_id", "ts", "event_id", "value")
+
+    def dollars(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64"),
+            "cum_value": b["run"].to_numpy(dtype="float64") / 100.0,
+        })
+
+    return run.map_batches(dollars, batch_format="pandas")
+
+
+SQL_Q57 = """
+SELECT event_id,
+       SUM(ROUND(value * 100)::BIGINT) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) / 100.0 AS cum_value
+FROM events
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1959,4 +2037,6 @@ QUERIES: dict[str, tuple] = {
     "q53_tfdf_top_terms": (q53_tfdf_top_terms, SQL_Q53),
     "q54_centroid_exemplars": (q54_centroid_exemplars, SQL_Q54),
     "q55_funnel": (q55_funnel, SQL_Q55),
+    "q56_customers_no_orders": (q56_customers_no_orders, SQL_Q56),
+    "q57_user_cumspend": (q57_user_cumspend, SQL_Q57),
 }

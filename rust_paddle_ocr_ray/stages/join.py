@@ -102,6 +102,11 @@ def hash_join(left, right, on: str, num_buckets: int | None = None,
     """Explicit partitioned hash join of two Datasets on key ``on``
     (integer or string — ``_key_bucket`` hashes any dtype).
 
+    ``how`` additionally accepts ``"anti"`` / ``"semi"`` (left rows
+    with no / at least one right match, left columns only — the
+    EXISTS/NOT-EXISTS shapes); for those, project the right side to
+    its key column first so the exchange ships keys, not payload.
+
     ``num_buckets=None`` sizes the bucket count from cluster width AND
     (when the inputs carry metadata row counts) a per-bucket row budget,
     so one bucket's heap stays bounded as data grows on a fixed-width
@@ -143,6 +148,9 @@ def hash_join(left, right, on: str, num_buckets: int | None = None,
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
         lg = g.loc[g["__side"] == "l", l_cols]
         rg = g.loc[g["__side"] == "r", r_cols]
+        if how in ("anti", "semi"):
+            hit = lg[on].isin(rg[on].unique())
+            return lg[~hit] if how == "anti" else lg[hit]
         return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
 
     return both.groupby("__bucket").map_groups(join_group, batch_format="pandas")

@@ -611,3 +611,36 @@ def funnel_counts(events, user_col: str, ts_col: str, type_col: str,
     return (events.map_batches(bucketize, batch_format="pandas")
             .groupby("bucket").map_groups(depths, batch_format="pandas")
             .groupby("_one").map_groups(combine, batch_format="pandas"))
+
+
+def keyed_running_sum(ds, key_col: str, ts_col: str, id_col: str,
+                      value_col: str, num_buckets: int | None = None):
+    """Per-key running sum in (``ts_col``, ``id_col``) order — the
+    cumulative-spend / rolling-total window.  ``value_col`` should be
+    an INTEGER column (e.g. cents): integer running sums are
+    order-exact, so the result compares bit-for-bit against a SQL
+    window twin regardless of each engine's internal summation tree.
+
+    Scale shape: ONE key-bucket exchange (all rows of a key meet in
+    one task — the sessionize contract); inside, one vectorized sort +
+    ``groupby(...).cumsum``.  Returns (id_col, run:int64)."""
+    buckets = num_buckets or _default_buckets(ds)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            key_col: b[key_col].to_numpy(),
+            "_ts": _ts_us(b[ts_col]),
+            id_col: b[id_col].to_numpy(dtype="int64"),
+            "_v": b[value_col].to_numpy(dtype="int64"),
+        })
+        out["bucket"] = _key_bucket(out[key_col], buckets)
+        return out
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_ts", id_col], kind="stable")
+        run = g.groupby(key_col, sort=False)["_v"].cumsum()
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "run": run.to_numpy(dtype="int64")})
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket").map_groups(scan, batch_format="pandas"))
