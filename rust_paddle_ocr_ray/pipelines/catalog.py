@@ -1977,6 +1977,26 @@ FROM events
 """
 
 
+def q58_percent_rank(sf_dir: str):
+    """Per-source PERCENT_RANK of document length — the
+    rank-normalized quality score used to compare documents across
+    strata with different length distributions
+    (stages/quantile.grouped_percent_rank: histogram collapse, slim
+    rank map, measured broadcast join-back with a distributed
+    fallback)."""
+    from ..stages.quantile import grouped_percent_rank
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return grouped_percent_rank(ds, "source", "n_chars")
+
+
+SQL_Q58 = """
+SELECT doc_id, source, n_chars,
+       PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars) AS pct_rank
+FROM documents
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2039,4 +2059,5 @@ QUERIES: dict[str, tuple] = {
     "q55_funnel": (q55_funnel, SQL_Q55),
     "q56_customers_no_orders": (q56_customers_no_orders, SQL_Q56),
     "q57_user_cumspend": (q57_user_cumspend, SQL_Q57),
+    "q58_percent_rank": (q58_percent_rank, SQL_Q58),
 }

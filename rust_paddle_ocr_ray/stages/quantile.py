@@ -27,6 +27,7 @@ from fractions import Fraction
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def grouped_quantile_disc(ds, key_col: str, val_col: str,
@@ -72,3 +73,113 @@ def grouped_quantile_disc(ds, key_col: str, val_col: str,
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("_qb")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def grouped_percent_rank(ds, key_col: str, val_col: str,
+                         out_col: str = "pct_rank",
+                         num_buckets: int = 64,
+                         broadcast_max_pairs: int = 2_000_000):
+    """Per-group PERCENT_RANK of integer ``val_col``: the window
+    ``(rank - 1) / (n - 1)`` with RANK tie semantics (all rows of one
+    value share the rank of its first row; single-row groups score 0.0),
+    matching DuckDB/ANSI ``PERCENT_RANK() OVER (PARTITION BY key ORDER
+    BY val)``.
+
+    Scale shape: the same histogram collapse as
+    :func:`grouped_quantile_disc` — the corpus never shuffles; ONE
+    coarse-bucket exchange of distinct (key, value) pairs builds a slim
+    RANK MAP (key, value, rank, n).  The map is joined back by a
+    MEASURED broadcast (materialized + counted first — distinct pairs
+    of a bounded-domain value column, orders of magnitude below the
+    corpus) with a distributed hash-join fallback above
+    ``broadcast_max_pairs``."""
+    import ray
+
+    from .join import hash_join
+    from .merge import _get_broadcast
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b.groupby([key_col, val_col], sort=False).size()
+        out = vc.index.to_frame(index=False)
+        out["cnt"] = vc.to_numpy(dtype="int64")
+        out["_qb"] = (
+            pd.util.hash_pandas_object(out[key_col], index=False).to_numpy()
+            % num_buckets
+        ).astype("int32")
+        return out
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby([key_col, val_col], sort=True)["cnt"].sum().reset_index()
+        keys = h[key_col].to_numpy()
+        cnts = h["cnt"].to_numpy(dtype="int64")
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        csum = np.cumsum(cnts)
+        base_per_key = np.where(starts > 0, csum[starts - 1], 0)
+        totals = csum[ends - 1] - base_per_key
+        grp = np.repeat(np.arange(len(starts)), ends - starts)
+        # rank of each distinct value = 1 + rows before it WITHIN its key
+        before = np.r_[0, csum[:-1]] - base_per_key[grp]
+        # Arrow out: empty exchange partitions of object-dtype pandas
+        # blocks break Ray's block-size estimator.
+        return pa.Table.from_pydict({
+            key_col: keys,
+            val_col: h[val_col].to_numpy(dtype="int64"),
+            "rank": (before + 1).astype("int64"),
+            "n": totals[grp].astype("int64"),
+        })
+
+    rank_map = (ds.map_batches(partial, batch_format="pandas")
+                .groupby("_qb").map_groups(rank_bucket, batch_format="pandas")
+                .materialize())
+    n_pairs = rank_map.count()
+
+    def _pct(rank: np.ndarray, n: np.ndarray) -> np.ndarray:
+        return np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+
+    if n_pairs <= broadcast_max_pairs:
+        parts = rank_map.take_all()
+        lut = {(r[key_col], r[val_col]): (r["rank"], r["n"]) for r in parts}
+        ref = ray.put(lut)
+
+        def apply(b: pd.DataFrame) -> pd.DataFrame:
+            m = _get_broadcast(ref)
+            hit = [m[(k, v)] for k, v in zip(b[key_col], b[val_col])]
+            rank = np.fromiter((h[0] for h in hit), dtype="int64", count=len(hit))
+            n = np.fromiter((h[1] for h in hit), dtype="int64", count=len(hit))
+            b = b.copy()
+            b[out_col] = _pct(rank, n)
+            return b
+
+        return ds.map_batches(apply, batch_format="pandas")
+
+    # distributed fallback: synthesized single join key, slim right side
+    in_schema = ds.schema()
+    int_cols = [n for n, t in zip(in_schema.names, in_schema.types)
+                if "int" in str(t)]
+
+    def add_jk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_jk"] = (b[key_col].astype(str) + "|"
+                    + b[val_col].astype("int64").astype(str))
+        return b
+
+    right = rank_map.map_batches(add_jk, batch_format="pandas").select_columns(
+        ["_jk", "rank", "n"])
+    joined = hash_join(ds.map_batches(add_jk, batch_format="pandas"), right,
+                       on="_jk")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[out_col] = _pct(b["rank"].to_numpy(dtype="int64"),
+                          b["n"].to_numpy(dtype="int64"))
+        b = b.drop(columns=["_jk", "rank", "n"])
+        # hash_join emits nullable dtypes (outer-join NA support); an
+        # inner join against the complete rank map never produces NAs,
+        # so restore the input's plain int dtypes.
+        for c in int_cols:
+            if c in b.columns:
+                b[c] = b[c].astype("int64")
+        return b
+
+    return joined.map_batches(finish, batch_format="pandas")

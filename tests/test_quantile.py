@@ -64,3 +64,61 @@ def test_histogram_collapse_handles_heavy_ties(ray_session):
         "v": rng.randint(0, 8, 20000).astype("int64"),  # 8 distinct values
     })
     pd.testing.assert_frame_equal(_engine(df), _duck_twin(df))
+
+
+# ---------------------------------------------------------------------------
+# grouped_percent_rank
+# ---------------------------------------------------------------------------
+
+from rust_paddle_ocr_ray.stages.quantile import grouped_percent_rank
+
+
+def _duck_pct(df: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    out = con.execute(
+        "SELECT i, k, v, PERCENT_RANK() OVER (PARTITION BY k ORDER BY v)"
+        " AS pct_rank FROM t"
+    ).fetchdf()
+    return out.sort_values("i").reset_index(drop=True)
+
+
+def _engine_pct(df: pd.DataFrame, **kw) -> pd.DataFrame:
+    got = grouped_percent_rank(rd.from_pandas(df), "k", "v", **kw).to_pandas()
+    return (got.sort_values("i").reset_index(drop=True)
+            [["i", "k", "v", "pct_rank"]])
+
+
+def _pct_frame(seed: int, n: int, nk: int, vmax: int) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "i": np.arange(n, dtype="int64"),
+        "k": rng.randint(0, nk, n).astype("int64"),
+        "v": rng.randint(-vmax, vmax, n).astype("int64"),
+    })
+
+
+def test_percent_rank_matches_duckdb(ray_session):
+    df = _pct_frame(11, 4000, 30, 500)
+    pd.testing.assert_frame_equal(_engine_pct(df), _duck_pct(df))
+
+
+def test_percent_rank_ties_and_singletons(ray_session):
+    """RANK tie semantics (shared rank for equal values) and the n==1
+    → 0.0 special case."""
+    rows = [(0, 7, 5)]  # singleton group
+    i = 1
+    for k in (1, 2):
+        for v in (3, 3, 3, 9, 9, 20):
+            rows.append((i, k, v))
+            i += 1
+    df = pd.DataFrame(rows, columns=["i", "k", "v"]).astype("int64")
+    pd.testing.assert_frame_equal(_engine_pct(df), _duck_pct(df))
+
+
+def test_percent_rank_distributed_fallback_equivalent(ray_session):
+    """Forcing broadcast_max_pairs=0 exercises the hash-join fallback;
+    it must produce the identical result."""
+    df = _pct_frame(5, 1500, 12, 40)
+    pd.testing.assert_frame_equal(
+        _engine_pct(df, broadcast_max_pairs=0), _duck_pct(df))
