@@ -1997,6 +1997,94 @@ FROM documents
 """
 
 
+def q59_distinct_users(sf_dir: str):
+    """Exact per-group COUNT(DISTINCT) — the audience-size / vocabulary
+    cardinality primitive (stages/distinct.grouped_count_distinct:
+    per-batch pair dedup, pair-hash bucket exchange so hot keys spread,
+    vocabulary-sized sum combine)."""
+    from ..stages.distinct import grouped_count_distinct
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_count_distinct(ds, "event_type", "user_id",
+                                  out_col="n_users")
+
+
+SQL_Q59 = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q60_length_token_corr(sf_dir: str):
+    """Per-source Pearson correlation of document length vs token count
+    — the corpus-health diagnostic for tokenizer drift
+    (stages/distinct.grouped_corr: 6-double sum-combiner semigroup, no
+    corpus shuffle)."""
+    from ..stages.distinct import grouped_corr
+
+    ds = _rp(sf_dir, "documents", columns=["source", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"],
+            "len": b["text"].str.len().astype("int64"),
+            "toks": b["text"].str.count(r"\S+").astype("int64"),
+        })
+
+    return grouped_corr(ds.map_batches(f, batch_format="pandas"),
+                        "source", "len", "toks")
+
+
+SQL_Q60 = r"""
+SELECT source,
+       ROUND(CORR(length(text), len(regexp_extract_all(text, '\S+'))), 6)
+         AS corr,
+       COUNT(*) AS n
+FROM documents GROUP BY source
+"""
+
+
+def q61_customer_order_profile(sf_dir: str):
+    """§2.4 breadth: LEFT OUTER hash-partitioned join — order-less
+    customers survive with null order columns and are profiled per
+    segment alongside matched rows."""
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    est = estimate_rows(cust, orders)
+    joined = native_join(
+        cust, orders.rename_columns({"o_custkey": "c_custkey"}),
+        on="c_custkey", join_type="left_outer", rows_hint=est)
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_mktsegment": b["c_mktsegment"],
+            "has_order": b["o_totalprice"].notna().astype("int64"),
+            "price": b["o_totalprice"].fillna(0.0).astype("float64"),
+        })
+
+    out = (joined.map_batches(mark, batch_format="pandas")
+           .groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_rows"),
+                      Sum("has_order", alias_name="n_orders"),
+                      Sum("price", alias_name="sum_price")))
+
+    def r(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_orders"] = b["n_orders"].astype("int64")
+        b["sum_price"] = b["sum_price"].round(2)
+        return b
+
+    return out.map_batches(r, batch_format="pandas")
+
+
+SQL_Q61 = """
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       COUNT(o_orderkey) AS n_orders,
+       ROUND(SUM(COALESCE(o_totalprice, 0)), 2) AS sum_price
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2060,4 +2148,7 @@ QUERIES: dict[str, tuple] = {
     "q56_customers_no_orders": (q56_customers_no_orders, SQL_Q56),
     "q57_user_cumspend": (q57_user_cumspend, SQL_Q57),
     "q58_percent_rank": (q58_percent_rank, SQL_Q58),
+    "q59_distinct_users": (q59_distinct_users, SQL_Q59),
+    "q60_length_token_corr": (q60_length_token_corr, SQL_Q60),
+    "q61_customer_order_profile": (q61_customer_order_profile, SQL_Q61),
 }

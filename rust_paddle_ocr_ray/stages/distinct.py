@@ -1,0 +1,105 @@
+"""Exact per-group COUNT(DISTINCT value) over a distributed column.
+
+Ray Data's built-in aggregates have no distinct-count; the exact form
+needs each distinct (key, value) pair counted exactly once.  Scale
+shape (same family as stages/quantile.py): collapse FIRST — a
+per-batch ``drop_duplicates(key, value)`` inside ``map_batches``
+reduces every block to its distinct pairs, which is the ONLY thing
+that ever shuffles.  The exchange buckets on the hash of the PAIR
+(not the key), so a hot key's distinct values spread across buckets —
+each bucket counts its share of pairs and a final vocabulary-sized
+``groupby(key).sum`` combines them.  No single task ever holds one
+key's full value set; memory per task is bounded by
+|distinct pairs| / num_buckets regardless of key skew.
+
+At 100 TB the exchange carries distinct (key, value) pairs only; for
+id-like value columns that is still large but embarrassingly bucketed
+— raise ``num_buckets`` with data size (callers can pass a
+data-aware count from sizing.data_aware_buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def grouped_count_distinct(ds, key_col: str, val_col: str,
+                           out_col: str = "n_distinct",
+                           num_buckets: int = 64):
+    """COUNT(DISTINCT ``val_col``) GROUP BY ``key_col`` — exact."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[key_col, val_col]].drop_duplicates()
+        out = out.reset_index(drop=True)
+        out["_db"] = (
+            pd.util.hash_pandas_object(out, index=False).to_numpy()
+            % num_buckets
+        ).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        d = g[[key_col, val_col]].drop_duplicates()
+        vc = d.groupby(key_col, sort=False).size()
+        # Arrow out: empty exchange partitions of object-dtype pandas
+        # blocks break Ray's block-size estimator.
+        return pa.Table.from_pydict({
+            key_col: vc.index.to_numpy(),
+            "_cnt": vc.to_numpy(dtype="int64"),
+        })
+
+    slim = (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_db").map_groups(per_bucket, batch_format="pandas"))
+    out = slim.groupby(key_col).aggregate(Sum("_cnt", alias_name=out_col))
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b[out_col] = b[out_col].astype("int64")
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def grouped_corr(ds, key_col: str, x_col: str, y_col: str,
+                 out_col: str = "corr", decimals: int = 6):
+    """Per-group Pearson correlation of two numeric columns via the
+    classic sum-combiner semigroup: each batch contributes
+    ``(n, Σx, Σy, Σxy, Σx², Σy²)`` partials, a vocabulary-sized
+    ``groupby(key).sum`` merges them, and the closed form
+    ``(nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²))`` finalizes.
+    The corpus never shuffles — only 6 doubles per (block, key).
+
+    For integer-valued inputs every partial sum is exact in float64 up
+    to 2**53, so the only rounding is the final expression; results are
+    rounded to ``decimals`` to be comparable with an independent
+    streaming implementation (e.g. DuckDB's one-pass CORR).  A
+    zero-variance group yields NaN (SQL NULL)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].to_numpy(dtype="float64")
+        y = b[y_col].to_numpy(dtype="float64")
+        g = pd.DataFrame({key_col: b[key_col], "_n": 1.0, "_sx": x, "_sy": y,
+                          "_sxy": x * y, "_sxx": x * x, "_syy": y * y})
+        return g.groupby(key_col, sort=False).sum().reset_index()
+
+    sums = [Sum(c, alias_name=c) for c in
+            ("_n", "_sx", "_sy", "_sxy", "_sxx", "_syy")]
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(key_col).aggregate(*sums))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["_n"].to_numpy()
+        sx, sy = b["_sx"].to_numpy(), b["_sy"].to_numpy()
+        sxy, sxx, syy = (b["_sxy"].to_numpy(), b["_sxx"].to_numpy(),
+                         b["_syy"].to_numpy())
+        var = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(var > 0, (n * sxy - sx * sy) / np.sqrt(var), np.nan)
+        out = b[[key_col]].copy()
+        out[out_col] = np.round(r, decimals)
+        out["n"] = n.astype("int64")
+        return out
+
+    return agg.map_batches(finalize, batch_format="pandas")

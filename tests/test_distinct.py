@@ -1,0 +1,79 @@
+"""grouped_count_distinct / grouped_corr (stages/distinct.py) vs
+DuckDB twins — including hot-key skew (one key owning most distinct
+values must still combine correctly across pair-hash buckets) and the
+zero-variance NaN edge of CORR."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from rust_paddle_ocr_ray.stages.distinct import (grouped_corr,
+                                                 grouped_count_distinct)
+
+
+def _duck(df: pd.DataFrame, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    return con.execute(sql).fetchdf().sort_values("k").reset_index(drop=True)
+
+
+def test_count_distinct_matches_duckdb(ray_session):
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 25, 8000).astype("int64"),
+        "v": rng.randint(0, 900, 8000).astype("int64"),
+    })
+    got = (grouped_count_distinct(rd.from_pandas(df), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = _duck(df, "SELECT k, COUNT(DISTINCT v) AS n_distinct FROM t"
+                     " GROUP BY k")
+    pd.testing.assert_frame_equal(got[["k", "n_distinct"]], want)
+
+
+def test_count_distinct_hot_key_and_strings(ray_session):
+    """One key holds 5000 distinct string values (spread across pair
+    buckets); another holds 1 value repeated 5000 times."""
+    rows = ([("hot", f"v{i}") for i in range(5000)]
+            + [("cold", "same")] * 5000
+            + [("mid", f"v{i % 7}") for i in range(100)])
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    got = (grouped_count_distinct(rd.from_pandas(df), "k", "v",
+                                  num_buckets=16)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = _duck(df, "SELECT k, COUNT(DISTINCT v) AS n_distinct FROM t"
+                     " GROUP BY k")
+    pd.testing.assert_frame_equal(got[["k", "n_distinct"]], want)
+
+
+def test_corr_matches_duckdb(ray_session):
+    rng = np.random.RandomState(29)
+    x = rng.randint(10, 4000, 6000).astype("int64")
+    df = pd.DataFrame({
+        "k": rng.randint(0, 15, 6000).astype("int64"),
+        "x": x,
+        "y": (x // 7 + rng.randint(0, 50, 6000)).astype("int64"),
+    })
+    got = (grouped_corr(rd.from_pandas(df), "k", "x", "y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = _duck(df, "SELECT k, ROUND(CORR(x, y), 6) AS corr,"
+                     " COUNT(*) AS n FROM t GROUP BY k")
+    pd.testing.assert_frame_equal(got[["k", "corr", "n"]], want)
+
+
+def test_corr_zero_variance_is_nan(ray_session):
+    """Constant x within a group -> SQL NULL / engine NaN, and a
+    single-row group behaves the same."""
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 3, 3],
+        "x": [5, 5, 5, 9, 1, 2],
+        "y": [1, 2, 3, 4, 5, 6],
+    }).astype("int64")
+    got = (grouped_corr(rd.from_pandas(df), "k", "x", "y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = _duck(df, "SELECT k, ROUND(CORR(x, y), 6) AS corr,"
+                     " COUNT(*) AS n FROM t GROUP BY k")
+    pd.testing.assert_frame_equal(got[["k", "corr", "n"]], want)
