@@ -2085,6 +2085,46 @@ GROUP BY c_mktsegment
 """
 
 
+def q62_trim_outliers(sf_dir: str):
+    """Quality-curation trim: drop documents outside their source's
+    [p05, p95] length band, then profile what survives
+    (stages/quantile.quantile_band_filter — per-group band map from the
+    histogram-collapse quantile stage, measured broadcast join-back;
+    the corpus streams through one filter pass, never shuffles)."""
+    from ..stages.quantile import quantile_band_filter
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    kept = quantile_band_filter(ds, "source", "n_chars", 0.05, 0.95)
+    out = kept.groupby("source").aggregate(
+        Count(alias_name="kept"),
+        Sum("n_chars", alias_name="kept_chars"),
+        Min("n_chars", alias_name="min_len"),
+        Max("n_chars", alias_name="max_len"),
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("kept_chars", "min_len", "max_len"):
+            b[c] = b[c].astype("int64")
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_Q62 = """
+WITH bands AS (
+  SELECT source,
+         quantile_disc(n_chars, 0.05) AS lo,
+         quantile_disc(n_chars, 0.95) AS hi
+  FROM documents GROUP BY source
+)
+SELECT d.source, COUNT(*) AS kept, SUM(d.n_chars)::BIGINT AS kept_chars,
+       MIN(d.n_chars) AS min_len, MAX(d.n_chars) AS max_len
+FROM documents d JOIN bands b ON d.source = b.source
+WHERE d.n_chars BETWEEN b.lo AND b.hi
+GROUP BY d.source
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2151,4 +2191,5 @@ QUERIES: dict[str, tuple] = {
     "q59_distinct_users": (q59_distinct_users, SQL_Q59),
     "q60_length_token_corr": (q60_length_token_corr, SQL_Q60),
     "q61_customer_order_profile": (q61_customer_order_profile, SQL_Q61),
+    "q62_trim_outliers": (q62_trim_outliers, SQL_Q62),
 }

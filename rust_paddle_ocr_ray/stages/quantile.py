@@ -183,3 +183,55 @@ def grouped_percent_rank(ds, key_col: str, val_col: str,
         return b
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def quantile_band_filter(ds, key_col: str, val_col: str,
+                         lo_q: float = 0.05, hi_q: float = 0.95,
+                         num_buckets: int = 64,
+                         broadcast_max_groups: int = 2_000_000):
+    """Per-group outlier trim: keep rows whose ``val_col`` lies within
+    the group's ``[quantile(lo_q), quantile(hi_q)]`` band (quantile_disc
+    rank semantics, both ends inclusive) — the length/score trimming
+    pass a curation pipeline runs before training-data export.
+
+    Scale shape: :func:`grouped_quantile_disc` builds the band map (one
+    row per group — the corpus itself never shuffles), then the map is
+    joined back by a MEASURED broadcast with a distributed hash-join
+    fallback above ``broadcast_max_groups`` groups."""
+    import ray
+
+    from .join import hash_join
+    from .merge import _get_broadcast
+
+    bands = grouped_quantile_disc(ds, key_col, val_col,
+                                  {"_lo": lo_q, "_hi": hi_q},
+                                  num_buckets=num_buckets).materialize()
+    n_groups = bands.count()
+
+    if n_groups <= broadcast_max_groups:
+        rows = bands.take_all()
+        lut = {r[key_col]: (r["_lo"], r["_hi"]) for r in rows}
+        ref = ray.put(lut)
+
+        def apply(b: pd.DataFrame) -> pd.DataFrame:
+            m = _get_broadcast(ref)
+            lo = np.fromiter((m[k][0] for k in b[key_col]), dtype="int64",
+                             count=len(b))
+            hi = np.fromiter((m[k][1] for k in b[key_col]), dtype="int64",
+                             count=len(b))
+            v = b[val_col].to_numpy(dtype="int64")
+            return b[(v >= lo) & (v <= hi)]
+
+        return ds.map_batches(apply, batch_format="pandas")
+
+    slim = bands.select_columns([key_col, "_lo", "_hi"])
+    joined = hash_join(ds, slim, on=key_col)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[val_col].to_numpy(dtype="int64")
+        lo = b["_lo"].to_numpy(dtype="int64")
+        hi = b["_hi"].to_numpy(dtype="int64")
+        out = b[(v >= lo) & (v <= hi)].drop(columns=["_lo", "_hi"])
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")

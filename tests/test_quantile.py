@@ -122,3 +122,42 @@ def test_percent_rank_distributed_fallback_equivalent(ray_session):
     df = _pct_frame(5, 1500, 12, 40)
     pd.testing.assert_frame_equal(
         _engine_pct(df, broadcast_max_pairs=0), _duck_pct(df))
+
+
+# ---------------------------------------------------------------------------
+# quantile_band_filter
+# ---------------------------------------------------------------------------
+
+from rust_paddle_ocr_ray.stages.quantile import quantile_band_filter
+
+
+def _duck_band(df: pd.DataFrame, lo: float, hi: float) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    out = con.execute(f"""
+        WITH b AS (SELECT k, quantile_disc(v, {lo}) AS lo,
+                          quantile_disc(v, {hi}) AS hi FROM t GROUP BY k)
+        SELECT t.i, t.k, t.v FROM t JOIN b USING (k)
+        WHERE t.v BETWEEN b.lo AND b.hi
+    """).fetchdf()
+    return out.sort_values("i").reset_index(drop=True)
+
+
+def _engine_band(df: pd.DataFrame, lo: float, hi: float, **kw) -> pd.DataFrame:
+    got = quantile_band_filter(rd.from_pandas(df), "k", "v",
+                               lo, hi, **kw).to_pandas()
+    return (got.sort_values("i").reset_index(drop=True)[["i", "k", "v"]]
+            .astype("int64"))
+
+
+def test_band_filter_matches_duckdb(ray_session):
+    df = _pct_frame(17, 3000, 20, 800)
+    pd.testing.assert_frame_equal(_engine_band(df, 0.05, 0.95),
+                                  _duck_band(df, 0.05, 0.95))
+
+
+def test_band_filter_fallback_equivalent(ray_session):
+    df = _pct_frame(23, 1200, 10, 300)
+    pd.testing.assert_frame_equal(
+        _engine_band(df, 0.1, 0.9, broadcast_max_groups=0),
+        _duck_band(df, 0.1, 0.9))
