@@ -2125,6 +2125,58 @@ GROUP BY d.source
 """
 
 
+def q63_inter_event_gaps(sf_dir: str):
+    """Per-user inter-event gap profile — the LAG-window diagnostic run
+    before picking a session gap (stages/temporal.keyed_gap_stats: one
+    key-bucket exchange, reduceat-segmented diffs, 5 ints per key out).
+    All columns are integer microseconds/counts, so the comparison with
+    the SQL LAG twin is order-exact even under timestamp ties."""
+    from ..stages.temporal import keyed_gap_stats
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    return keyed_gap_stats(ev, "user_id", "ts", break_us=3_600_000_000)
+
+
+SQL_Q63 = """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       MAX(ts_us) - MIN(ts_us) AS span_us,
+       COALESCE(MAX(gap), 0) AS max_gap_us,
+       COALESCE(SUM(CASE WHEN gap >= 3600000000 THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_breaks
+FROM g GROUP BY user_id
+"""
+
+
+def q64_modal_user(sf_dir: str):
+    """Deterministic per-group MODE (most frequent value, smallest
+    value on ties) — the dominant-actor summary
+    (stages/distinct.grouped_mode: histogram collapse, one slim
+    exchange, sort+first argmax per bucket)."""
+    from ..stages.distinct import grouped_mode
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_mode(ev, "event_type", "user_id", out_col="modal_user")
+
+
+SQL_Q64 = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, user_id
+), m AS (
+  SELECT event_type, MAX(cnt) AS mx FROM c GROUP BY event_type
+)
+SELECT c.event_type, MIN(c.user_id) AS modal_user, MAX(c.cnt) AS modal_count
+FROM c JOIN m ON c.event_type = m.event_type AND c.cnt = m.mx
+GROUP BY c.event_type
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2192,4 +2244,6 @@ QUERIES: dict[str, tuple] = {
     "q60_length_token_corr": (q60_length_token_corr, SQL_Q60),
     "q61_customer_order_profile": (q61_customer_order_profile, SQL_Q61),
     "q62_trim_outliers": (q62_trim_outliers, SQL_Q62),
+    "q63_inter_event_gaps": (q63_inter_event_gaps, SQL_Q63),
+    "q64_modal_user": (q64_modal_user, SQL_Q64),
 }

@@ -103,3 +103,40 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str,
         return out
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def grouped_mode(ds, key_col: str, val_col: str,
+                 out_col: str = "modal_value",
+                 num_buckets: int = 64):
+    """Deterministic per-group MODE: the most frequent ``val_col``
+    value, ties broken by the SMALLEST value (SQL ``mode()`` leaves
+    tie-break unspecified, so the twin must spell out the same rule).
+
+    Same histogram-collapse scale shape as grouped_quantile_disc: only
+    distinct (key, value, count) partials shuffle, bucketed by key
+    hash; the argmax inside each bucket is one sort + first-row-per-key
+    — no Python loop."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b.groupby([key_col, val_col], sort=False).size()
+        out = vc.index.to_frame(index=False)
+        out["cnt"] = vc.to_numpy(dtype="int64")
+        out["_mb"] = (
+            pd.util.hash_pandas_object(out[key_col], index=False).to_numpy()
+            % num_buckets
+        ).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        h = g.groupby([key_col, val_col], sort=False)["cnt"].sum().reset_index()
+        h = h.sort_values([key_col, "cnt", val_col],
+                          ascending=[True, False, True], kind="stable")
+        top = h.drop_duplicates(key_col, keep="first")
+        return pa.Table.from_pydict({
+            key_col: top[key_col].to_numpy(),
+            out_col: top[val_col].to_numpy(),
+            "modal_count": top["cnt"].to_numpy(dtype="int64"),
+        })
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_mb").map_groups(per_bucket, batch_format="pandas"))

@@ -138,18 +138,17 @@ def grouped_percent_rank(ds, key_col: str, val_col: str,
         return np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
 
     if n_pairs <= broadcast_max_pairs:
-        parts = rank_map.take_all()
-        lut = {(r[key_col], r[val_col]): (r["rank"], r["n"]) for r in parts}
+        lut = rank_map.to_pandas()  # slim (key, val, rank, n) frame
         ref = ray.put(lut)
 
         def apply(b: pd.DataFrame) -> pd.DataFrame:
             m = _get_broadcast(ref)
-            hit = [m[(k, v)] for k, v in zip(b[key_col], b[val_col])]
-            rank = np.fromiter((h[0] for h in hit), dtype="int64", count=len(hit))
-            n = np.fromiter((h[1] for h in hit), dtype="int64", count=len(hit))
-            b = b.copy()
-            b[out_col] = _pct(rank, n)
-            return b
+            # vectorized hash join against the broadcast map (left order
+            # preserved; every row hits — the map is complete)
+            j = b.merge(m, on=[key_col, val_col], how="left")
+            j[out_col] = _pct(j["rank"].to_numpy(dtype="int64"),
+                              j["n"].to_numpy(dtype="int64"))
+            return j.drop(columns=["rank", "n"])
 
         return ds.map_batches(apply, batch_format="pandas")
 
@@ -209,17 +208,15 @@ def quantile_band_filter(ds, key_col: str, val_col: str,
     n_groups = bands.count()
 
     if n_groups <= broadcast_max_groups:
-        rows = bands.take_all()
-        lut = {r[key_col]: (r["_lo"], r["_hi"]) for r in rows}
+        lut = bands.select_columns([key_col, "_lo", "_hi"]).to_pandas()
         ref = ray.put(lut)
 
         def apply(b: pd.DataFrame) -> pd.DataFrame:
             m = _get_broadcast(ref)
-            lo = np.fromiter((m[k][0] for k in b[key_col]), dtype="int64",
-                             count=len(b))
-            hi = np.fromiter((m[k][1] for k in b[key_col]), dtype="int64",
-                             count=len(b))
-            v = b[val_col].to_numpy(dtype="int64")
+            j = b.merge(m, on=key_col, how="left")  # vectorized lookup
+            v = j[val_col].to_numpy(dtype="int64")
+            lo = j["_lo"].to_numpy(dtype="int64")
+            hi = j["_hi"].to_numpy(dtype="int64")
             return b[(v >= lo) & (v <= hi)]
 
         return ds.map_batches(apply, batch_format="pandas")

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..sizing import cluster_cpus, data_aware_buckets, estimate_rows
 from .join import _key_bucket
@@ -641,6 +642,56 @@ def keyed_running_sum(ds, key_col: str, ts_col: str, id_col: str,
         run = g.groupby(key_col, sort=False)["_v"].cumsum()
         return pd.DataFrame({id_col: g[id_col].to_numpy(),
                              "run": run.to_numpy(dtype="int64")})
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket").map_groups(scan, batch_format="pandas"))
+
+
+def keyed_gap_stats(ds, key_col: str, ts_col: str,
+                    break_us: int = 3_600_000_000,
+                    num_buckets: int | None = None):
+    """Per-key inter-event gap profile — the LAG-window diagnostic a
+    behavioural pipeline runs before choosing a session gap: for each
+    key, the event count, total active span, largest silence, and how
+    many gaps exceed ``break_us``.
+
+    All outputs are INTEGER microseconds/counts, so the result is
+    order-exact vs a SQL ``LAG() OVER (PARTITION BY key ORDER BY ts)``
+    twin even when timestamps tie (the sorted ts sequence — hence the
+    multiset of consecutive diffs — is tie-order invariant).
+
+    Scale shape: ONE key-bucket exchange (the sessionize contract: a
+    key's rows meet in one task), then a vectorized sort + diff per
+    bucket; only 5 ints per key leave the bucket."""
+    buckets = num_buckets or _default_buckets(ds)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            key_col: b[key_col].to_numpy(),
+            "_ts": _ts_us(b[ts_col]),
+        })
+        out["bucket"] = _key_bucket(out[key_col], buckets)
+        return out
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key_col, "_ts"], kind="stable")
+        keys = g[key_col].to_numpy()
+        ts = g["_ts"].to_numpy(dtype="int64")
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        # row-aligned gap array: gap[j] = ts[j] - ts[j-1] within a key,
+        # 0 at each key's first row -> segmented max/count via reduceat
+        gap = np.r_[np.int64(0), np.diff(ts)]
+        gap[starts] = 0
+        seg_max = np.maximum.reduceat(gap, starts)
+        seg_brk = np.add.reduceat((gap >= break_us).astype("int64"), starts)
+        return pa.Table.from_pydict({
+            key_col: keys[starts],
+            "n_events": (ends - starts).astype("int64"),
+            "span_us": ts[ends - 1] - ts[starts],
+            "max_gap_us": seg_max,
+            "n_breaks": seg_brk,
+        })
 
     return (ds.map_batches(bucketize, batch_format="pandas")
             .groupby("bucket").map_groups(scan, batch_format="pandas"))
