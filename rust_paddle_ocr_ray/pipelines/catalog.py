@@ -2177,6 +2177,50 @@ GROUP BY c.event_type
 """
 
 
+def _semantic_query_vec(dims: int = 64) -> np.ndarray:
+    """Deterministic query vector shared by q65's engine and SQL twin
+    (a fixed cosine ramp — no RNG, reproducible everywhere)."""
+    return np.cos(np.arange(dims, dtype="float64") * 0.37) + 0.5
+
+
+def q65_semantic_filter(sf_dir: str):
+    """Embedding-normalize + cosine score against a broadcast query
+    vector, keep the semantically-close rows — the similarity filter a
+    curation pipeline runs against a topic centroid.  Pure per-batch
+    numpy matmul (zero shuffle, query shipped once via closure
+    capture); scores rounded to 6 before the threshold so the filter
+    boundary is identical on both sides."""
+    q = _semantic_query_vec()
+    qn = q / np.linalg.norm(q)
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(b["embedding"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(m, axis=1)
+        cos = np.round((m @ qn) / np.where(norms > 0, norms, 1.0), 6)
+        out = pd.DataFrame({
+            "vec_id": b["vec_id"].to_numpy(dtype="int64"),
+            "label": b["label"].to_numpy(dtype="int64"),
+            "cos_sim": cos,
+        })
+        return out[out["cos_sim"] >= 0.1]
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+_Q65_VEC_SQL = "[" + ", ".join(repr(float(x)) for x in _semantic_query_vec()) + "]"
+
+SQL_Q65 = f"""
+SELECT vec_id, label::BIGINT AS label,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[], {_Q65_VEC_SQL}), 6)
+         AS cos_sim
+FROM embeddings
+WHERE ROUND(list_cosine_similarity(embedding::DOUBLE[], {_Q65_VEC_SQL}), 6)
+      >= 0.1
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2246,4 +2290,5 @@ QUERIES: dict[str, tuple] = {
     "q62_trim_outliers": (q62_trim_outliers, SQL_Q62),
     "q63_inter_event_gaps": (q63_inter_event_gaps, SQL_Q63),
     "q64_modal_user": (q64_modal_user, SQL_Q64),
+    "q65_semantic_filter": (q65_semantic_filter, SQL_Q65),
 }
