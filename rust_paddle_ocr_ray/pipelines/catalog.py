@@ -19,6 +19,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -2055,14 +2056,20 @@ def q61_customer_order_profile(sf_dir: str):
         cust, orders.rename_columns({"o_custkey": "c_custkey"}),
         on="c_custkey", join_type="left_outer", rows_hint=est)
 
-    def mark(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "c_mktsegment": b["c_mktsegment"],
-            "has_order": b["o_totalprice"].notna().astype("int64"),
-            "price": b["o_totalprice"].fillna(0.0).astype("float64"),
+    def mark(b: pa.Table) -> pa.Table:
+        # Arrow in/out: a pandas block here makes the downstream
+        # sort-based Aggregate pathological (measured 34 s vs 5 s at
+        # sf0.1 — object-dtype string blocks sort/size terribly)
+        import pyarrow.compute as pc
+
+        tp = b.column("o_totalprice")
+        return pa.Table.from_pydict({
+            "c_mktsegment": b.column("c_mktsegment"),
+            "has_order": pc.cast(pc.is_valid(tp), pa.int64()),
+            "price": pc.fill_null(tp, 0.0),
         })
 
-    out = (joined.map_batches(mark, batch_format="pandas")
+    out = (joined.map_batches(mark, batch_format="pyarrow")
            .groupby("c_mktsegment")
            .aggregate(Count(alias_name="n_rows"),
                       Sum("has_order", alias_name="n_orders"),
@@ -2221,6 +2228,78 @@ WHERE ROUND(list_cosine_similarity(embedding::DOUBLE[], {_Q65_VEC_SQL}), 6)
 """
 
 
+def q66_hash_split(sf_dir: str):
+    """Deterministic train/val/test assignment — the reproducible
+    split every training pipeline needs: buckets of a stable id hash
+    (md5, engine-independent) map to splits 90/5/5, profiled per
+    (source, split).  Pure vectorized map + vocabulary-sized groupby —
+    zero corpus shuffle."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hex(b["doc_id"].astype("int64").astype(str))
+        v = h.str.slice(0, 8).map(lambda s: int(s, 16)).to_numpy() % 1000
+        split = np.where(v < 900, "train", np.where(v < 950, "val", "test"))
+        return pd.DataFrame({"source": b["source"], "split": split,
+                             "n_chars": b["n_chars"]})
+
+    out = (ds.map_batches(assign, batch_format="pandas")
+           .groupby(["source", "split"])
+           .aggregate(Count(alias_name="docs"),
+                      Sum("n_chars", alias_name="chars")))
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["chars"] = b["chars"].astype("int64")
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_Q66 = """
+SELECT source,
+       CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS docs, SUM(n_chars)::BIGINT AS chars
+FROM (SELECT source, n_chars,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS b
+      FROM documents)
+GROUP BY source, split
+"""
+
+
+def q67_token_budget_mix(sf_dir: str):
+    """Token-budget corpus mixing: per source, keep the largest
+    documents while the running char total stays within a fixed
+    allowance (stages/topk.budget_select — one key-bucket exchange of
+    slim (key, id, value) rows, order-exact integer running sums),
+    then profile the kept mixture."""
+    from ..stages.topk import budget_select
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    kept = budget_select(ds, "source", "n_chars", budget=30_000,
+                         id_col="doc_id")
+    out = kept.groupby("source").aggregate(
+        Count(alias_name="kept_docs"),
+        Sum("n_chars", alias_name="kept_chars"))
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["kept_chars"] = b["kept_chars"].astype("int64")
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_Q67 = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS run
+  FROM documents)
+SELECT source, COUNT(*) AS kept_docs, SUM(n_chars)::BIGINT AS kept_chars
+FROM r WHERE run <= 30000 GROUP BY source
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2291,4 +2370,6 @@ QUERIES: dict[str, tuple] = {
     "q63_inter_event_gaps": (q63_inter_event_gaps, SQL_Q63),
     "q64_modal_user": (q64_modal_user, SQL_Q64),
     "q65_semantic_filter": (q65_semantic_filter, SQL_Q65),
+    "q66_hash_split": (q66_hash_split, SQL_Q66),
+    "q67_token_budget_mix": (q67_token_budget_mix, SQL_Q67),
 }

@@ -54,3 +54,49 @@ def grouped_topk(ds, key_cols: list[str], value_col: str, k: int,
     return (ds.map_batches(local_topk, batch_format="pandas")
             .groupby("_kb")
             .map_groups(final_topk, batch_format="pandas"))
+
+
+def budget_select(ds, key_col: str, value_col: str, budget: int,
+                  id_col: str, num_buckets: int | None = None):
+    """Greedy per-group selection under an integer budget: order each
+    group by (``value_col`` desc, ``id_col`` asc) and keep rows while
+    the running sum of ``value_col`` stays <= ``budget`` — the
+    token-budget corpus-mixing step (take the largest/highest-quality
+    documents of each source until its token allowance is spent).
+
+    Integer running sums are order-exact, so the kept set compares
+    bit-for-bit with a SQL ``SUM() OVER`` window twin.
+
+    Partitioning assumption (the sessionize contract): all rows of one
+    key meet in one bucket task — greedy selection is a sequential
+    scan per key.  The exchange ships only (key, id, value); a key's
+    share of the stream is bounded by the documents-per-key skew, not
+    the corpus."""
+    from ..sizing import data_aware_buckets, estimate_rows
+
+    from .join import _key_bucket
+
+    buckets = num_buckets or data_aware_buckets(estimate_rows(ds))
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            key_col: b[key_col].to_numpy(),
+            id_col: b[id_col].to_numpy(dtype="int64"),
+            "_v": b[value_col].to_numpy(dtype="int64"),
+        })
+        out["bucket"] = _key_bucket(out[key_col], buckets)
+        return out
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_v", id_col],
+                          ascending=[True, False, True], kind="stable")
+        run = g.groupby(key_col, sort=False)["_v"].cumsum()
+        keep = g[run.to_numpy() <= budget]
+        return pd.DataFrame({
+            key_col: keep[key_col].to_numpy(),
+            id_col: keep[id_col].to_numpy(),
+            value_col: keep["_v"].to_numpy(),
+        })
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket").map_groups(scan, batch_format="pandas"))
