@@ -2300,6 +2300,61 @@ FROM r WHERE run <= 30000 GROUP BY source
 """
 
 
+def q68_leakage_matrix(sf_dir: str):
+    """Cross-source contamination matrix — for every source pair, how
+    many distinct documents (by a 200-char-prefix md5, the cheap
+    leading-content near-dup proxy) appear in BOTH: the train/eval
+    leakage audit run before a split ships.  Scale shape: per-batch
+    distinct (source, fp) pre-dedup, ONE fp-bucket exchange (identical
+    fps co-locate; a fp's source set is tiny), vectorized per-bucket
+    self-merge to pairs, vocabulary²-sized count combine."""
+    ds = _rp(sf_dir, "documents", columns=["source", "text"])
+    num_buckets = 64
+
+    def fp(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"source": b["source"],
+                            "fp": md5_hex(b["text"].str.slice(0, 200))})
+        out = out.drop_duplicates()
+        out["_fb"] = (
+            pd.util.hash_pandas_object(out["fp"], index=False).to_numpy()
+            % num_buckets
+        ).astype("int32")
+        return out
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        d = g[["source", "fp"]].drop_duplicates()
+        m = d.merge(d, on="fp")
+        m = m[m["source_x"] < m["source_y"]]
+        vc = m.groupby(["source_x", "source_y"], sort=False).size()
+        idx = vc.index.to_frame(index=False)
+        # explicit schema: an empty bucket must still emit typed columns
+        return pa.table({
+            "src_a": pa.array(idx["source_x"], type=pa.string()),
+            "src_b": pa.array(idx["source_y"], type=pa.string()),
+            "shared": pa.array(vc.to_numpy(dtype="int64"), type=pa.int64()),
+        })
+
+    out = (ds.map_batches(fp, batch_format="pandas")
+           .groupby("_fb").map_groups(pairs, batch_format="pandas")
+           .groupby(["src_a", "src_b"])
+           .aggregate(Sum("shared", alias_name="shared")))
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["shared"] = b["shared"].astype("int64")
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_Q68 = """
+WITH f AS (SELECT DISTINCT source, md5(substr(text, 1, 200)) AS fp
+           FROM documents)
+SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2372,4 +2427,5 @@ QUERIES: dict[str, tuple] = {
     "q65_semantic_filter": (q65_semantic_filter, SQL_Q65),
     "q66_hash_split": (q66_hash_split, SQL_Q66),
     "q67_token_budget_mix": (q67_token_budget_mix, SQL_Q67),
+    "q68_leakage_matrix": (q68_leakage_matrix, SQL_Q68),
 }

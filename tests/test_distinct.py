@@ -77,3 +77,37 @@ def test_corr_zero_variance_is_nan(ray_session):
     want = _duck(df, "SELECT k, ROUND(CORR(x, y), 6) AS corr,"
                      " COUNT(*) AS n FROM t GROUP BY k")
     pd.testing.assert_frame_equal(got[["k", "corr", "n"]], want)
+
+
+def test_leakage_matrix_planted(ray_session, tmp_path):
+    """Planted cross-source duplicate prefixes (incl. unicode) — the
+    engine's char-based slice must agree with SQL substr semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_paddle_ocr_ray.pipelines.catalog import SQL_Q68, q68_leakage_matrix
+
+    base = "долгий общий префикс " * 20  # > 200 chars, non-ASCII
+    rows = [
+        ("s1", base + "tail one"), ("s2", base + "tail two"),  # shared fp
+        ("s1", "unique a"), ("s2", "unique b"), ("s3", base + "x"),
+        ("s3", "короткий"), ("s1", "короткий"),                # short shared
+    ]
+    df = pd.DataFrame(rows, columns=["source", "text"])
+    df.insert(0, "doc_id", np.arange(len(df), dtype="int64"))
+    df["lang"] = "ru"
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+
+    got = (q68_leakage_matrix(str(tmp_path)).to_pandas()
+           .sort_values(["src_a", "src_b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    want = (con.execute(SQL_Q68).fetchdf()
+            .sort_values(["src_a", "src_b"]).reset_index(drop=True))
+    want["shared"] = want["shared"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # prefix shared by all three; s1/s3 additionally share "короткий"
+    assert len(got) == 3 and got["shared"].tolist() == [1, 2, 1]
