@@ -2355,6 +2355,27 @@ GROUP BY a.source, b.source
 """
 
 
+def q69_zscore(sf_dir: str):
+    """Per-source z-score normalization of document length — the
+    cross-strata feature-scaling pass
+    (stages/distinct.grouped_zscore: (n, Σx, Σx²) semigroup,
+    vocabulary-sized moment map broadcast back, zero corpus
+    shuffle)."""
+    from ..stages.distinct import grouped_zscore
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return grouped_zscore(ds, "source", "n_chars")
+
+
+SQL_Q69 = """
+SELECT doc_id, source, n_chars,
+       ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY source))
+             / NULLIF(STDDEV_POP(n_chars) OVER (PARTITION BY source), 0), 6)
+         AS zscore
+FROM documents
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2428,4 +2449,5 @@ QUERIES: dict[str, tuple] = {
     "q66_hash_split": (q66_hash_split, SQL_Q66),
     "q67_token_budget_mix": (q67_token_budget_mix, SQL_Q67),
     "q68_leakage_matrix": (q68_leakage_matrix, SQL_Q68),
+    "q69_zscore": (q69_zscore, SQL_Q69),
 }

@@ -140,3 +140,57 @@ def grouped_mode(ds, key_col: str, val_col: str,
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("_mb").map_groups(per_bucket, batch_format="pandas"))
+
+
+def grouped_zscore(ds, key_col: str, val_col: str,
+                   out_col: str = "zscore", decimals: int = 6):
+    """Per-group z-score normalization of an integer column — the
+    feature-scaling pass before mixing quality signals across strata:
+    ``(x - mean) / stddev_pop`` within each group.
+
+    Scale shape: the (n, Σx, Σx²) sum-combiner semigroup builds a
+    vocabulary-sized moment map (the corpus never shuffles), broadcast
+    back via a per-batch vectorized merge.  Integer inputs keep the
+    sums exact in float64; the z expression is the only rounding, cut
+    to ``decimals`` for cross-engine comparison.  A zero-variance
+    group yields NaN (guard the SQL twin the same way)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .merge import _get_broadcast
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[val_col].to_numpy(dtype="float64")
+        g = pd.DataFrame({key_col: b[key_col], "_n": 1.0, "_sx": x,
+                          "_sxx": x * x})
+        return g.groupby(key_col, sort=False).sum().reset_index()
+
+    moments = (ds.map_batches(partial, batch_format="pandas")
+               .groupby(key_col)
+               .aggregate(Sum("_n", alias_name="_n"),
+                          Sum("_sx", alias_name="_sx"),
+                          Sum("_sxx", alias_name="_sxx"))
+               .to_pandas())
+    n = moments["_n"].to_numpy()
+    sx = moments["_sx"].to_numpy()
+    sxx = moments["_sxx"].to_numpy()
+    moments["_mean"] = sx / n
+    # (n*Σx² - (Σx)²)/n² keeps the subtraction between EXACT integer
+    # sums (vs the cancelling E[x²]-E[x]² float form)
+    with np.errstate(invalid="ignore"):
+        moments["_std"] = np.sqrt(np.maximum(n * sxx - sx * sx, 0.0)) / n
+    lut = moments[[key_col, "_mean", "_std"]]
+    ref = ray.put(lut)
+
+    def apply(b: pd.DataFrame) -> pd.DataFrame:
+        m = _get_broadcast(ref)
+        j = b.merge(m, on=key_col, how="left")
+        x = j[val_col].to_numpy(dtype="float64")
+        std = j["_std"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(std > 0, (x - j["_mean"].to_numpy()) / std, np.nan)
+        j[out_col] = np.round(z, decimals)
+        return j.drop(columns=["_mean", "_std"])
+
+    return ds.map_batches(apply, batch_format="pandas")

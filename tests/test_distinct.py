@@ -111,3 +111,38 @@ def test_leakage_matrix_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     # prefix shared by all three; s1/s3 additionally share "короткий"
     assert len(got) == 3 and got["shared"].tolist() == [1, 2, 1]
+
+
+def test_zscore_matches_duckdb(ray_session):
+    from rust_paddle_ocr_ray.stages.distinct import grouped_zscore
+
+    rng = np.random.RandomState(47)
+    df = pd.DataFrame({
+        "i": np.arange(5000, dtype="int64"),
+        "k": rng.randint(0, 16, 5000).astype("int64"),
+        "v": rng.randint(100, 9000, 5000).astype("int64"),
+    })
+    got = (grouped_zscore(rd.from_pandas(df), "k", "v")
+           .to_pandas().sort_values("i").reset_index(drop=True)
+           [["i", "k", "v", "zscore"]])
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT i, k, v,
+               ROUND((v - AVG(v) OVER (PARTITION BY k))
+                     / NULLIF(STDDEV_POP(v) OVER (PARTITION BY k), 0), 6)
+                 AS zscore
+        FROM t
+    """).fetchdf().sort_values("i").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_zscore_constant_group_nan(ray_session):
+    from rust_paddle_ocr_ray.stages.distinct import grouped_zscore
+
+    df = pd.DataFrame({"i": [0, 1, 2, 3], "k": [1, 1, 2, 2],
+                       "v": [7, 7, 1, 3]}).astype("int64")
+    got = (grouped_zscore(rd.from_pandas(df), "k", "v")
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    assert got["zscore"].isna().tolist() == [True, True, False, False]
+    assert got.loc[2, "zscore"] == -1.0 and got.loc[3, "zscore"] == 1.0
