@@ -2376,6 +2376,49 @@ FROM documents
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q70_event_pivot(sf_dir: str):
+    """Conditional-aggregate pivot: per user, one count column per
+    event type (the behavioural feature vector).  Vectorized indicator
+    columns inside map_batches collapse into Ray's combiner-based Sum
+    — the pivot is map-side partial, the exchange carries one row per
+    (block, user)."""
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def indicators(b: pd.DataFrame) -> pd.DataFrame:
+        et = b["event_type"].to_numpy()
+        out = pd.DataFrame({"user_id": b["user_id"].to_numpy(dtype="int64"),
+                            "n_events": np.int64(1)})
+        for t in _EVENT_TYPES:
+            out[f"n_{t}"] = (et == t).astype("int64")
+        return out.groupby("user_id", sort=False).sum().reset_index()
+
+    cols = ["n_events"] + [f"n_{t}" for t in _EVENT_TYPES]
+    aggs = [Sum(c, alias_name=c) for c in cols]
+    out = (ds.map_batches(indicators, batch_format="pandas")
+           .groupby("user_id").aggregate(*aggs))
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            b[c] = b[c].astype("int64")
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_Q70 = """
+SELECT user_id, COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2450,4 +2493,5 @@ QUERIES: dict[str, tuple] = {
     "q67_token_budget_mix": (q67_token_budget_mix, SQL_Q67),
     "q68_leakage_matrix": (q68_leakage_matrix, SQL_Q68),
     "q69_zscore": (q69_zscore, SQL_Q69),
+    "q70_event_pivot": (q70_event_pivot, SQL_Q70),
 }
