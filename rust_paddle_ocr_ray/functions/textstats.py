@@ -101,3 +101,14 @@ def rolling_fingerprint(text: pd.Series, window: int = 16, mod: int = 1 << 61) -
         return best if best is not None else 0
 
     return text.map(fp)
+
+
+def md5_head32(hexes: pd.Series) -> np.ndarray:
+    """First 8 hex chars of md5 digests as uint32 values (int64 array)
+    — the stable per-row bucket number behind hash-split / stratified /
+    weighted sampling.  Vectorized: one join + C-level ``fromhex`` +
+    big-endian view, replacing a per-row ``int(s, 16)`` Python map."""
+    joined = "".join(hexes.str.slice(0, 8).tolist())
+    if not joined:
+        return np.zeros(0, dtype="int64")
+    return np.frombuffer(bytes.fromhex(joined), dtype=">u4").astype("int64")

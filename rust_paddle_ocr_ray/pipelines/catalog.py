@@ -31,6 +31,7 @@ from ..functions.textstats import (
     STOPWORDS,
     ZH_RANGE,
     langid_frame,
+    md5_head32,
     md5_hex,
     quality_frame,
     rolling_fingerprint,
@@ -1332,7 +1333,7 @@ def q41_stratified_sample(sf_dir: str):
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         h = md5_hex(b["doc_id"].astype("int64").astype(str))
-        v = h.str.slice(0, 8).map(lambda s: int(s, 16)).to_numpy() % 1000
+        v = md5_head32(h) % 1000
         rate = (100 + (b["source"].str.len().to_numpy() * 37) % 400)
         return b[v < rate]
 
@@ -1753,7 +1754,7 @@ def q52_weighted_sample(sf_dir: str):
     def key(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["n_chars"] > 0].copy()
         h = md5_hex(b["doc_id"].astype("int64").astype(str))
-        h32 = h.str.slice(0, 8).map(lambda s: int(s, 16)).to_numpy(dtype="float64")
+        h32 = md5_head32(h).astype("float64")
         b["pkey"] = h32 / b["n_chars"].to_numpy(dtype="float64")
         return b
 
@@ -2238,7 +2239,7 @@ def q66_hash_split(sf_dir: str):
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
         h = md5_hex(b["doc_id"].astype("int64").astype(str))
-        v = h.str.slice(0, 8).map(lambda s: int(s, 16)).to_numpy() % 1000
+        v = md5_head32(h) % 1000
         split = np.where(v < 900, "train", np.where(v < 950, "val", "test"))
         return pd.DataFrame({"source": b["source"], "split": split,
                              "n_chars": b["n_chars"]})

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def grouped_topk(ds, key_cols: list[str], value_col: str, k: int,
@@ -57,7 +58,8 @@ def grouped_topk(ds, key_cols: list[str], value_col: str, k: int,
 
 
 def budget_select(ds, key_col: str, value_col: str, budget: int,
-                  id_col: str, num_buckets: int | None = None):
+                  id_col: str, num_buckets: int | None = None,
+                  strategy: str = "auto", scan_max_rows: int = 5_000_000):
     """Greedy per-group selection under an integer budget: order each
     group by (``value_col`` desc, ``id_col`` asc) and keep rows while
     the running sum of ``value_col`` stays <= ``budget`` — the
@@ -67,14 +69,36 @@ def budget_select(ds, key_col: str, value_col: str, budget: int,
     Integer running sums are order-exact, so the kept set compares
     bit-for-bit with a SQL ``SUM() OVER`` window twin.
 
-    Partitioning assumption (the sessionize contract): all rows of one
-    key meet in one bucket task — greedy selection is a sequential
-    scan per key.  The exchange ships only (key, id, value); a key's
-    share of the stream is bounded by the documents-per-key skew, not
-    the corpus."""
+    Two equivalent execution shapes (``strategy``):
+
+    - ``"scan"`` — ONE key-bucket exchange of slim (key, id, value)
+      rows, vectorized sorted cumsum per bucket.  All rows of one key
+      meet in one task (the sessionize contract) — simplest, and the
+      cheapest at small scale, but a key owning 10^9 rows pins a task.
+    - ``"histogram"`` — the hot-key-bounded form: per-batch
+      (key, value)→count partials collapse the corpus to distinct
+      pairs; ONE slim exchange derives each key's CUTOFF value and the
+      boundary capacity (how many rows of exactly the cutoff value
+      still fit); rows above the cutoff are kept by a zero-exchange
+      map-side filter, and only the boundary rows (value == cutoff —
+      one distinct value per key) take a mini key-bucket exchange to
+      pick the smallest ids.  Requires strictly positive values (the
+      greedy walk is ill-defined at 0; falls back to scan otherwise).
+    - ``"auto"`` — measured choice: histogram above ``scan_max_rows``
+      estimated input rows, scan below (the slim-exchange savings beat
+      the 2 extra operator latencies only when the corpus is large).
+    """
     from ..sizing import data_aware_buckets, estimate_rows
 
     from .join import _key_bucket
+
+    if strategy == "auto":
+        est = estimate_rows(ds)
+        strategy = "histogram" if (est is not None and est > scan_max_rows) \
+            else "scan"
+    if strategy == "histogram":
+        return _budget_select_histogram(ds, key_col, value_col, budget,
+                                        id_col, num_buckets)
 
     buckets = num_buckets or data_aware_buckets(estimate_rows(ds))
 
@@ -100,3 +124,132 @@ def budget_select(ds, key_col: str, value_col: str, budget: int,
 
     return (ds.map_batches(bucketize, batch_format="pandas")
             .groupby("bucket").map_groups(scan, batch_format="pandas"))
+
+
+def _budget_select_histogram(ds, key_col: str, value_col: str, budget: int,
+                             id_col: str, num_buckets: int | None = None,
+                             broadcast_max_keys: int = 2_000_000):
+    """Hot-key-bounded budget selection (see :func:`budget_select`).
+
+    The cutoff map has one row per key: ``(key, cutoff, n_boundary,
+    keep_all)`` where rows with value > cutoff are all kept, exactly
+    ``n_boundary`` rows of value == cutoff fit (the scan keeps the
+    smallest ids among them — ties on value break by id asc), and
+    ``keep_all`` marks keys whose whole group fits the budget."""
+    import ray
+
+    from ..sizing import data_aware_buckets, estimate_rows
+    from .join import _key_bucket
+    from .merge import _get_broadcast
+
+    buckets = num_buckets or data_aware_buckets(estimate_rows(ds))
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(dtype="int64")
+        if len(v) and v.min() <= 0:
+            raise ValueError("budget_select histogram strategy requires "
+                             "strictly positive values")
+        vc = (pd.DataFrame({key_col: b[key_col], "_v": v})
+              .groupby([key_col, "_v"], sort=False).size())
+        out = vc.index.to_frame(index=False)
+        out["_cnt"] = vc.to_numpy(dtype="int64")
+        out["_hb"] = (
+            pd.util.hash_pandas_object(out[key_col], index=False).to_numpy()
+            % buckets
+        ).astype("int32")
+        return out
+
+    def cutoffs(g: pd.DataFrame) -> pa.Table:
+        h = (g.groupby([key_col, "_v"], sort=False)["_cnt"].sum()
+             .reset_index()
+             .sort_values([key_col, "_v"], ascending=[True, False],
+                          kind="stable"))
+        keys = h[key_col].to_numpy()
+        vals = h["_v"].to_numpy(dtype="int64")
+        cnts = h["_cnt"].to_numpy(dtype="int64")
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        csum = np.cumsum(vals * cnts)
+        base = np.where(starts > 0, csum[starts - 1], 0)
+        grp = np.repeat(np.arange(len(starts)), ends - starts)
+        prefix = csum - base[grp]             # running total within key
+        over = prefix > budget
+        # first over-budget distinct value per key (len(key) if none)
+        out_k, out_cut, out_nb, out_all = [], [], [], []
+        first_over = np.full(len(starts), -1, dtype="int64")
+        idx_over = np.flatnonzero(over)
+        if len(idx_over):
+            # first True per segment: minimum over-index within [s, e)
+            seg = grp[idx_over]
+            firsts = np.full(len(starts), np.iinfo(np.int64).max)
+            np.minimum.at(firsts, seg, idx_over)
+            first_over = np.where(firsts == np.iinfo(np.int64).max, -1, firsts)
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            fo = first_over[gi]
+            if fo < 0:
+                out_k.append(keys[s]); out_cut.append(int(vals[e - 1]))
+                out_nb.append(int(cnts[e - 1])); out_all.append(True)
+            else:
+                rem = budget - (int(prefix[fo - 1]) if fo > s else 0)
+                out_k.append(keys[s]); out_cut.append(int(vals[fo]))
+                out_nb.append(max(0, rem // int(vals[fo])))
+                out_all.append(False)
+        return pa.table({
+            key_col: pa.array(out_k),
+            "_cut": pa.array(out_cut, type=pa.int64()),
+            "_nb": pa.array(out_nb, type=pa.int64()),
+            "_all": pa.array(out_all, type=pa.bool_()),
+        })
+
+    cut_map = (ds.map_batches(hist_partial, batch_format="pandas")
+               .groupby("_hb").map_groups(cutoffs, batch_format="pandas")
+               .materialize())
+    n_keys = cut_map.count()
+    if n_keys > broadcast_max_keys:
+        raise NotImplementedError(
+            "budget_select histogram path currently broadcasts the cutoff "
+            f"map; {n_keys} keys exceed broadcast_max_keys — join the map "
+            "back with hash_join instead (same pattern as "
+            "quantile.grouped_percent_rank)")
+    lut = cut_map.to_pandas()
+    ref = ray.put(lut)
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key_col: b[key_col].to_numpy(),
+            id_col: b[id_col].to_numpy(dtype="int64"),
+            value_col: b[value_col].to_numpy(dtype="int64"),
+        })
+
+    def keep_above(b: pd.DataFrame) -> pd.DataFrame:
+        m = _get_broadcast(ref)
+        j = b.merge(m, on=key_col, how="left")
+        v = j[value_col].to_numpy(dtype="int64")
+        keep = j["_all"].to_numpy() | (v > j["_cut"].to_numpy())
+        return b[keep]
+
+    def boundary_only(b: pd.DataFrame) -> pd.DataFrame:
+        m = _get_broadcast(ref)
+        j = b.merge(m, on=key_col, how="left")
+        v = j[value_col].to_numpy(dtype="int64")
+        mask = (~j["_all"].to_numpy()) & (v == j["_cut"].to_numpy()) \
+            & (j["_nb"].to_numpy() > 0)
+        out = b[mask].copy()
+        out["bucket"] = _key_bucket(out[key_col], buckets)
+        return out
+
+    def pick_boundary(g: pd.DataFrame) -> pd.DataFrame:
+        m = _get_broadcast(ref)
+        g = g.sort_values([key_col, id_col], kind="stable")
+        nb = (g[[key_col]].merge(m[[key_col, "_nb"]], on=key_col, how="left")
+              ["_nb"].to_numpy(dtype="int64"))
+        rank = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        keep = g[rank < nb]
+        return keep.drop(columns=["bucket"])
+
+    slim_ds = ds.map_batches(slim, batch_format="pandas")
+    kept_above = slim_ds.map_batches(keep_above, batch_format="pandas")
+    kept_boundary = (slim_ds.map_batches(boundary_only, batch_format="pandas")
+                     .groupby("bucket")
+                     .map_groups(pick_boundary, batch_format="pandas"))
+    return kept_above.union(kept_boundary)

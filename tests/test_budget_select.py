@@ -56,3 +56,35 @@ def test_budget_select_edges(ray_session):
     want = _duck(df, 100)
     pd.testing.assert_frame_equal(got, want)
     assert set(got["i"]) == {10, 11, 30, 31}
+
+
+def test_budget_select_histogram_equivalent(ray_session):
+    """The hot-key-bounded histogram strategy must produce the exact
+    scan/SQL result, including boundary ties split by id."""
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 10, 4000).astype("int64"),
+        "i": np.arange(4000, dtype="int64"),
+        "v": rng.randint(1, 40, 4000).astype("int64"),  # heavy value ties
+    })
+    got = budget_select(rd.from_pandas(df), "k", "v", 500, id_col="i",
+                        strategy="histogram").to_pandas()
+    got = (got.sort_values(["k", "i"]).reset_index(drop=True)
+           [["k", "i", "v"]].astype("int64"))
+    pd.testing.assert_frame_equal(got, _duck(df, 500))
+
+
+def test_budget_select_histogram_edges(ray_session):
+    """keep_all groups, first-row-over-budget groups, exact boundary."""
+    rows = [
+        (1, 10, 60), (1, 11, 40),
+        (2, 20, 150),
+        (3, 30, 50), (3, 31, 50), (3, 32, 50),
+        (4, 40, 5),                       # whole group fits
+    ]
+    df = pd.DataFrame(rows, columns=["k", "i", "v"]).astype("int64")
+    got = budget_select(rd.from_pandas(df), "k", "v", 100, id_col="i",
+                        strategy="histogram").to_pandas()
+    got = (got.sort_values(["k", "i"]).reset_index(drop=True)
+           [["k", "i", "v"]].astype("int64"))
+    pd.testing.assert_frame_equal(got, _duck(df, 100))
