@@ -2420,6 +2420,141 @@ FROM events GROUP BY user_id
 """
 
 
+def q71_lang_entropy(sf_dir: str):
+    """Per-source Shannon entropy of the language distribution — the
+    corpus-diversity diagnostic.  The (source, lang) histogram is
+    vocabulary-sized: per-batch count partials, one tiny combine, and
+    a vectorized -Σ p·log2(p) finalize; the corpus never shuffles."""
+    ds = _rp(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b.groupby(["source", "lang"], sort=False).size()
+        out = vc.index.to_frame(index=False)
+        out["cnt"] = vc.to_numpy(dtype="int64")
+        return out
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["source", "lang"]).aggregate(Sum("cnt", alias_name="cnt")))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        tot = b.groupby("source")["cnt"].transform("sum").to_numpy(
+            dtype="float64")
+        p = b["cnt"].to_numpy(dtype="float64") / tot
+        ent = pd.DataFrame({"source": b["source"], "_e": -p * np.log2(p)})
+        out = ent.groupby("source", sort=False)["_e"].sum().reset_index()
+        out["entropy"] = np.round(out["_e"], 6)
+        return out[["source", "entropy"]]
+
+    # the combined histogram is vocabulary-sized: finalize in one task
+    def one(b: pd.DataFrame) -> pd.DataFrame:
+        b["_one"] = np.int8(0)
+        return b
+
+    return (hist.map_batches(one, batch_format="pandas")
+            .groupby("_one").map_groups(finalize, batch_format="pandas"))
+
+
+SQL_Q71 = """
+WITH h AS (SELECT source, lang, COUNT(*) AS cnt
+           FROM documents GROUP BY source, lang),
+     t AS (SELECT source, SUM(cnt) AS tot FROM h GROUP BY source)
+SELECT h.source,
+       ROUND(SUM(-(cnt / tot) * log2(cnt / tot)), 6) AS entropy
+FROM h JOIN t ON h.source = t.source
+GROUP BY h.source
+"""
+
+
+def q72_hopping_distinct_users(sf_dir: str):
+    """Hopping-window DISTINCT-user counts — the streaming audience
+    metric: 1 h windows every 30 min, exact distinct via the
+    pair-hash-bucketed count-distinct stage (a hot window's users
+    spread across buckets; q34's window-replica explode feeds
+    stages/distinct.grouped_count_distinct)."""
+    from ..stages.distinct import grouped_count_distinct
+
+    size_us = 3_600_000_000
+    hop_us = 1_800_000_000
+    m = size_us // hop_us
+
+    ds = _rp(sf_dir, "events", columns=["ts", "user_id"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        te = b["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        wmax = te // hop_us * hop_us
+        ws = np.concatenate([wmax - j * hop_us for j in range(m)])
+        users = np.tile(b["user_id"].to_numpy(dtype="int64"), m)
+        # per-batch pre-dedup before the stage's pair exchange
+        return (pd.DataFrame({"window_start": ws, "user_id": users})
+                .drop_duplicates())
+
+    pairs = ds.map_batches(explode, batch_format="pandas")
+    return grouped_count_distinct(pairs, "window_start", "user_id",
+                                  out_col="n_users")
+
+
+SQL_Q72 = """
+SELECT w AS window_start, COUNT(DISTINCT user_id) AS n_users
+FROM (
+  SELECT user_id,
+         unnest(generate_series(
+           (epoch_us(ts) // 1800000000 - 1) * 1800000000,
+           (epoch_us(ts) // 1800000000) * 1800000000,
+           1800000000)) AS w
+  FROM events)
+GROUP BY 1
+"""
+
+
+def q73_retention_cohorts(sf_dir: str):
+    """Retention cohort matrix — users grouped by first-seen day,
+    counted per (cohort_day, active_day): the engagement decay table.
+    Scale shape: per-user first-seen is a vocabulary-sized Min
+    aggregate broadcast back; the distinct (cohort, day, user) count
+    runs through the pair-hash-bucketed count-distinct stage (global
+    dedup — a per-batch drop_duplicates alone double-counts pairs that
+    recur across blocks); the final matrix is days² — tiny."""
+    import ray
+
+    from ..stages.distinct import grouped_count_distinct
+    from ..stages.merge import _get_broadcast
+
+    day_us = 86_400_000_000
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(b: pd.DataFrame) -> pd.DataFrame:
+        d = (b["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+             // day_us)
+        return (pd.DataFrame({"user_id": b["user_id"].to_numpy(dtype="int64"),
+                              "day": d}).drop_duplicates())
+
+    activity = ds.map_batches(days, batch_format="pandas")
+    firsts = (activity.groupby("user_id")
+              .aggregate(Min("day", alias_name="cohort_day")).to_pandas())
+    ref = ray.put(firsts)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        m = _get_broadcast(ref)
+        j = b.merge(m, on="user_id", how="left")
+        return pd.DataFrame({"cohort_day": j["cohort_day"].to_numpy(dtype="int64"),
+                             "day": j["day"].to_numpy(dtype="int64"),
+                             "user_id": j["user_id"].to_numpy(dtype="int64")})
+
+    tagged = activity.map_batches(tag, batch_format="pandas")
+    return grouped_count_distinct(tagged, ["cohort_day", "day"], "user_id",
+                                  out_col="users")
+
+
+SQL_Q73 = """
+WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+     f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
+SELECT f.cohort_day, a.day, COUNT(*) AS users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, a.day
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2495,4 +2630,7 @@ QUERIES: dict[str, tuple] = {
     "q68_leakage_matrix": (q68_leakage_matrix, SQL_Q68),
     "q69_zscore": (q69_zscore, SQL_Q69),
     "q70_event_pivot": (q70_event_pivot, SQL_Q70),
+    "q71_lang_entropy": (q71_lang_entropy, SQL_Q71),
+    "q72_hopping_distinct_users": (q72_hopping_distinct_users, SQL_Q72),
+    "q73_retention_cohorts": (q73_retention_cohorts, SQL_Q73),
 }

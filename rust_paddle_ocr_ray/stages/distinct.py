@@ -25,14 +25,18 @@ import pandas as pd
 import pyarrow as pa
 
 
-def grouped_count_distinct(ds, key_col: str, val_col: str,
+def grouped_count_distinct(ds, key_col: str | list[str], val_col: str,
                            out_col: str = "n_distinct",
                            num_buckets: int = 64):
-    """COUNT(DISTINCT ``val_col``) GROUP BY ``key_col`` — exact."""
+    """COUNT(DISTINCT ``val_col``) GROUP BY ``key_col`` — exact.
+    ``key_col`` may be a list for composite grouping keys."""
     from ray.data.aggregate import Sum
 
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    cols = keys + [val_col]
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        out = b[[key_col, val_col]].drop_duplicates()
+        out = b[cols].drop_duplicates()
         out = out.reset_index(drop=True)
         out["_db"] = (
             pd.util.hash_pandas_object(out, index=False).to_numpy()
@@ -41,18 +45,19 @@ def grouped_count_distinct(ds, key_col: str, val_col: str,
         return out
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
-        d = g[[key_col, val_col]].drop_duplicates()
-        vc = d.groupby(key_col, sort=False).size()
+        d = g[cols].drop_duplicates()
+        vc = d.groupby(keys, sort=False).size()
+        idx = vc.index.to_frame(index=False)
         # Arrow out: empty exchange partitions of object-dtype pandas
         # blocks break Ray's block-size estimator.
-        return pa.Table.from_pydict({
-            key_col: vc.index.to_numpy(),
-            "_cnt": vc.to_numpy(dtype="int64"),
-        })
+        cols_out = {k: idx[k].to_numpy() for k in keys}
+        cols_out["_cnt"] = vc.to_numpy(dtype="int64")
+        return pa.Table.from_pydict(cols_out)
 
     slim = (ds.map_batches(partial, batch_format="pandas")
             .groupby("_db").map_groups(per_bucket, batch_format="pandas"))
-    out = slim.groupby(key_col).aggregate(Sum("_cnt", alias_name=out_col))
+    out = slim.groupby(keys if len(keys) > 1 else keys[0]).aggregate(
+        Sum("_cnt", alias_name=out_col))
 
     def cast(b: pd.DataFrame) -> pd.DataFrame:
         b[out_col] = b[out_col].astype("int64")
