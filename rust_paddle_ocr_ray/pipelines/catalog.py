@@ -2555,6 +2555,52 @@ GROUP BY f.cohort_day, a.day
 """
 
 
+def q74_salted_join(sf_dir: str):
+    """Skew-aware salted fact join: events (150 users × thousands of
+    rows each — a power-law fact key) joined to the customer dimension
+    with HOT KEYS SALTED across reduce tasks
+    (stages/join.salted_hash_join — measured hot-key pre-pass, right
+    rows replicated per salt, one (key, salt)-bucket exchange), then a
+    segment rollup.  Values aggregate as integer cents so the sum is
+    order-exact vs the SQL twin."""
+    from ..stages.join import salted_hash_join
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "value"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": b["user_id"].to_numpy(dtype="int64"),
+            "_cents": np.round(b["value"].to_numpy(dtype="float64")
+                               * 100.0).astype("int64"),
+        })
+
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = salted_hash_join(ev.map_batches(cents, batch_format="pandas"),
+                              cust, on="c_custkey", salts=4,
+                              hot_threshold_rows=50)
+    out = (joined.groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n"),
+                      Sum("_cents", alias_name="_sc")))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_mktsegment": b["c_mktsegment"],
+            "n": b["n"].astype("int64"),
+            "sum_value": np.round(b["_sc"].to_numpy(dtype="int64")
+                                  / 100.0, 2),
+        })
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_Q74 = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       ROUND(SUM(ROUND(value * 100)::BIGINT) / 100.0, 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2633,4 +2679,5 @@ QUERIES: dict[str, tuple] = {
     "q71_lang_entropy": (q71_lang_entropy, SQL_Q71),
     "q72_hopping_distinct_users": (q72_hopping_distinct_users, SQL_Q72),
     "q73_retention_cohorts": (q73_retention_cohorts, SQL_Q73),
+    "q74_salted_join": (q74_salted_join, SQL_Q74),
 }

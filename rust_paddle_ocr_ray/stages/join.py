@@ -173,3 +173,130 @@ def broadcast_lookup(ds, mapping: dict, key_col: str, out_col: str):
         return batch
 
     return ds.map_batches(_lk, batch_format="pandas")
+
+
+def salted_hash_join(left, right, on: str, salts: int = 8,
+                     num_buckets: int | None = None,
+                     hot_keys: set | None = None,
+                     hot_threshold_rows: int = 1_000_000,
+                     hot_keys_cap: int = 100_000,
+                     _return_tagged: bool = False):
+    """Skew-aware INNER hash join: hot join keys are SALTED so one
+    key's rows spread across ``salts`` reduce tasks instead of pinning
+    one (the classic remedy for a power-law fact key).
+
+    Mechanics: left rows of a hot key take salt = within-batch position
+    mod ``salts`` (any assignment is correct for an inner join — the
+    output multiset is salt-invariant); right rows of a hot key are
+    REPLICATED into every salt so each (key, salt) bucket joins
+    complete right-side data; non-hot rows use salt 0 and pay nothing.
+    One (key, salt)-bucket exchange, pandas merge per bucket — the
+    hash_join contract otherwise.
+
+    ``hot_keys=None`` triggers a MEASURED pre-pass: per-batch key-count
+    partials collapse to a slim (key, rows) table (one vocabulary-sized
+    exchange), keys above ``hot_threshold_rows`` broadcast as the hot
+    set.  Hot keys are few by definition — if more than
+    ``hot_keys_cap`` qualify the threshold is meaningless and we raise
+    rather than silently build a huge driver set."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..sizing import data_aware_buckets, estimate_rows
+    from .merge import _get_broadcast
+
+    buckets = num_buckets or data_aware_buckets(estimate_rows(left, right))
+
+    if hot_keys is None:
+        def key_counts(b: pd.DataFrame) -> pd.DataFrame:
+            vc = b.groupby(on, sort=False).size()
+            return pd.DataFrame({on: vc.index.to_numpy(),
+                                 "_rows": vc.to_numpy(dtype="int64")})
+
+        counts = (left.map_batches(key_counts, batch_format="pandas")
+                  .groupby(on).aggregate(Sum("_rows", alias_name="_rows")))
+        hot = counts.filter(expr=f"_rows > {int(hot_threshold_rows)}")
+        hot_rows = hot.take_all()
+        if len(hot_rows) > hot_keys_cap:
+            raise ValueError(
+                f"{len(hot_rows)} keys exceed hot_threshold_rows="
+                f"{hot_threshold_rows}; raise the threshold — a 'hot set' "
+                "this large would broadcast a huge driver structure")
+        hot_keys = {r[on] for r in hot_rows}
+    ref = ray.put(hot_keys)
+
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()  # pandas object columns are strings here
+
+    types: dict[str, pa.DataType] = {}
+    for n, t in zip(l_schema.names, l_schema.types):
+        types[n] = _pa_type(t)
+    for n, t in zip(r_schema.names, r_schema.types):
+        types.setdefault(n, _pa_type(t))
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+
+    def _aligned(df: pd.DataFrame, own: list[str], side: int,
+                 salt: np.ndarray, bucket: np.ndarray) -> pa.Table:
+        """One unified Arrow schema from both tags: the exchange sorts
+        Arrow blocks (pandas object-dtype blocks sort pathologically —
+        same lesson as catalog q61), and union partners must agree."""
+        cols = {}
+        for c in all_cols:
+            if c in own:
+                cols[c] = pa.array(df[c].to_numpy(), type=types[c],
+                                   from_pandas=True)
+            else:
+                cols[c] = pa.nulls(len(df), type=types[c])
+        cols["__side"] = pa.array(np.full(len(df), side, dtype="int8"))
+        cols["__bucket"] = pa.array(bucket, type=pa.int32())
+        return pa.table(cols)
+
+    def tag_left(b: pd.DataFrame) -> pa.Table:
+        hs = _get_broadcast(ref)
+        is_hot = b[on].isin(hs).to_numpy() if hs else np.zeros(len(b), bool)
+        salt = np.where(is_hot, np.arange(len(b)) % salts, 0).astype("int64")
+        kb = _key_bucket(b[on], buckets).astype("int64")
+        return _aligned(b, l_cols, 0, salt,
+                        (kb * salts + salt).astype("int32"))
+
+    def tag_right(b: pd.DataFrame) -> pa.Table:
+        hs = _get_broadcast(ref)
+        is_hot = b[on].isin(hs).to_numpy() if hs else np.zeros(len(b), bool)
+        cold = b[~is_hot]
+        parts = [cold] + [b[is_hot]] * salts
+        out = pd.concat(parts, ignore_index=True)
+        salt = np.concatenate(
+            [np.zeros(len(cold), dtype="int64")]
+            + [np.full(int(is_hot.sum()), s, dtype="int64")
+               for s in range(salts)])
+        kb = _key_bucket(out[on], buckets).astype("int64")
+        return _aligned(out, r_cols, 1, salt,
+                        (kb * salts + salt).astype("int32"))
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas"))
+    if _return_tagged:  # test seam: inspect the salted exchange input
+        return both
+
+    def join_group(g: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        lg = g.loc[g["__side"] == 0, l_cols]
+        rg = g.loc[g["__side"] == 1, r_cols]
+        m = lg.merge(rg, on=on, how="inner", suffixes=("", "_r"))
+        # Arrow out: pandas object-dtype blocks make the downstream
+        # sort-based Aggregate pathological (same fix as catalog q61)
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    return both.groupby("__bucket").map_groups(join_group,
+                                               batch_format="pandas")
