@@ -205,14 +205,6 @@ def _budget_select_histogram(ds, key_col: str, value_col: str, budget: int,
                .groupby("_hb").map_groups(cutoffs, batch_format="pandas")
                .materialize())
     n_keys = cut_map.count()
-    if n_keys > broadcast_max_keys:
-        raise NotImplementedError(
-            "budget_select histogram path currently broadcasts the cutoff "
-            f"map; {n_keys} keys exceed broadcast_max_keys — join the map "
-            "back with hash_join instead (same pattern as "
-            "quantile.grouped_percent_rank)")
-    lut = cut_map.to_pandas()
-    ref = ray.put(lut)
 
     def slim(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -221,35 +213,54 @@ def _budget_select_histogram(ds, key_col: str, value_col: str, budget: int,
             value_col: b[value_col].to_numpy(dtype="int64"),
         })
 
+    slim_ds = ds.map_batches(slim, batch_format="pandas")
+
+    if n_keys <= broadcast_max_keys:
+        ref = ray.put(cut_map.to_pandas())
+
+        def annotate(b: pd.DataFrame) -> pd.DataFrame:
+            return b.merge(_get_broadcast(ref), on=key_col, how="left")
+
+        annotated = slim_ds.map_batches(annotate, batch_format="pandas")
+    else:
+        # key domain too large to broadcast: hash-join the cutoff map
+        # back (the grouped_percent_rank fallback pattern)
+        from .join import hash_join
+
+        annotated = hash_join(slim_ds, cut_map, on=key_col)
+
+        def fix_dtypes(b: pd.DataFrame) -> pd.DataFrame:
+            for c in (id_col, value_col, "_cut", "_nb"):
+                b[c] = b[c].astype("int64")
+            b["_all"] = b["_all"].astype(bool)
+            return b
+
+        annotated = annotated.map_batches(fix_dtypes, batch_format="pandas")
+
+    out_cols = [key_col, id_col, value_col]
+
     def keep_above(b: pd.DataFrame) -> pd.DataFrame:
-        m = _get_broadcast(ref)
-        j = b.merge(m, on=key_col, how="left")
-        v = j[value_col].to_numpy(dtype="int64")
-        keep = j["_all"].to_numpy() | (v > j["_cut"].to_numpy())
-        return b[keep]
+        v = b[value_col].to_numpy(dtype="int64")
+        keep = b["_all"].to_numpy() | (v > b["_cut"].to_numpy())
+        return b.loc[keep, out_cols]
 
     def boundary_only(b: pd.DataFrame) -> pd.DataFrame:
-        m = _get_broadcast(ref)
-        j = b.merge(m, on=key_col, how="left")
-        v = j[value_col].to_numpy(dtype="int64")
-        mask = (~j["_all"].to_numpy()) & (v == j["_cut"].to_numpy()) \
-            & (j["_nb"].to_numpy() > 0)
-        out = b[mask].copy()
+        v = b[value_col].to_numpy(dtype="int64")
+        mask = (~b["_all"].to_numpy()) & (v == b["_cut"].to_numpy()) \
+            & (b["_nb"].to_numpy() > 0)
+        out = b.loc[mask, out_cols + ["_nb"]].copy()
         out["bucket"] = _key_bucket(out[key_col], buckets)
         return out
 
     def pick_boundary(g: pd.DataFrame) -> pd.DataFrame:
-        m = _get_broadcast(ref)
         g = g.sort_values([key_col, id_col], kind="stable")
-        nb = (g[[key_col]].merge(m[[key_col, "_nb"]], on=key_col, how="left")
-              ["_nb"].to_numpy(dtype="int64"))
         rank = g.groupby(key_col, sort=False).cumcount().to_numpy()
-        keep = g[rank < nb]
-        return keep.drop(columns=["bucket"])
+        keep = g[rank < g["_nb"].to_numpy(dtype="int64")]
+        return keep[out_cols]
 
-    slim_ds = ds.map_batches(slim, batch_format="pandas")
-    kept_above = slim_ds.map_batches(keep_above, batch_format="pandas")
-    kept_boundary = (slim_ds.map_batches(boundary_only, batch_format="pandas")
+    kept_above = annotated.map_batches(keep_above, batch_format="pandas")
+    kept_boundary = (annotated.map_batches(boundary_only,
+                                           batch_format="pandas")
                      .groupby("bucket")
                      .map_groups(pick_boundary, batch_format="pandas"))
     return kept_above.union(kept_boundary)

@@ -88,3 +88,22 @@ def test_budget_select_histogram_edges(ray_session):
     got = (got.sort_values(["k", "i"]).reset_index(drop=True)
            [["k", "i", "v"]].astype("int64"))
     pd.testing.assert_frame_equal(got, _duck(df, 100))
+
+
+def test_budget_select_histogram_joinback_fallback(ray_session):
+    """broadcast_max_keys=0 forces the hash-join cutoff-map fallback;
+    identical result required."""
+    from rust_paddle_ocr_ray.stages.topk import _budget_select_histogram
+
+    rng = np.random.RandomState(29)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 9, 2500).astype("int64"),
+        "i": np.arange(2500, dtype="int64"),
+        "v": rng.randint(1, 30, 2500).astype("int64"),
+    })
+    got = _budget_select_histogram(rd.from_pandas(df), "k", "v", 300,
+                                   id_col="i", broadcast_max_keys=0
+                                   ).to_pandas()
+    got = (got.sort_values(["k", "i"]).reset_index(drop=True)
+           [["k", "i", "v"]].astype("int64"))
+    pd.testing.assert_frame_equal(got, _duck(df, 300))
