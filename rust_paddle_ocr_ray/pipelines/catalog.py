@@ -2601,6 +2601,101 @@ GROUP BY c_mktsegment
 """
 
 
+def q75_grouping_sets(sf_dir: str):
+    """Multi-level rollup (GROUPING SETS): per (source, lang), per
+    source, and the grand total in one result — three vocabulary-sized
+    aggregates over ONE shared per-batch partial, unioned; the corpus
+    is read and partially aggregated once, 'ALL' marks rolled-up
+    levels."""
+    ds = _rp(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["source", "lang"], sort=False)
+             .agg(docs=("n_chars", "size"), chars=("n_chars", "sum"))
+             .reset_index())
+        g["docs"] = g["docs"].astype("int64")
+        g["chars"] = g["chars"].astype("int64")
+        return g
+
+    base = ds.map_batches(partial, batch_format="pandas").materialize()
+
+    def lvl(keys: list[str], const: dict):
+        out = (base.groupby(keys if len(keys) > 1 else keys[0])
+               .aggregate(Sum("docs", alias_name="docs"),
+                          Sum("chars", alias_name="chars"))
+               if keys else None)
+        if out is None:
+            # grand total: single-key groupby on a constant
+            def one(b: pd.DataFrame) -> pd.DataFrame:
+                b["_one"] = np.int8(0)
+                return b
+
+            def tot(g: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "docs": [g["docs"].sum()], "chars": [g["chars"].sum()]})
+
+            out = (base.map_batches(one, batch_format="pandas")
+                   .groupby("_one").map_groups(tot, batch_format="pandas"))
+
+        def fill(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c, v in const.items():
+                b[c] = v
+            b["docs"] = b["docs"].astype("int64")
+            b["chars"] = b["chars"].astype("int64")
+            return b[["source", "lang", "docs", "chars"]]
+
+        return out.map_batches(fill, batch_format="pandas")
+
+    return (lvl(["source", "lang"], {})
+            .union(lvl(["source"], {"lang": "ALL"}))
+            .union(lvl([], {"source": "ALL", "lang": "ALL"})))
+
+
+SQL_Q75 = """
+SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       COUNT(*) AS docs, SUM(n_chars)::BIGINT AS chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), ())
+"""
+
+
+def q76_embedding_norms(sf_dir: str):
+    """Per-label embedding L2-norm profile — the normalize-readiness
+    audit before cosine pipelines: per-batch vectorized norms, tiny
+    (label, n, Σnorm) combine, round-6 mean."""
+    ds = _rp(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def norms(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(b["embedding"].to_numpy()).astype("float64")
+        n = np.linalg.norm(m, axis=1)
+        g = pd.DataFrame({"label": b["label"].to_numpy(dtype="int64"),
+                          "_n": np.int64(1), "_s": n})
+        return g.groupby("label", sort=False).sum().reset_index()
+
+    agg = (ds.map_batches(norms, batch_format="pandas")
+           .groupby("label").aggregate(Sum("_n", alias_name="n"),
+                                       Sum("_s", alias_name="_s")))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": b["label"].astype("int64"),
+            "n": b["n"].astype("int64"),
+            "avg_norm": np.round(b["_s"].to_numpy() / b["n"].to_numpy(), 6),
+        })
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+SQL_Q76 = """
+SELECT label::BIGINT AS label, COUNT(*) AS n,
+       ROUND(AVG(sqrt(list_aggregate(
+         list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))), 6)
+         AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2680,4 +2775,6 @@ QUERIES: dict[str, tuple] = {
     "q72_hopping_distinct_users": (q72_hopping_distinct_users, SQL_Q72),
     "q73_retention_cohorts": (q73_retention_cohorts, SQL_Q73),
     "q74_salted_join": (q74_salted_join, SQL_Q74),
+    "q75_grouping_sets": (q75_grouping_sets, SQL_Q75),
+    "q76_embedding_norms": (q76_embedding_norms, SQL_Q76),
 }
