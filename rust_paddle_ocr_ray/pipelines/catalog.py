@@ -2696,6 +2696,212 @@ FROM embeddings GROUP BY label
 """
 
 
+def q77_collocations(sf_dir: str):
+    """Bigram collocation mining — the phrase-detection pass (word2vec
+    phrases / PMI collocations) over the corpus vocabulary.  Score is
+    the RATIONAL PMI surrogate ``n_xy * N * 10^6 // (n_x * n_y)`` —
+    integer-exact and order-free on both engines (a log-PMI would rank
+    identically but compare only to libm's last ulp).  Scale shape:
+    each batch collapses to vocabulary-sized (w1, w2, cnt) partials
+    (unigrams ride the same exchange as w2='' rows), ONE tiny groupby
+    combines them, and the finalize is a vocab²-row single task.
+    int64 bound: safe while n_xy * N ≤ 9.2e12 (document corpora far
+    beyond that should widen to object ints in the finalize)."""
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.split()
+        e = toks.explode().dropna()
+        idx = e.index.to_numpy()
+        w = e.to_numpy(dtype=object)
+        uni = pd.Series(w).value_counts()
+        frames = [pd.DataFrame({
+            "w1": uni.index.to_numpy(dtype=object),
+            "w2": "",
+            "cnt": uni.to_numpy(dtype="int64"),
+        })]
+        if len(w) > 1:
+            same = idx[:-1] == idx[1:]
+            if same.any():
+                bg = pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same]})
+                g = bg.groupby(["w1", "w2"], sort=False).size()
+                gi = g.index.to_frame(index=False)
+                gi["cnt"] = g.to_numpy(dtype="int64")
+                frames.append(gi)
+        return pd.concat(frames, ignore_index=True)
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["w1", "w2"]).aggregate(Sum("cnt", alias_name="cnt")))
+
+    def one(b: pd.DataFrame) -> pd.DataFrame:
+        b["_one"] = np.int8(0)
+        return b
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        uni = g[g["w2"] == ""].set_index("w1")["cnt"]
+        n_total = int(uni.sum())
+        bg = g[g["w2"] != ""]
+        n1 = uni.reindex(bg["w1"]).to_numpy(dtype="int64")
+        n2 = uni.reindex(bg["w2"]).to_numpy(dtype="int64")
+        nxy = bg["cnt"].to_numpy(dtype="int64")
+        score = nxy * n_total * 1_000_000 // (n1 * n2)
+        out = pd.DataFrame({"w1": bg["w1"].to_numpy(dtype=object),
+                            "w2": bg["w2"].to_numpy(dtype=object),
+                            "n_xy": nxy, "score": score})
+        out = out.sort_values(["score", "w1", "w2"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(20)
+        return out.reset_index(drop=True)
+
+    return (hist.map_batches(one, batch_format="pandas")
+            .groupby("_one").map_groups(fin, batch_format="pandas"))
+
+
+SQL_Q77 = r"""
+WITH raw AS (SELECT doc_id AS doc, regexp_extract_all(lower(text), '\S+') AS l
+             FROM documents),
+     toks AS (SELECT doc, unnest(l) AS tok,
+                     generate_subscripts(l, 1) AS pos
+              FROM raw),
+     uni AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+     tot AS (SELECT SUM(n) AS n_total FROM uni),
+     big AS (SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n_xy
+             FROM toks a JOIN toks b
+               ON a.doc = b.doc AND b.pos = a.pos + 1
+             GROUP BY 1, 2)
+SELECT w1, w2, n_xy,
+       ((n_xy::HUGEINT * n_total * 1000000)
+        // (u1.n::HUGEINT * u2.n))::BIGINT AS score
+FROM big
+CROSS JOIN tot
+JOIN uni u1 ON big.w1 = u1.tok
+JOIN uni u2 ON big.w2 = u2.tok
+ORDER BY score DESC, w1, w2
+LIMIT 20
+"""
+
+
+def q78_full_outer_recon(sf_dir: str):
+    """§2.4 breadth: FULL OUTER hash-partitioned join — the
+    reconciliation audit between the event stream's per-user rollup
+    and the customer dimension: matched users, event-less customers,
+    and (if any) customer-less event users all survive with COALESCEd
+    fill values.  The event side pre-aggregates to one slim row per
+    user (integer cents) before the join, so the exchange carries
+    users + customers, never events."""
+    from ..stages.join import native_join
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "value"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(dtype="int64"),
+            "_n": np.int64(1),
+            "_cents": np.round(b["value"].to_numpy(dtype="float64")
+                               * 100.0).astype("int64"),
+        })
+
+    per_user = (ev.map_batches(cents, batch_format="pandas")
+                .groupby("user_id")
+                .aggregate(Sum("_n", alias_name="n_events"),
+                           Sum("_cents", alias_name="_cents")))
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    est = estimate_rows(cust)
+    joined = native_join(per_user, cust, on="user_id",
+                         right_on="c_custkey", join_type="full_outer",
+                         rows_hint=est)
+
+    def fin(b: pa.Table) -> pa.Table:
+        # Ray's right_on join emits ONE coalesced key column (user_id)
+        import pyarrow.compute as pc
+
+        uid = pc.cast(b.column("user_id"), pa.int64())
+        n_ev = pc.fill_null(pc.cast(b.column("n_events"), pa.int64()), 0)
+        cts = pc.fill_null(pc.cast(b.column("_cents"), pa.int64()), 0)
+        nat = pc.fill_null(pc.cast(b.column("c_nationkey"), pa.int64()), -1)
+        sumv = pc.round(pc.divide(pc.cast(cts, pa.float64()), 100.0),
+                        ndigits=2)
+        return pa.Table.from_arrays([uid, n_ev, sumv, nat],
+                                    names=["uid", "n_events", "sum_value",
+                                           "c_nationkey"])
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_Q78 = """
+WITH ev AS (SELECT user_id, COUNT(*) AS n_events,
+                   SUM(ROUND(value * 100)::BIGINT) AS cents
+            FROM events GROUP BY user_id)
+SELECT COALESCE(ev.user_id, c.c_custkey)::BIGINT AS uid,
+       COALESCE(ev.n_events, 0)::BIGINT AS n_events,
+       ROUND(COALESCE(ev.cents, 0) / 100.0, 2) AS sum_value,
+       COALESCE(c.c_nationkey, -1)::BIGINT AS c_nationkey
+FROM ev FULL OUTER JOIN customer c ON ev.user_id = c.c_custkey
+"""
+
+
+def q79_shuffle_order(sf_dir: str):
+    """Deterministic corpus pseudo-shuffle — every document gets its
+    global training-order index (rank by (md5(id), id)), the
+    reproducible shuffle a training run replays identically on any
+    engine.  Distributed as a range-bucketed rank: the md5 top byte
+    range-partitions the hash space, bucket counts make the exclusive
+    prefix, ONE bucket exchange sorts locally and adds the offset
+    (stages/packing.global_order_by_hash)."""
+    from ..stages.packing import global_order_by_hash
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id"])
+    return global_order_by_hash(ds, "doc_id")
+
+
+SQL_Q79 = """
+SELECT doc_id,
+       (ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)::BIGINT
+         AS ord
+FROM documents
+"""
+
+
+# The sensitive-term pattern set: real pipelines load these per policy
+# (emails / phones / ids); the corpus-frequent stand-in terms keep the
+# gate non-trivial while the email pattern exercises the real PII shape.
+_REDACT_TERMS = r"\b(?:spark|query|table)\b"
+_REDACT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def q80_pii_scrub(sf_dir: str):
+    """PII / sensitive-term scrub — per-document pattern hit counts +
+    redacted text, the compliance pass every published training corpus
+    runs.  Pure vectorized regex map (compiled once per pattern by
+    pandas' re cache), zero exchange; patterns are RE2-compatible so
+    the DuckDB twin runs the identical automaton."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(dtype="int64"),
+            "n_terms": t.str.count(_REDACT_TERMS).astype("int64"),
+            "n_emails": t.str.count(_REDACT_EMAIL).astype("int64"),
+            "redacted": t.str.replace(_REDACT_TERMS, "<TERM>", regex=True),
+        })
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+SQL_Q80 = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\b(?:spark|query|table)\b'))::BIGINT
+         AS n_terms,
+       len(regexp_extract_all(
+         text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+         AS n_emails,
+       regexp_replace(text, '\b(?:spark|query|table)\b', '<TERM>', 'g')
+         AS redacted
+FROM documents
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2777,4 +2983,8 @@ QUERIES: dict[str, tuple] = {
     "q74_salted_join": (q74_salted_join, SQL_Q74),
     "q75_grouping_sets": (q75_grouping_sets, SQL_Q75),
     "q76_embedding_norms": (q76_embedding_norms, SQL_Q76),
+    "q77_collocations": (q77_collocations, SQL_Q77),
+    "q78_full_outer_recon": (q78_full_outer_recon, SQL_Q78),
+    "q79_shuffle_order": (q79_shuffle_order, SQL_Q79),
+    "q80_pii_scrub": (q80_pii_scrub, SQL_Q80),
 }

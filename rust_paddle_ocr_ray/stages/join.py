@@ -41,7 +41,8 @@ def _strip_schema_metadata(b: pa.Table) -> pa.Table:
 def native_join(left, right, on: str, join_type: str = "inner",
                 num_partitions: int | None = None,
                 rows_per_partition: int = 1_000_000,
-                rows_hint: int | None = None):
+                rows_hint: int | None = None,
+                right_on: str | None = None):
     """Hash-partitioned ``Dataset.join``.  ``num_partitions=None`` derives
     the partition count from a metadata-only row estimate of both sides:
     every partition is an AGGREGATOR ACTOR, so a small join should not
@@ -70,7 +71,8 @@ def native_join(left, right, on: str, join_type: str = "inner",
     right = right.map_batches(_strip_schema_metadata, batch_format="pyarrow",
                               zero_copy_batch=True)
     return left.join(right, join_type=join_type, num_partitions=num_partitions,
-                     on=(on,))
+                     on=(on,),
+                     right_on=(right_on,) if right_on is not None else None)
 
 
 def _nullable_dtype(t) -> str:

@@ -111,3 +111,65 @@ def assign_pack_bins(docs, id_col: str, part_col: str, tokens_fn,
 
     return (docs.map_batches(bucketize, batch_format="pandas")
             .groupby("bucket").map_groups(per_chunk, batch_format="pandas"))
+
+
+def global_order_by_hash(ds, id_col: str, num_buckets: int = 256):
+    """Deterministic pseudo-shuffle: assign every row its GLOBAL
+    training-order index ``ord`` = rank by ``(md5(id), id)`` — the
+    reproducible corpus shuffle a training run needs (same order on
+    every engine / rerun, no RNG state to ship).
+
+    Scale shape: the top byte of the md5 is a RANGE partition of the
+    hash space, so global rank decomposes into (exclusive prefix of
+    bucket counts) + (local rank inside the bucket):
+
+    1. pass 1 aggregates one count per bucket (256 slim rows);
+    2. exclusive prefix offsets broadcast once via ``ray.put``;
+    3. pass 2 is ONE bucket exchange — each task sorts its own bucket
+       by ``(hex, id)`` and adds the offset.
+
+    Per-task rows ≈ N / num_buckets regardless of input layout (md5 is
+    uniform), and only ``(id, 32-char hex)`` rows ever ride the
+    exchange.  The input is read twice, but both passes touch only the
+    pruned id column — at 10^12 rows that is the cheap alternative to
+    materializing the keyed corpus between passes.
+
+    Hex-string sort order equals numeric hash order ('0'-'9' < 'a'-'f'
+    in ASCII), so bucket-major + local hex sort is exactly the global
+    ``ORDER BY md5(id), id``."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..functions.textstats import md5_head32, md5_hex
+    from .merge import _get_broadcast
+
+    shift = 32 - (num_buckets - 1).bit_length()  # top bits of head32
+    if 1 << (32 - shift) != num_buckets:
+        raise ValueError("num_buckets must be a power of two <= 2**32")
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hex(b[id_col].astype("int64").astype(str))
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(dtype="int64"),
+            "_h": h.to_numpy(dtype=object),
+            "_bkt": (md5_head32(h) >> shift).astype("int64"),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pandas")
+    counts = (keyed_ds.groupby("_bkt").aggregate(Count(alias_name="n"))
+              .to_pandas().sort_values("_bkt"))
+    offs = np.zeros(num_buckets, dtype="int64")
+    n = counts["n"].to_numpy(dtype="int64")
+    offs[counts["_bkt"].to_numpy(dtype="int64")] = np.cumsum(n) - n
+    ref = ray.put(offs)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        off = _get_broadcast(ref)
+        g = g.sort_values(["_h", id_col], kind="mergesort")
+        base = off[int(g["_bkt"].iloc[0])]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(dtype="int64"),
+            "ord": base + np.arange(len(g), dtype="int64"),
+        })
+
+    return keyed_ds.groupby("_bkt").map_groups(rank, batch_format="pandas")

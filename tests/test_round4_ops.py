@@ -1,0 +1,113 @@
+"""Round-4 late additions: global_order_by_hash (pseudo-shuffle rank),
+full-outer native join plumbing, bigram collocation partials, and the
+regex scrub — each checked against a driver-independent reference on
+inputs engineered for the edge cases (bucket splits, one-sided join
+regions, boundary ties)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from rust_paddle_ocr_ray.stages.join import native_join
+from rust_paddle_ocr_ray.stages.packing import global_order_by_hash
+
+
+def _md5(v: int) -> str:
+    return hashlib.md5(str(v).encode()).hexdigest()
+
+
+def test_global_order_matches_sorted_rank(ray_session):
+    ids = np.arange(1, 1501, dtype="int64")
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(7)
+    got = (global_order_by_hash(ds, "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ref = pd.DataFrame({"doc_id": ids, "_h": [_md5(i) for i in ids]})
+    ref = ref.sort_values(["_h", "doc_id"], kind="mergesort")
+    ref["ord"] = np.arange(len(ref), dtype="int64")
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    assert got["ord"].tolist() == ref["ord"].tolist()
+    # a permutation: every rank appears exactly once
+    assert sorted(got["ord"].tolist()) == list(range(len(ids)))
+
+
+def test_global_order_few_buckets_forces_offsets(ray_session):
+    # tiny bucket count -> every bucket non-trivial, offsets exercised
+    ids = np.arange(0, 300, dtype="int64")
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(5)
+    got = (global_order_by_hash(ds, "doc_id", num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ref = sorted(ids, key=lambda i: (_md5(i), i))
+    rank = {i: r for r, i in enumerate(ref)}
+    assert got["ord"].tolist() == [rank[i] for i in ids]
+
+
+def test_full_outer_join_all_three_regions(ray_session):
+    left = pd.DataFrame({"k": np.array([1, 2, 3], dtype="int64"),
+                         "lv": np.array([10, 20, 30], dtype="int64")})
+    right = pd.DataFrame({"rk": np.array([2, 3, 4], dtype="int64"),
+                          "rv": np.array([200, 300, 400], dtype="int64")})
+    out = native_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on="k", right_on="rk", join_type="full_outer",
+                      num_partitions=2).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    # left-only row: rv null; right-only row: lv null; matches joined
+    assert pd.isna(out.loc[0, "rv"]) and out.loc[0, "lv"] == 10
+    assert out.loc[1, "lv"] == 20 and out.loc[1, "rv"] == 200
+    assert pd.isna(out.loc[3, "lv"]) and out.loc[3, "rv"] == 400
+
+
+def test_collocation_partial_bigrams_respect_doc_boundary(ray_session):
+    from rust_paddle_ocr_ray.pipelines.catalog import q77_collocations
+
+    # boundary case: last token of doc0 + first token of doc1 must NOT
+    # form a bigram; verify via a tiny corpus with a known answer
+    import os
+    import tempfile
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype="int64"),
+        "text": ["a b a b", "b c", "a b"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": np.array([7, 3, 3], dtype="int64"),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+        got = (q77_collocations(d).to_pandas()
+               .sort_values(["w1", "w2"]).reset_index(drop=True))
+    # unigrams: a=3, b=4, c=1, N=8; bigrams: ab=3, ba=1, bc=1
+    # scores: ab: 3*8e6//12=2000000, ba: 1*8e6//12=666666, bc: 8e6//4=2000000
+    by_pair = {(r.w1, r.w2): (r.n_xy, r.score) for r in got.itertuples()}
+    assert by_pair[("a", "b")] == (3, 2000000)
+    assert by_pair[("b", "a")] == (1, 666666)
+    assert by_pair[("b", "c")] == (1, 2000000)
+    assert ("b", "b") not in by_pair  # would need the cross-doc bigram
+    assert ("c", "a") not in by_pair
+
+
+def test_scrub_counts_and_redaction(ray_session):
+    import os
+    import tempfile
+
+    from rust_paddle_ocr_ray.pipelines.catalog import q80_pii_scrub
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1], dtype="int64"),
+        "text": ["query the table for spark rows",
+                 "contact bob.smith+x@example-host.org today"],
+        "lang": ["en"] * 2, "source": ["s"] * 2,
+        "n_chars": np.array([30, 41], dtype="int64"),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+        got = (q80_pii_scrub(d).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    assert got.loc[0, "n_terms"] == 3 and got.loc[0, "n_emails"] == 0
+    assert got.loc[0, "redacted"] == "<TERM> the <TERM> for <TERM> rows"
+    assert got.loc[1, "n_terms"] == 0 and got.loc[1, "n_emails"] == 1
+    assert got.loc[1, "redacted"] == docs.loc[1, "text"]
