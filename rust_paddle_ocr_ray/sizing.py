@@ -56,7 +56,15 @@ def data_aware_buckets(rows: int | None,
     width = max(64, 8 * cluster_cpus())
     if rows:
         floor = -(-rows // rows_per_bucket)  # ceil div
-        return max(width, floor)
+        # A MEASURED small input doesn't need 8 tasks/cpu of fixed
+        # per-task overhead (~25-40 ms each): scale the count down to
+        # one task per cpu / 50k rows per bucket, whichever is larger,
+        # and let the width target take over as rows grow past
+        # width × 50k.  The rows/rows_per_bucket heap bound always
+        # applies.  (Measured: the 256-bucket exchange on a 215k-row
+        # sf0.1 join spent more wall in task dispatch than in joining.)
+        lower = min(width, max(cluster_cpus(), -(-rows // 50_000)))
+        return max(lower, floor)
     return width
 
 

@@ -25,13 +25,60 @@ import pandas as pd
 import pyarrow as pa
 
 
+def grouped_sum(ds, key_col: str | list[str], sum_cols: list[str],
+                num_buckets: int = 16):
+    """Coarse-bucket SUM combine for ALREADY-SLIM partial rows — the
+    drop-in for ``groupby(key).aggregate(Sum...)`` when the key space
+    is vocabulary-sized.
+
+    Why not Ray's Aggregate: the sort-based reduce pays a fixed merge
+    cost per (map block × reduce partition) slice (~25 ms measured);
+    with 64 input blocks × 64 reduce partitions that is ~100 s of cpu
+    for kilobytes of partials.  One hash-bucket exchange + a vectorized
+    pandas sum per bucket measured 6× faster end-to-end (1.7 s vs 10 s,
+    sf0.1 event pivot, 32 cpus).
+
+    Partitioning assumption: rows are per-batch PRE-AGGREGATED
+    partials, so a bucket holds ≈ |keys|/num_buckets × blocks rows —
+    keep ``num_buckets`` small (tasks have fixed overhead) but raise it
+    if |keys| grows past a few hundred thousand.  Sum columns must be
+    integer-valued or documented exact-in-float64 (pandas sums per
+    bucket in row order, Ray Sum in block order — bit-identical only
+    when every partial is exact)."""
+    return grouped_reduce(ds, key_col, sum_cols, how="sum",
+                          num_buckets=num_buckets)
+
+
+def grouped_reduce(ds, key_col: str | list[str], cols: list[str],
+                   how: str = "sum", num_buckets: int = 16):
+    """The coarse-bucket combine behind :func:`grouped_sum`, for any
+    semigroup pandas reduction (``sum`` / ``min`` / ``max``) — same
+    rationale and partitioning assumption."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(keys, sort=False)[list(cols)].agg(how)
+             .reset_index())
+        g["_sb"] = (
+            pd.util.hash_pandas_object(g[keys], index=False).to_numpy()
+            % num_buckets
+        ).astype("int32")
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        h = (g.groupby(keys, sort=False)[list(cols)].agg(how)
+             .reset_index())
+        return pa.Table.from_pandas(h, preserve_index=False)
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("_sb").map_groups(per_bucket, batch_format="pandas"))
+
+
 def grouped_count_distinct(ds, key_col: str | list[str], val_col: str,
                            out_col: str = "n_distinct",
                            num_buckets: int = 64):
     """COUNT(DISTINCT ``val_col``) GROUP BY ``key_col`` — exact.
     ``key_col`` may be a list for composite grouping keys."""
-    from ray.data.aggregate import Sum
-
     keys = [key_col] if isinstance(key_col, str) else list(key_col)
     cols = keys + [val_col]
 
@@ -56,12 +103,11 @@ def grouped_count_distinct(ds, key_col: str | list[str], val_col: str,
 
     slim = (ds.map_batches(partial, batch_format="pandas")
             .groupby("_db").map_groups(per_bucket, batch_format="pandas"))
-    out = slim.groupby(keys if len(keys) > 1 else keys[0]).aggregate(
-        Sum("_cnt", alias_name=out_col))
+    out = grouped_sum(slim, keys, ["_cnt"])
 
     def cast(b: pd.DataFrame) -> pd.DataFrame:
-        b[out_col] = b[out_col].astype("int64")
-        return b
+        b[out_col] = b["_cnt"].astype("int64")
+        return b.drop(columns=["_cnt"])
 
     return out.map_batches(cast, batch_format="pandas")
 
@@ -80,7 +126,6 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str,
     rounded to ``decimals`` to be comparable with an independent
     streaming implementation (e.g. DuckDB's one-pass CORR).  A
     zero-variance group yields NaN (SQL NULL)."""
-    from ray.data.aggregate import Sum
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         x = b[x_col].to_numpy(dtype="float64")
@@ -89,10 +134,8 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str,
                           "_sxy": x * y, "_sxx": x * x, "_syy": y * y})
         return g.groupby(key_col, sort=False).sum().reset_index()
 
-    sums = [Sum(c, alias_name=c) for c in
-            ("_n", "_sx", "_sy", "_sxy", "_sxx", "_syy")]
-    agg = (ds.map_batches(partial, batch_format="pandas")
-           .groupby(key_col).aggregate(*sums))
+    agg = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                      key_col, ["_n", "_sx", "_sy", "_sxy", "_sxx", "_syy"])
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:
         n = b["_n"].to_numpy()
@@ -161,8 +204,6 @@ def grouped_zscore(ds, key_col: str, val_col: str,
     group yields NaN (guard the SQL twin the same way)."""
     import ray
 
-    from ray.data.aggregate import Sum
-
     from .merge import _get_broadcast
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -171,12 +212,8 @@ def grouped_zscore(ds, key_col: str, val_col: str,
                           "_sxx": x * x})
         return g.groupby(key_col, sort=False).sum().reset_index()
 
-    moments = (ds.map_batches(partial, batch_format="pandas")
-               .groupby(key_col)
-               .aggregate(Sum("_n", alias_name="_n"),
-                          Sum("_sx", alias_name="_sx"),
-                          Sum("_sxx", alias_name="_sxx"))
-               .to_pandas())
+    moments = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                          key_col, ["_n", "_sx", "_sxx"]).to_pandas()
     n = moments["_n"].to_numpy()
     sx = moments["_sx"].to_numpy()
     sxx = moments["_sxx"].to_numpy()

@@ -100,7 +100,8 @@ def _nullable_dtype(t) -> str:
 
 
 def hash_join(left, right, on: str, num_buckets: int | None = None,
-              how: str = "inner", suffix: str = "_r"):
+              how: str = "inner", suffix: str = "_r",
+              rows_hint: int | None = None):
     """Explicit partitioned hash join of two Datasets on key ``on``
     (integer or string — ``_key_bucket`` hashes any dtype).
 
@@ -116,7 +117,9 @@ def hash_join(left, right, on: str, num_buckets: int | None = None,
     if num_buckets is None:
         from ..sizing import data_aware_buckets, estimate_rows
 
-        num_buckets = data_aware_buckets(estimate_rows(left, right))
+        num_buckets = data_aware_buckets(
+            rows_hint if rows_hint is not None
+            else estimate_rows(left, right))
     l_schema = left.schema()
     r_schema = right.schema()
     l_cols = list(l_schema.names)
@@ -182,6 +185,7 @@ def salted_hash_join(left, right, on: str, salts: int = 8,
                      hot_keys: set | None = None,
                      hot_threshold_rows: int = 1_000_000,
                      hot_keys_cap: int = 100_000,
+                     rows_hint: int | None = None,
                      _return_tagged: bool = False):
     """Skew-aware INNER hash join: hot join keys are SALTED so one
     key's rows spread across ``salts`` reduce tasks instead of pinning
@@ -203,12 +207,12 @@ def salted_hash_join(left, right, on: str, salts: int = 8,
     rather than silently build a huge driver set."""
     import ray
 
-    from ray.data.aggregate import Sum
-
     from ..sizing import data_aware_buckets, estimate_rows
+    from .distinct import grouped_sum
     from .merge import _get_broadcast
 
-    buckets = num_buckets or data_aware_buckets(estimate_rows(left, right))
+    buckets = num_buckets or data_aware_buckets(
+        rows_hint if rows_hint is not None else estimate_rows(left, right))
 
     if hot_keys is None:
         def key_counts(b: pd.DataFrame) -> pd.DataFrame:
@@ -216,8 +220,9 @@ def salted_hash_join(left, right, on: str, salts: int = 8,
             return pd.DataFrame({on: vc.index.to_numpy(),
                                  "_rows": vc.to_numpy(dtype="int64")})
 
-        counts = (left.map_batches(key_counts, batch_format="pandas")
-                  .groupby(on).aggregate(Sum("_rows", alias_name="_rows")))
+        counts = grouped_sum(
+            left.map_batches(key_counts, batch_format="pandas"),
+            on, ["_rows"])
         hot = counts.filter(expr=f"_rows > {int(hot_threshold_rows)}")
         hot_rows = hot.take_all()
         if len(hot_rows) > hot_keys_cap:

@@ -154,9 +154,14 @@ def test_data_aware_buckets_floor_beats_cluster_width(ray_session):
     )
 
     width = max(64, 8 * cluster_cpus())
-    # small input (or unknown rows): width heuristic
+    # unknown rows: width heuristic (no information to scale down on)
     assert data_aware_buckets(None) == width
-    assert data_aware_buckets(10_000) == width
+    # MEASURED small input scales DOWN to ~1 task/cpu (per-task fixed
+    # overhead dominated the sf0.1 exchanges at 8 tasks/cpu)
+    assert data_aware_buckets(10_000) == cluster_cpus()
+    # mid-size: 50k rows per bucket until the width target is reached
+    assert data_aware_buckets(1_000_000) == max(
+        cluster_cpus(), min(width, -(-1_000_000 // 50_000)))
     # 10B rows on the same cluster: the data floor takes over
     big = data_aware_buckets(10_000_000_000)
     assert big > width
