@@ -842,17 +842,18 @@ def q28_json_extract(sf_dir: str):
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         k = b["props"].map(lambda s: json.loads(s).get("k")).astype("int64")
-        return pd.DataFrame({"event_type": b["event_type"], "k": k})
+        g = pd.DataFrame({"event_type": b["event_type"], "n": np.int64(1),
+                          "sum_k": k, "max_k": k})
+        return (g.groupby("event_type", sort=False)
+                .agg({"n": "sum", "sum_k": "sum", "max_k": "max"})
+                .reset_index())
 
-    out = ds.map_batches(f, batch_format="pandas").groupby("event_type").aggregate(
-        Count(alias_name="n"), Sum("k", alias_name="sum_k"), Max("k", alias_name="max_k")
-    )
+    from ..stages.distinct import grouped_reduce
 
-    def cast(b: pd.DataFrame) -> pd.DataFrame:
-        b["sum_k"] = b["sum_k"].astype("int64")
-        return b
-
-    return out.map_batches(cast, batch_format="pandas")
+    return grouped_reduce(ds.map_batches(f, batch_format="pandas"),
+                          "event_type", ["n", "sum_k", "max_k"],
+                          how={"n": "sum", "sum_k": "sum", "max_k": "max"},
+                          num_buckets=4)
 
 
 SQL_Q28 = """

@@ -50,15 +50,21 @@ def grouped_sum(ds, key_col: str | list[str], sum_cols: list[str],
 
 
 def grouped_reduce(ds, key_col: str | list[str], cols: list[str],
-                   how: str = "sum", num_buckets: int = 16):
+                   how: str | dict = "sum", num_buckets: int = 16):
     """The coarse-bucket combine behind :func:`grouped_sum`, for any
-    semigroup pandas reduction (``sum`` / ``min`` / ``max``) — same
-    rationale and partitioning assumption."""
+    semigroup pandas reduction — same rationale and partitioning
+    assumption.  ``how`` is one reduction name (``sum``/``min``/``max``)
+    for all of ``cols``, or a per-column dict (each entry must still be
+    a semigroup so partial-of-partials equals the whole)."""
     keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    spec = {c: how for c in cols} if isinstance(how, str) else dict(how)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(keys, sort=False)[list(spec)].agg(spec)
+                .reset_index())
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        g = (b.groupby(keys, sort=False)[list(cols)].agg(how)
-             .reset_index())
+        g = combine(b)
         g["_sb"] = (
             pd.util.hash_pandas_object(g[keys], index=False).to_numpy()
             % num_buckets
@@ -66,9 +72,7 @@ def grouped_reduce(ds, key_col: str | list[str], cols: list[str],
         return g
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
-        h = (g.groupby(keys, sort=False)[list(cols)].agg(how)
-             .reset_index())
-        return pa.Table.from_pandas(h, preserve_index=False)
+        return pa.Table.from_pandas(combine(g), preserve_index=False)
 
     return (ds.map_batches(bucketize, batch_format="pandas")
             .groupby("_sb").map_groups(per_bucket, batch_format="pandas"))
