@@ -1,12 +1,14 @@
 """Multimodal plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata.
 
-PNG payloads decode for REAL — pure-Python RFC 2083 pixel decode
-(functions/png.py), emitting true width/height and pixel-statistics
-features.  Other formats' decode kernels remain STUBS (no image/audio
-libraries in this environment — clearly marked below) and take the
-deterministic fake path; everything Ray-side is real and tested:
-schema, actor-pool signature, small batch sizes for large payloads.
+PNG, BMP and GIF payloads decode for REAL — pure-Python public-spec
+pixel decoders (functions/png.py: RFC 2083; functions/raster.py:
+BITMAPINFOHEADER + GIF89a LZW), emitting true width/height and
+pixel-statistics features.  JPEG/WEBP entropy decode remains a STUB
+(no image libraries in this environment — clearly marked below) and
+takes the deterministic fake path; everything Ray-side is real and
+tested: schema, actor-pool signature, small batch sizes for large
+payloads.
 """
 
 from __future__ import annotations
@@ -35,20 +37,30 @@ MEDIA_META_SCHEMA = pa.schema(
 def real_decode(payload: bytes, feat_dim: int = 64) -> tuple[int, int, np.ndarray]:
     """The real decode hook -> (width, height, feature).
 
-    PNG decodes for real (pure-Python RFC 2083, functions/png.py — zlib
-    IDAT + per-row unfilter, all five filter types, grey/RGB/palette/
-    alpha color types at bit depth 8).  Other formats still require
-    image/audio libraries not present in this environment: wire
-    Pillow/ffmpeg here when present — until then they raise
-    NotImplementedError and the featurizer degrades to the
+    PNG (pure-Python RFC 2083, functions/png.py — zlib IDAT + per-row
+    unfilter, all five filter types, grey/RGB/palette/alpha at bit
+    depth 8), BMP (BITMAPINFOHEADER BI_RGB 8/24-bit) and GIF
+    (variable-width LZW per the GIF89a spec, first frame,
+    non-interlaced) decode for REAL (functions/raster.py).  JPEG/WEBP
+    entropy coding still requires image libraries not present in this
+    environment: wire Pillow/ffmpeg here when present — until then
+    they raise NotImplementedError and the featurizer degrades to the
     deterministic fake decoder."""
+    from ..functions.raster import decode_bmp, decode_gif
+
+    px = None
     if payload[:8] == PNG_SIG:
         px = decode_png(payload)  # ValueError outside the spec subset
+    elif payload[:2] == b"BM":
+        px = decode_bmp(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        px = decode_gif(payload)
+    if px is not None:
         h, w = px.shape[0], px.shape[1]
         return w, h, pixel_feature(px, feat_dim)
     raise NotImplementedError(
-        "non-PNG media decode requires an image/audio library not present "
-        "in this environment; the pipeline uses the deterministic fake decoder"
+        "JPEG/WEBP decode requires an image library not present in this "
+        "environment; the pipeline uses the deterministic fake decoder"
     )
 
 
