@@ -146,3 +146,31 @@ def test_zscore_constant_group_nan(ray_session):
            .to_pandas().sort_values("i").reset_index(drop=True))
     assert got["zscore"].isna().tolist() == [True, True, False, False]
     assert got.loc[2, "zscore"] == -1.0 and got.loc[3, "zscore"] == 1.0
+
+
+def test_grouped_reduce_matches_pandas_reference(ray_session):
+    """grouped_sum / grouped_reduce (incl. per-column how dict) must
+    equal a driver-side pandas groupby regardless of block layout."""
+    from rust_paddle_ocr_ray.stages.distinct import grouped_reduce, grouped_sum
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "hot"], 6000, p=[.1, .2, .1, .6]),
+        "k2": rng.randint(0, 3, 6000).astype("int64"),
+        "x": rng.randint(-50, 50, 6000).astype("int64"),
+        "y": rng.randint(0, 1000, 6000).astype("int64"),
+    })
+    ds = rd.from_pandas(df).repartition(17)
+
+    got = (grouped_sum(ds, ["k", "k2"], ["x", "y"], num_buckets=5)
+           .to_pandas().sort_values(["k", "k2"]).reset_index(drop=True))
+    want = (df.groupby(["k", "k2"], as_index=False)[["x", "y"]].sum()
+            .sort_values(["k", "k2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+    got = (grouped_reduce(ds, "k", ["x", "y"],
+                          how={"x": "min", "y": "max"}, num_buckets=3)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.groupby("k", as_index=False).agg({"x": "min", "y": "max"})
+            .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
