@@ -2917,6 +2917,64 @@ FROM documents
 """
 
 
+def q81_pixel_roundtrip(sf_dir: str):
+    """Real-decoder round-trip ON THE DRIVER GATE: a deterministic
+    gradient raster per doc_id (format cycles BMP 24-bit / GIF LZW /
+    PNG; pixel (x,y) = (x+y+id) % 256 on every channel) is ENCODED and
+    then DECODED by the pure-Python decoders (functions/raster.py,
+    functions/png.py), and the decoded dimensions + integer-exact pixel
+    mean (ppm) are hash-checked against a closed-form SQL twin that
+    derives the same stats from the formula — no image library on
+    either side, so a decoder bug (bit unpacking, row order, palette,
+    LZW width growth) breaks the gate.  Per-payload Python loop is the
+    media pattern (each payload is an opaque byte blob), actor-scale
+    parallel via map_batches."""
+    from ..functions.png import decode_png
+    from ..functions.raster import decode_bmp, decode_gif
+    from ..sources.synth import gradient_image
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id"])
+
+    def rt(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "fmt": [], "width": [], "height": [],
+                "mean_ppm": []}
+        for d in b["doc_id"].to_numpy(dtype="int64"):
+            fmt, payload, _, _ = gradient_image(int(d))
+            px = (decode_bmp(payload) if fmt == "bmp"
+                  else decode_gif(payload) if fmt == "gif"
+                  else decode_png(payload))
+            h, w = px.shape[0], px.shape[1]
+            s = int(px.astype(np.int64).sum())
+            rows["doc_id"].append(int(d))
+            rows["fmt"].append(fmt)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["mean_ppm"].append(s * 1_000_000 // (w * h * 3))
+        out = pd.DataFrame(rows)
+        for c in ("width", "height", "mean_ppm"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return ds.map_batches(rt, batch_format="pandas")
+
+
+SQL_Q81 = """
+WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           FROM documents),
+px AS (
+  SELECT g.doc_id, g.w, g.h, ((xs.x + ys.y + g.doc_id) % 256)::BIGINT AS v
+  FROM g,
+       unnest(generate_series(0, g.w - 1)) AS xs(x),
+       unnest(generate_series(0, g.h - 1)) AS ys(y))
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif' ELSE 'png' END
+         AS fmt,
+       w AS width, h AS height,
+       ((SUM(v) * 3 * 1000000) // (w * h * 3))::BIGINT AS mean_ppm
+FROM px GROUP BY doc_id, w, h
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3002,4 +3060,5 @@ QUERIES: dict[str, tuple] = {
     "q78_full_outer_recon": (q78_full_outer_recon, SQL_Q78),
     "q79_shuffle_order": (q79_shuffle_order, SQL_Q79),
     "q80_pii_scrub": (q80_pii_scrub, SQL_Q80),
+    "q81_pixel_roundtrip": (q81_pixel_roundtrip, SQL_Q81),
 }

@@ -409,3 +409,119 @@ def write_corpus(out_dir: str, n: int, seed: int = 42, shards: int = 8) -> list[
         pq.write_table(tbl, path)
         paths.append(path)
     return paths
+
+
+# ---------------------------------------------------------------------------
+# deterministic REAL image encoders (round 4): tiny gradient rasters whose
+# pixel statistics have a closed form, so the pure-Python decoders
+# (functions/png.py, functions/raster.py) can be verified through the
+# DRIVER GATE against a SQL twin that computes the same stats from the
+# formula — no image library on either side.
+# ---------------------------------------------------------------------------
+
+def encode_bmp24(px) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit BI_RGB bottom-up BMP bytes."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    pad = (-(w * 3)) % 4
+    body = b"".join(r[:, ::-1].tobytes() + b"\x00" * pad for r in px[::-1])
+    return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          2835, 2835, 0, 0) + body)
+
+
+def encode_gif8(idx, palette) -> bytes:
+    """(h, w) uint8 indices + (n, 3) palette -> single-frame GIF89a.
+
+    Emits a spec-valid variable-width LZW stream via the
+    clear-before-every-code form (the table never grows, so the code
+    width stays fixed — explicitly allowed by the GIF89a spec)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    bits = 1
+    while (1 << bits) < len(palette):
+        bits += 1
+    bits = max(bits, 2)
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    head = (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0x80 | (bits - 1), 0, 0]) + pal.tobytes())
+    img = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    mcs = max(bits, 2)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    acc = nbits = 0
+    packed = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for v in idx.ravel().tolist():
+        emit(int(v))
+        emit(clear)
+    emit(end)
+    if nbits:
+        packed.append(acc & 0xFF)
+    sub = b"".join(bytes([len(packed[i:i + 255])]) + bytes(packed[i:i + 255])
+                   for i in range(0, len(packed), 255))
+    return head + img + bytes([mcs]) + sub + b"\x00" + b"\x3b"
+
+
+def encode_png_rgb(px) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (color type 2, filter 0 rows)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + r.tobytes() for r in px)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def gradient_image(doc_id: int) -> tuple[str, bytes, int, int]:
+    """Deterministic tiny raster for ``doc_id``: dims (8 + id%9,
+    8 + id%7), every channel of pixel (x, y) = (x + y + id) % 256;
+    format cycles bmp/gif/png by id % 3.  Returns (fmt, payload, w, h).
+    The closed-form pixel mean makes the decode round-trip
+    SQL-checkable (catalog q81)."""
+    import numpy as np
+
+    w = 8 + doc_id % 9
+    h = 8 + doc_id % 7
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    v = ((x + y + doc_id) % 256).astype(np.uint8)
+    fmt = ("bmp", "gif", "png")[doc_id % 3]
+    if fmt == "bmp":
+        payload = encode_bmp24(np.repeat(v[:, :, None], 3, axis=2))
+    elif fmt == "gif":
+        grey = np.arange(256, dtype=np.uint8)
+        payload = encode_gif8(v, np.repeat(grey[:, None], 3, axis=1))
+    else:
+        payload = encode_png_rgb(np.repeat(v[:, :, None], 3, axis=2))
+    return fmt, payload, w, h
