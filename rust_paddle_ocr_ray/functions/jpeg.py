@@ -1,0 +1,234 @@
+"""Pure-Python baseline JPEG decoder (ITU-T T.81 spec subset).
+
+Charter as functions/png.py / functions/raster.py: decode for REAL what
+public specs allow without image libraries, raise ``ValueError``
+outside the subset so the featurizer degrades to its deterministic
+fake.
+
+Supported subset: baseline sequential DCT (SOF0), 8-bit precision,
+single-component (grayscale) scans, 1×1 sampling, no restart markers,
+no progressive/arithmetic coding.  Color (3-component) baseline JPEGs
+raise ValueError — YCbCr chroma upsampling is where implementations
+legitimately diverge, and the honest contract here is exact-or-degrade.
+
+The full machinery is real: marker walk, DQT/DHT parsing, canonical
+Huffman decode over the 0xFF00-unstuffed bit stream, DC prediction +
+EXTEND, zigzag dequantization, and a float64 separable IDCT.  A
+DC-only block decodes losslessly (flat value), which is what puts this
+decoder on the driver gate (catalog q82) via the closed-form twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: zigzag index -> (row, col) of the 8x8 block, per T.81 Figure 5
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _idct_matrix() -> np.ndarray:
+    a = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_IDCT_A = _idct_matrix()
+
+
+def idct2(block: np.ndarray) -> np.ndarray:
+    """8x8 dequantized coefficients -> spatial samples (float64,
+    pre-level-shift)."""
+    return _IDCT_A.T @ block @ _IDCT_A
+
+
+class _Huff:
+    """Canonical JPEG Huffman table: (length, code) -> symbol."""
+
+    def __init__(self, bits: list[int], vals: bytes):
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lut[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first entropy-coded segment reader with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy data ended early")
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(d):
+                raise ValueError("JPEG entropy data ended at 0xFF")
+            m = d[self.pos]
+            if m == 0x00:
+                self.pos += 1
+            elif m == 0xD9:  # EOI reached mid-fill: pad with 1s per spec
+                self.pos -= 1
+                b = 0xFF
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+                return
+            else:
+                raise ValueError(f"unexpected marker 0xFF{m:02x} in scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _Huff) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Baseline grayscale JPEG -> (height, width) uint8 samples.
+
+    Raises ValueError outside the supported subset (see module doc)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _Huff] = {}
+    ac_tabs: dict[int, _Huff] = {}
+    w = h = None
+    comp_q = comp_dc = comp_ac = None
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        seg_len = (data[pos] << 8) | data[pos + 1]
+        body = data[pos + 2:pos + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[ZIGZAG] = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8)
+                qt[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = bytes(body[i + 17:i + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = (body[1] << 8) | body[2]
+            w = (body[3] << 8) | body[4]
+            ncomp = body[5]
+            if ncomp != 1:
+                raise ValueError("only grayscale (1-component) supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampling not supported")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0})")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            if body[0] != 1:
+                raise ValueError("multi-component scan not supported")
+            comp_dc = body[2] >> 4
+            comp_ac = body[2] & 0x0F
+            scan_start = pos + seg_len
+            return _decode_scan(data, scan_start, w, h,
+                                qt[comp_q], dc_tabs[comp_dc],
+                                ac_tabs[comp_ac])
+        pos += seg_len
+    raise ValueError("JPEG without a scan")
+
+
+def _decode_scan(data: bytes, pos: int, w: int, h: int, quant: np.ndarray,
+                 dc: _Huff, ac: _Huff) -> np.ndarray:
+    if not w or not h:
+        raise ValueError("JPEG scan before SOF0")
+    bx = -(-w // 8)
+    by = -(-h // 8)
+    out = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+    rd = _BitReader(data, pos)
+    pred = 0
+    zz = np.zeros(64, dtype=np.int64)
+    for b in range(bx * by):
+        zz[:] = 0
+        t = rd.decode(dc)
+        diff = _extend(rd.read_bits(t), t) if t else 0
+        pred += diff
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = rd.decode(ac)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            zz[k] = _extend(rd.read_bits(s), s)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[ZIGZAG] = zz * quant.reshape(-1)[ZIGZAG]
+        px = idct2(coef.reshape(8, 8)) + 128.0
+        r0, c0 = (b // bx) * 8, (b % bx) * 8
+        out[r0:r0 + 8, c0:c0 + 8] = np.clip(np.rint(px), 0, 255)
+    return out[:h, :w]

@@ -2975,6 +2975,58 @@ FROM px GROUP BY doc_id, w, h
 """
 
 
+def q82_jpeg_roundtrip(sf_dir: str):
+    """Baseline-JPEG decoder ON THE DRIVER GATE (companion to q81):
+    per doc a block-gradient grayscale image (8×8 block (i, j) is the
+    constant (i+j+id) % 256) is ENCODED as a real baseline JPEG
+    (sources/synth.encode_jpeg_gray_dc — Annex-K DC Huffman table,
+    0xFF stuffing, unit quant) and DECODED by the pure-Python Huffman +
+    IDCT decoder (functions/jpeg.py); DC-only blocks decode losslessly,
+    so decoded dims + the integer-exact pixel mean hash-check against a
+    closed-form SQL twin over the block indices.  A bug anywhere in the
+    entropy decode, DC prediction, dequant or IDCT breaks the gate."""
+    from ..functions.jpeg import decode_jpeg_gray
+    from ..sources.synth import encode_jpeg_gray_dc
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id"])
+
+    def rt(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "width": [], "height": [], "mean_ppm": []}
+        for d in b["doc_id"].to_numpy(dtype="int64"):
+            d = int(d)
+            bx, by = 1 + d % 3, 1 + d % 2
+            i = np.arange(by, dtype=np.int64)[:, None]
+            j = np.arange(bx, dtype=np.int64)[None, :]
+            blocks = ((i + j + d) % 256).astype(np.uint8)
+            px = decode_jpeg_gray(encode_jpeg_gray_dc(blocks))
+            h, w = px.shape
+            s = int(px.astype(np.int64).sum())
+            rows["doc_id"].append(d)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["mean_ppm"].append(s * 1_000_000 // (w * h))
+        out = pd.DataFrame(rows)
+        for c in ("width", "height", "mean_ppm"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return ds.map_batches(rt, batch_format="pandas")
+
+
+SQL_Q82 = """
+WITH g AS (SELECT doc_id, 1 + doc_id % 3 AS bx, 1 + doc_id % 2 AS by
+           FROM documents),
+bl AS (
+  SELECT g.doc_id, g.bx, g.by, ((i.i + j.j + g.doc_id) % 256)::BIGINT AS v
+  FROM g,
+       unnest(generate_series(0, g.by - 1)) AS i(i),
+       unnest(generate_series(0, g.bx - 1)) AS j(j))
+SELECT doc_id, (bx * 8)::BIGINT AS width, (by * 8)::BIGINT AS height,
+       ((SUM(v) * 64 * 1000000) // (bx * by * 64))::BIGINT AS mean_ppm
+FROM bl GROUP BY doc_id, bx, by
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3061,4 +3113,5 @@ QUERIES: dict[str, tuple] = {
     "q79_shuffle_order": (q79_shuffle_order, SQL_Q79),
     "q80_pii_scrub": (q80_pii_scrub, SQL_Q80),
     "q81_pixel_roundtrip": (q81_pixel_roundtrip, SQL_Q81),
+    "q82_jpeg_roundtrip": (q82_jpeg_roundtrip, SQL_Q82),
 }

@@ -525,3 +525,69 @@ def gradient_image(doc_id: int) -> tuple[str, bytes, int, int]:
     else:
         payload = encode_png_rgb(np.repeat(v[:, :, None], 3, axis=2))
     return fmt, payload, w, h
+
+
+def encode_jpeg_gray_dc(blocks) -> bytes:
+    """(by, bx) uint8 BLOCK values -> baseline grayscale JPEG whose 8x8
+    blocks are constant (DC-only, quant table all ones, Annex-K DC
+    Huffman table, 1-bit EOB AC table) — the T.81 subset a DC-only
+    block decodes LOSSLESSLY, which puts the real Huffman+IDCT decoder
+    (functions/jpeg.py) on the driver gate."""
+    import numpy as np
+
+    blocks = np.asarray(blocks, dtype=np.int64)
+    by, bx = blocks.shape
+    h, w = by * 8, bx * 8
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big")
+                + body)
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([1, 1, 0x11, 0]))
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = bytes(range(12))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    dc_codes = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(dc_bits[length - 1]):
+            dc_codes[dc_vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+
+    out = bytearray()
+    acc = nb = 0
+
+    def emit(c: int, ln: int):
+        nonlocal acc, nb
+        acc = (acc << ln) | c
+        nb += ln
+        while nb >= 8:
+            byte = (acc >> (nb - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nb -= 8
+        acc &= (1 << nb) - 1
+
+    pred = 0
+    for v in blocks.ravel().tolist():
+        dcv = 8 * (v - 128)
+        diff = dcv - pred
+        pred = dcv
+        t = int(abs(diff)).bit_length() if diff else 0
+        c, ln = dc_codes[t]
+        emit(c, ln)
+        if t:
+            emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        emit(0, 1)  # EOB
+    if nb:
+        emit((1 << (8 - nb)) - 1, 8 - nb)  # pad with 1s per spec
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes(out)
+            + b"\xff\xd9")

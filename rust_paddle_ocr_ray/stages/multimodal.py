@@ -46,6 +46,7 @@ def real_decode(payload: bytes, feat_dim: int = 64) -> tuple[int, int, np.ndarra
     environment: wire Pillow/ffmpeg here when present — until then
     they raise NotImplementedError and the featurizer degrades to the
     deterministic fake decoder."""
+    from ..functions.jpeg import decode_jpeg_gray
     from ..functions.raster import decode_bmp, decode_gif
 
     px = None
@@ -55,12 +56,17 @@ def real_decode(payload: bytes, feat_dim: int = 64) -> tuple[int, int, np.ndarra
         px = decode_bmp(payload)
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         px = decode_gif(payload)
+    elif payload[:2] == b"\xff\xd8":
+        # baseline grayscale JPEG (real Huffman + IDCT, functions/
+        # jpeg.py); color/progressive raise ValueError -> fake path
+        px = decode_jpeg_gray(payload)[:, :, None]
     if px is not None:
         h, w = px.shape[0], px.shape[1]
         return w, h, pixel_feature(px, feat_dim)
     raise NotImplementedError(
-        "JPEG/WEBP decode requires an image library not present in this "
-        "environment; the pipeline uses the deterministic fake decoder"
+        "WEBP (and color-JPEG) decode requires an image library not "
+        "present in this environment; the pipeline uses the "
+        "deterministic fake decoder"
     )
 
 

@@ -1,0 +1,83 @@
+"""Baseline-JPEG decoder (functions/jpeg.py) tests: lossless DC-only
+round-trips through the real Huffman + IDCT path, an AC-coefficient
+stream built byte-by-byte in the test, marker/subset rejections, and
+the real_decode dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rust_paddle_ocr_ray.functions.jpeg import ZIGZAG, decode_jpeg_gray, idct2
+from rust_paddle_ocr_ray.sources.synth import encode_jpeg_gray_dc
+from rust_paddle_ocr_ray.stages.multimodal import real_decode
+
+
+def test_dc_only_roundtrip_is_lossless():
+    rng = np.random.RandomState(9)
+    for shape in [(1, 1), (3, 2), (5, 5)]:
+        blocks = rng.randint(0, 256, shape).astype(np.uint8)
+        px = decode_jpeg_gray(encode_jpeg_gray_dc(blocks))
+        want = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        np.testing.assert_array_equal(px, want)
+
+
+def test_dc_extremes_and_ff_stuffing():
+    # 0 and 255 produce the largest DC categories; long runs of equal
+    # blocks force zero-diffs; the stream routinely contains 0xFF bytes
+    blocks = np.array([[0, 255, 0, 255, 255, 255, 255, 255]], dtype=np.uint8)
+    data = encode_jpeg_gray_dc(blocks)
+    px = decode_jpeg_gray(data)
+    want = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    np.testing.assert_array_equal(px, want)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def test_ac_coefficient_and_zigzag_placement():
+    # hand-built single-block scan: DC cat 0 ('00' per Annex K), then
+    # AC symbol 0x07 (run 0, size 7; +100 is category 7) with value
+    # bits 1100100 -> zigzag k=1 gets +100, then EOB.
+    # AC table here: 0x00 -> '0', 0x07 -> '10'.
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _seg(0xC0, bytes([8]) + (8).to_bytes(2, "big")
+               + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dht_dc = _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(12)))
+    dht_ac = _seg(0xC4, bytes([0x10]) + bytes([1, 1] + [0] * 14)
+                  + bytes([0x00, 0x07]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # bits: DC '00' + AC '10' + value 100 (7 bits: 1100100) + EOB '0'
+    # = 0010 1100 1000 -> pad with 1s to 2 bytes
+    scan = bytes([0b00101100, 0b10001111])
+    data = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan
+            + b"\xff\xd9")
+    px = decode_jpeg_gray(data)
+    coef = np.zeros((8, 8))
+    coef.reshape(-1)[ZIGZAG[1]] = 100.0
+    want = np.clip(np.rint(idct2(coef) + 128.0), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(px, want)
+    assert px.min() != px.max()  # the AC coefficient actually landed
+
+
+def test_rejects_outside_subset():
+    blocks = np.array([[7]], dtype=np.uint8)
+    data = bytearray(encode_jpeg_gray_dc(blocks))
+    i = data.index(b"\xff\xc0")
+    prog = data.copy()
+    prog[i + 1] = 0xC2  # progressive SOF
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(prog))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\xff\xd8\xff\xd9")  # no scan
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"not a jpeg")
+
+
+def test_real_decode_dispatches_jpeg():
+    blocks = np.array([[10, 200], [30, 40]], dtype=np.uint8)
+    w, h, feat = real_decode(encode_jpeg_gray_dc(blocks))
+    assert (w, h) == (16, 16)
+    assert abs(feat[0] - blocks.mean() / 255.0) < 1e-6

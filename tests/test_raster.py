@@ -146,5 +146,9 @@ def test_real_decode_dispatch():
     assert (w, h) == (2, 2)
     # mean of channel 0 = mean(255,0,0,10)/255
     assert abs(feat[0] - (255 + 0 + 0 + 10) / 4 / 255.0) < 1e-6
-    with pytest.raises(NotImplementedError):
+    # a JPEG the T.81-subset decoder can't parse degrades via ValueError
+    with pytest.raises(ValueError):
         real_decode(b"\xff\xd8\xff\xe0JFIF-not-decodable")
+    # formats with no pure-Python decoder stay the declared stub
+    with pytest.raises(NotImplementedError):
+        real_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 not-decodable")
