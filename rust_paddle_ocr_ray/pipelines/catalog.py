@@ -3027,6 +3027,60 @@ FROM bl GROUP BY doc_id, bx, by
 """
 
 
+def q83_wav_roundtrip(sf_dir: str):
+    """Audio modality ON THE DRIVER GATE (companion to q81/q82): per
+    doc a deterministic oscillating PCM16 waveform
+    (s(t) = 2·((t·k) % 2000) − 1999, k = 613 + id % 977 — odd values,
+    never zero) is ENCODED as a real RIFF/WAVE payload
+    (sources/synth.encode_wav_pcm16) and DECODED by the pure-Python
+    WAV reader (functions/audio.py); sample count, integer sum,
+    |x|-sum and zero-crossing count hash-check against a closed-form
+    LAG-window SQL twin."""
+    from ..functions.audio import decode_wav, wav_feature
+    from ..sources.synth import encode_wav_pcm16
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id"])
+
+    def rt(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "n_samples": [], "sum_amp": [],
+                "sum_abs": [], "zero_crossings": []}
+        for d in b["doc_id"].to_numpy(dtype="int64"):
+            d = int(d)
+            n = 64 + d % 37
+            k = 613 + d % 977
+            t = np.arange(n, dtype=np.int64)
+            s = (2 * ((t * k) % 2000) - 1999).astype(np.int16)
+            samples, _rate, _bits = decode_wav(encode_wav_pcm16(s))
+            f = wav_feature(samples)
+            rows["doc_id"].append(d)
+            for c in ("n_samples", "sum_amp", "sum_abs", "zero_crossings"):
+                rows[c].append(f[c])
+        out = pd.DataFrame(rows)
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return ds.map_batches(rt, batch_format="pandas")
+
+
+SQL_Q83 = """
+WITH g AS (SELECT doc_id, 64 + doc_id % 37 AS n, 613 + doc_id % 977 AS k
+           FROM documents),
+s AS (SELECT g.doc_id, t.t, 2 * ((t.t * g.k) % 2000) - 1999 AS v
+      FROM g, unnest(generate_series(0, g.n - 1)) AS t(t)),
+x AS (SELECT doc_id, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+      FROM s)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_samples,
+       SUM(v)::BIGINT AS sum_amp,
+       SUM(ABS(v))::BIGINT AS sum_abs,
+       (COUNT(*) FILTER (WHERE pv IS NOT NULL AND pv * v < 0))::BIGINT
+         AS zero_crossings
+FROM x GROUP BY doc_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3114,4 +3168,5 @@ QUERIES: dict[str, tuple] = {
     "q80_pii_scrub": (q80_pii_scrub, SQL_Q80),
     "q81_pixel_roundtrip": (q81_pixel_roundtrip, SQL_Q81),
     "q82_jpeg_roundtrip": (q82_jpeg_roundtrip, SQL_Q82),
+    "q83_wav_roundtrip": (q83_wav_roundtrip, SQL_Q83),
 }

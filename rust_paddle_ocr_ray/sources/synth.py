@@ -591,3 +591,23 @@ def encode_jpeg_gray_dc(blocks) -> bytes:
         emit((1 << (8 - nb)) - 1, 8 - nb)  # pad with 1s per spec
     return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes(out)
             + b"\xff\xd9")
+
+
+def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
+    """(n,) or (n, ch) int16 samples -> RIFF/WAVE PCM bytes (the audio
+    analog of the image encoders above; decoded by functions/audio.py
+    on the driver gate, catalog q83)."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    ch = s.shape[1]
+    body = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    riff = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
