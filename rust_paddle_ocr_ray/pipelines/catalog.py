@@ -3081,6 +3081,52 @@ FROM x GROUP BY doc_id
 """
 
 
+def q84_video_frames(sf_dir: str):
+    """Video modality ON THE DRIVER GATE (completes the q81/q82/q83
+    family): per doc a real MJPEG AVI (3 + id % 5 single-block JPEG
+    frames, frame f's block value = (f·37 + id) % 256) is built by
+    sources/synth.encode_avi_mjpeg, the RIFF container is walked and
+    every 2nd frame DECODED by the pure-Python JPEG decoder
+    (functions/avi.sample_mjpeg_frames); the decoded per-frame pixel
+    value hash-checks against a closed-form generate_series twin.
+    With this all four payload modalities (document/PDF, image, audio,
+    video) run REAL decode on the gate."""
+    from ..functions.avi import sample_mjpeg_frames
+    from ..sources.synth import encode_avi_mjpeg, encode_jpeg_gray_dc
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id"])
+
+    def rt(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "frame_no": [], "px_val": []}
+        for d in b["doc_id"].to_numpy(dtype="int64"):
+            d = int(d)
+            frames = [
+                encode_jpeg_gray_dc(
+                    np.array([[(f * 37 + d) % 256]], dtype=np.uint8))
+                for f in range(3 + d % 5)
+            ]
+            for f_no, px in sample_mjpeg_frames(encode_avi_mjpeg(frames),
+                                                every_n=2):
+                s = int(px.astype(np.int64).sum())
+                rows["doc_id"].append(d)
+                rows["frame_no"].append(f_no)
+                rows["px_val"].append(s // px.size)
+        out = pd.DataFrame(rows)
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return ds.map_batches(rt, batch_format="pandas")
+
+
+SQL_Q84 = """
+WITH g AS (SELECT doc_id, 3 + doc_id % 5 AS f FROM documents)
+SELECT doc_id, t.t AS frame_no,
+       ((t.t * 37 + doc_id) % 256)::BIGINT AS px_val
+FROM g, unnest(generate_series(0, g.f - 1, 2)) AS t(t)
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3169,4 +3215,5 @@ QUERIES: dict[str, tuple] = {
     "q81_pixel_roundtrip": (q81_pixel_roundtrip, SQL_Q81),
     "q82_jpeg_roundtrip": (q82_jpeg_roundtrip, SQL_Q82),
     "q83_wav_roundtrip": (q83_wav_roundtrip, SQL_Q83),
+    "q84_video_frames": (q84_video_frames, SQL_Q84),
 }

@@ -611,3 +611,32 @@ def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(body)) + body)
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def encode_avi_mjpeg(frames: list[bytes], rate: int = 25,
+                     width: int = 8, height: int = 8) -> bytes:
+    """JPEG frame payloads -> minimal spec-shaped RIFF-AVI (MJPEG):
+    avih + one video stream header, then the LIST movi with one 00dc
+    chunk per frame (word-aligned).  Parsed back by
+    functions/avi.iter_avi_frames on the driver gate (catalog q84)."""
+    import struct
+
+    def chunk(fcc: bytes, body: bytes) -> bytes:
+        return fcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = chunk(b"avih", struct.pack(
+        "<14I", 1_000_000 // rate, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0))
+    strh = chunk(b"strh", b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, rate, 0, len(frames), 0, 0, 0, 0))
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        width * height * 3, 0, 0, 0, 0))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
