@@ -2714,10 +2714,12 @@ def q77_collocations(sf_dir: str):
     integer-exact and order-free on both engines (a log-PMI would rank
     identically but compare only to libm's last ulp).  Scale shape:
     each batch collapses to vocabulary-sized (w1, w2, cnt) partials
-    (unigrams ride the same exchange as w2='' rows), ONE tiny groupby
-    combines them, and the finalize is a vocab²-row single task.
+    (unigrams ride the same exchange as w2='' rows), ONE hash-bucket
+    combine merges them, the unigram map broadcasts once via ray.put,
+    and each combined block ships only its LOCAL top-20 to the final
+    reduce (≤ 20 × blocks rows however large the bigram space grows).
     int64 bound: safe while n_xy * N ≤ 9.2e12 (document corpora far
-    beyond that should widen to object ints in the finalize)."""
+    beyond that should widen to object ints in the scoring)."""
     ds = _rp(sf_dir, "documents", columns=["text"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -2743,30 +2745,55 @@ def q77_collocations(sf_dir: str):
 
     from ..stages.distinct import grouped_sum
 
+    import ray
+
+    from ..stages.merge import _get_broadcast
+
     hist = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
                        ["w1", "w2"], ["cnt"], num_buckets=8)
+
+    # unigram map is vocabulary-sized: materialize once, broadcast via
+    # ray.put (the zscore/retention pattern); the bigram table then
+    # never needs to meet in one task — each block scores its own rows
+    # and ships only its local top-20, so the final reduce sees
+    # ≤ 20 × blocks rows no matter how large the bigram space grows
+    uni_df = (hist.filter(expr="w2 == ''").to_pandas())
+    uni = uni_df.set_index("w1")["cnt"]
+    n_total = int(uni.sum())
+    ref = ray.put(uni)
+
+    def score_topk(b: pd.DataFrame) -> pd.DataFrame:
+        bg = b[b["w2"] != ""]
+        if not len(bg):
+            return pd.DataFrame({"w1": [], "w2": [],
+                                 "n_xy": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="int64")})
+        u = _get_broadcast(ref)
+        n1 = u.reindex(bg["w1"]).to_numpy(dtype="int64")
+        n2 = u.reindex(bg["w2"]).to_numpy(dtype="int64")
+        nxy = bg["cnt"].to_numpy(dtype="int64")
+        score = nxy * n_total * 1_000_000 // (n1 * n2)
+        out = pd.DataFrame({"w1": bg["w1"].to_numpy(dtype=object),
+                            "w2": bg["w2"].to_numpy(dtype=object),
+                            "n_xy": nxy, "score": score})
+        return (out.sort_values(["score", "w1", "w2"],
+                                ascending=[False, True, True],
+                                kind="mergesort").head(20)
+                .reset_index(drop=True))
 
     def one(b: pd.DataFrame) -> pd.DataFrame:
         b["_one"] = np.int8(0)
         return b
 
     def fin(g: pd.DataFrame) -> pd.DataFrame:
-        uni = g[g["w2"] == ""].set_index("w1")["cnt"]
-        n_total = int(uni.sum())
-        bg = g[g["w2"] != ""]
-        n1 = uni.reindex(bg["w1"]).to_numpy(dtype="int64")
-        n2 = uni.reindex(bg["w2"]).to_numpy(dtype="int64")
-        nxy = bg["cnt"].to_numpy(dtype="int64")
-        score = nxy * n_total * 1_000_000 // (n1 * n2)
-        out = pd.DataFrame({"w1": bg["w1"].to_numpy(dtype=object),
-                            "w2": bg["w2"].to_numpy(dtype=object),
-                            "n_xy": nxy, "score": score})
-        out = out.sort_values(["score", "w1", "w2"],
-                              ascending=[False, True, True],
-                              kind="mergesort").head(20)
-        return out.reset_index(drop=True)
+        return (g.drop(columns=["_one"])
+                .sort_values(["score", "w1", "w2"],
+                             ascending=[False, True, True],
+                             kind="mergesort").head(20)
+                .reset_index(drop=True))
 
-    return (hist.map_batches(one, batch_format="pandas")
+    return (hist.map_batches(score_topk, batch_format="pandas")
+            .map_batches(one, batch_format="pandas")
             .groupby("_one").map_groups(fin, batch_format="pandas"))
 
 
