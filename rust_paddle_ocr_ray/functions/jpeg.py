@@ -6,10 +6,12 @@ outside the subset so the featurizer degrades to its deterministic
 fake.
 
 Supported subset: baseline sequential DCT (SOF0), 8-bit precision,
-single-component (grayscale) scans, 1×1 sampling, no restart markers,
-no progressive/arithmetic coding.  Color (3-component) baseline JPEGs
-raise ValueError — YCbCr chroma upsampling is where implementations
-legitimately diverge, and the honest contract here is exact-or-degrade.
+grayscale (1-component) and YCbCr color (3-component) scans at 1×1
+sampling — no chroma subsampling, so no upsampling interpolation is
+involved and the decode is exactly defined — no restart markers, no
+progressive/arithmetic coding.  Subsampled color raises ValueError:
+chroma upsampling is where implementations legitimately diverge, and
+the honest contract here is exact-or-degrade.
 
 The full machinery is real: marker walk, DQT/DHT parsing, canonical
 Huffman decode over the 0xFF00-unstuffed bit stream, DC prediction +
@@ -126,6 +128,17 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
     """Baseline grayscale JPEG -> (height, width) uint8 samples.
+    Raises ValueError for color payloads (callers that can consume
+    color use :func:`decode_jpeg`)."""
+    px = decode_jpeg(data)
+    if px.ndim != 2:
+        raise ValueError("color JPEG where grayscale was required")
+    return px
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG -> (height, width) uint8 (grayscale) or
+    (height, width, 3) uint8 RGB (YCbCr color at 1×1 sampling).
 
     Raises ValueError outside the supported subset (see module doc)."""
     if data[:2] != b"\xff\xd8":
@@ -134,7 +147,7 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     dc_tabs: dict[int, _Huff] = {}
     ac_tabs: dict[int, _Huff] = {}
     w = h = None
-    comp_q = comp_dc = comp_ac = None
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -173,62 +186,87 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             h = (body[1] << 8) | body[2]
             w = (body[3] << 8) | body[4]
             ncomp = body[5]
-            if ncomp != 1:
-                raise ValueError("only grayscale (1-component) supported")
-            if body[7] != 0x11:
-                raise ValueError("subsampling not supported")
-            comp_q = body[8]
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component JPEG not supported")
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                if body[7 + 3 * ci] != 0x11:
+                    raise ValueError("chroma subsampling not supported")
+                comps.append((cid, body[8 + 3 * ci]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0})")
         elif marker == 0xDD:
             raise ValueError("restart intervals not supported")
         elif marker == 0xDA:  # SOS
-            if body[0] != 1:
-                raise ValueError("multi-component scan not supported")
-            comp_dc = body[2] >> 4
-            comp_ac = body[2] & 0x0F
-            scan_start = pos + seg_len
-            return _decode_scan(data, scan_start, w, h,
-                                qt[comp_q], dc_tabs[comp_dc],
-                                ac_tabs[comp_ac])
+            if body[0] != len(comps):
+                raise ValueError("scan component count != frame's")
+            tabs = {body[1 + 2 * ci]: (body[2 + 2 * ci] >> 4,
+                                       body[2 + 2 * ci] & 0x0F)
+                    for ci in range(body[0])}
+            plan = []
+            for cid, tq in comps:
+                if cid not in tabs:
+                    raise ValueError("scan missing a frame component")
+                td, ta = tabs[cid]
+                plan.append((qt[tq], dc_tabs[td], ac_tabs[ta]))
+            planes = _decode_scan(data, pos + seg_len, w, h, plan)
+            if len(planes) == 1:
+                return planes[0]
+            return _ycbcr_to_rgb(planes)
         pos += seg_len
     raise ValueError("JPEG without a scan")
 
 
-def _decode_scan(data: bytes, pos: int, w: int, h: int, quant: np.ndarray,
-                 dc: _Huff, ac: _Huff) -> np.ndarray:
+def _ycbcr_to_rgb(planes: list[np.ndarray]) -> np.ndarray:
+    """JFIF full-range YCbCr -> RGB (ITU-R BT.601 constants)."""
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+def _decode_scan(data: bytes, pos: int, w: int, h: int,
+                 plan: list[tuple[np.ndarray, _Huff, _Huff]]) -> list[np.ndarray]:
+    """Interleaved baseline scan at 1×1 sampling: each MCU carries one
+    8x8 block per component (frame order), with per-component DC
+    predictors.  Returns one (h, w) uint8 plane per component."""
     if not w or not h:
         raise ValueError("JPEG scan before SOF0")
     bx = -(-w // 8)
     by = -(-h // 8)
-    out = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+    outs = [np.zeros((by * 8, bx * 8), dtype=np.uint8) for _ in plan]
     rd = _BitReader(data, pos)
-    pred = 0
+    preds = [0] * len(plan)
     zz = np.zeros(64, dtype=np.int64)
     for b in range(bx * by):
-        zz[:] = 0
-        t = rd.decode(dc)
-        diff = _extend(rd.read_bits(t), t) if t else 0
-        pred += diff
-        zz[0] = pred
-        k = 1
-        while k < 64:
-            rs = rd.decode(ac)
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:  # ZRL
-                    k += 16
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("JPEG AC run past block end")
-            zz[k] = _extend(rd.read_bits(s), s)
-            k += 1
-        coef = np.zeros(64, dtype=np.float64)
-        coef[ZIGZAG] = zz * quant.reshape(-1)[ZIGZAG]
-        px = idct2(coef.reshape(8, 8)) + 128.0
-        r0, c0 = (b // bx) * 8, (b % bx) * 8
-        out[r0:r0 + 8, c0:c0 + 8] = np.clip(np.rint(px), 0, 255)
-    return out[:h, :w]
+        for ci, (quant, dc, ac) in enumerate(plan):
+            zz[:] = 0
+            t = rd.decode(dc)
+            diff = _extend(rd.read_bits(t), t) if t else 0
+            preds[ci] += diff
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = rd.decode(ac)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                zz[k] = _extend(rd.read_bits(s), s)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[ZIGZAG] = zz * quant.reshape(-1)[ZIGZAG]
+            px = idct2(coef.reshape(8, 8)) + 128.0
+            r0, c0 = (b // bx) * 8, (b % bx) * 8
+            outs[ci][r0:r0 + 8, c0:c0 + 8] = np.clip(np.rint(px), 0, 255)
+    return [o[:h, :w] for o in outs]

@@ -2,14 +2,16 @@
 path of the multimodal featurizer (stages/multimodal.py).
 
 Public-spec subset, same approach as the PDF reader (functions/pdf.py):
-8-bit-depth, non-interlaced images in the five standard color types
-(greyscale, RGB, palette, grey+alpha, RGBA).  IDAT chunks concatenate
-into one zlib stream; each scanline is prefixed by a filter-type byte
-(None/Sub/Up/Average/Paeth, RFC 2083 §6) and unfiltered against the
-prior scanline.  Anything outside the subset (16-bit, Adam7 interlace,
-sub-byte depths) raises ValueError and the caller degrades to the
-deterministic fake decoder — mirroring the PDF route's degrade-to-zero
-contract.
+non-interlaced images in the five standard color types (greyscale,
+RGB, palette, grey+alpha, RGBA) at bit depth 8, plus sub-byte depths
+(1/2/4) for greyscale and palette images (byte-wise filtering per
+RFC 2083 §6.2, MSB-first unpack, left-bit-replication scaling).  IDAT
+chunks concatenate into one zlib stream; each scanline is prefixed by
+a filter-type byte (None/Sub/Up/Average/Paeth, RFC 2083 §6) and
+unfiltered against the prior scanline.  Anything outside the subset
+(16-bit, Adam7 interlace) raises ValueError and the caller degrades to
+the deterministic fake decoder — mirroring the PDF route's
+degrade-to-zero contract.
 
 Reference analog: the det stage actually consumes pixels
 (/root/reference/src/det.rs:176-230); this closes the round-3 gap where
@@ -113,14 +115,32 @@ def decode_png(data: bytes) -> np.ndarray:
             idat += body
     if width is None or not width or not height:
         raise ValueError("missing or empty IHDR")
-    if bitdepth != 8:
-        raise ValueError(f"unsupported PNG bit depth {bitdepth}")
     if interlace != 0:
         raise ValueError("interlaced PNG not supported")
     if color not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
-    bpp = _CHANNELS[color]
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if bitdepth in (1, 2, 4) and color in (0, 3):
+        # sub-byte depths (grey / palette): filtering is byte-wise with
+        # bpp=1 per RFC 2083 §6.2, then rows unpack MSB-first
+        row_bytes = (width * bitdepth + 7) // 8
+        expect = height * (1 + row_bytes)
+        if raw.size != expect:
+            raise ValueError(f"IDAT size {raw.size} != expected {expect}")
+        flat = _unfilter(raw, height, row_bytes, 1)
+        bits = np.unpackbits(flat, axis=1)[:, : width * bitdepth]
+        weights = 1 << np.arange(bitdepth - 1, -1, -1, dtype=np.int64)
+        vals = bits.reshape(height, width, bitdepth) @ weights
+        if color == 3:
+            if plte is None:
+                raise ValueError("palette image without PLTE")
+            return plte[vals]
+        # grey: left-bit replication == exact integer scaling here
+        scale = 255 // ((1 << bitdepth) - 1)
+        return (vals * scale).astype(np.uint8)[:, :, None]
+    if bitdepth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bitdepth}")
+    bpp = _CHANNELS[color]
     expect = height * (1 + width * bpp)
     if raw.size != expect:
         raise ValueError(f"IDAT size {raw.size} != expected {expect}")

@@ -167,8 +167,7 @@ def decode_gif(data: bytes) -> np.ndarray:
                     raise ValueError("truncated GIF local color table")
                 lct = lct.reshape(-1, 3)
                 pos += 3 * m
-            if ip & 0x40:
-                raise ValueError("interlaced GIF not supported")
+            interlaced = bool(ip & 0x40)
             if not iw or not ih:
                 raise ValueError("degenerate GIF image dimensions")
             min_code = data[pos]
@@ -192,6 +191,16 @@ def decode_gif(data: bytes) -> np.ndarray:
             pal_full = np.zeros((256, 3), dtype=np.uint8)
             pal_full[: len(pal)] = pal
             arr = np.asarray(idx[: iw * ih], dtype=np.int32).reshape(ih, iw)
+            if interlaced:
+                # GIF89a appendix E: rows arrive in four passes
+                # (every 8th from 0, every 8th from 4, every 4th from
+                # 2, every 2nd from 1) — scatter back to display order
+                order = np.concatenate([
+                    np.arange(0, ih, 8), np.arange(4, ih, 8),
+                    np.arange(2, ih, 4), np.arange(1, ih, 2)])
+                disp = np.empty_like(arr)
+                disp[order] = arr
+                arr = disp
             return pal_full[arr]
         elif b0 == 0x3B:  # trailer
             break

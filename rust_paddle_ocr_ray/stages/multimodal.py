@@ -46,7 +46,7 @@ def real_decode(payload: bytes, feat_dim: int = 64) -> tuple[int, int, np.ndarra
     environment: wire Pillow/ffmpeg here when present — until then
     they raise NotImplementedError and the featurizer degrades to the
     deterministic fake decoder."""
-    from ..functions.jpeg import decode_jpeg_gray
+    from ..functions.jpeg import decode_jpeg
     from ..functions.raster import decode_bmp, decode_gif
 
     px = None
@@ -57,16 +57,19 @@ def real_decode(payload: bytes, feat_dim: int = 64) -> tuple[int, int, np.ndarra
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         px = decode_gif(payload)
     elif payload[:2] == b"\xff\xd8":
-        # baseline grayscale JPEG (real Huffman + IDCT, functions/
-        # jpeg.py); color/progressive raise ValueError -> fake path
-        px = decode_jpeg_gray(payload)[:, :, None]
+        # baseline JPEG, grayscale or 1x1-sampled YCbCr color (real
+        # Huffman + IDCT, functions/jpeg.py); subsampled/progressive
+        # raise ValueError -> fake path
+        px = decode_jpeg(payload)
+        if px.ndim == 2:
+            px = px[:, :, None]
     if px is not None:
         h, w = px.shape[0], px.shape[1]
         return w, h, pixel_feature(px, feat_dim)
     raise NotImplementedError(
-        "WEBP (and color-JPEG) decode requires an image library not "
-        "present in this environment; the pipeline uses the "
-        "deterministic fake decoder"
+        "WEBP (and subsampled-color-JPEG) decode requires an image "
+        "library not present in this environment; the pipeline uses "
+        "the deterministic fake decoder"
     )
 
 

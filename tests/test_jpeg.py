@@ -81,3 +81,89 @@ def test_real_decode_dispatches_jpeg():
     w, h, feat = real_decode(encode_jpeg_gray_dc(blocks))
     assert (w, h) == (16, 16)
     assert abs(feat[0] - blocks.mean() / 255.0) < 1e-6
+
+
+def _encode_color_dc(y_blocks: np.ndarray) -> bytes:
+    """3-component DC-only encoder for the test: Y from blocks,
+    Cb = Cr = constant 128 (chroma DC 0), all at 1x1 sampling."""
+    by, bx = y_blocks.shape
+    h, w = by * 8, bx * 8
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + bytes([3,
+                        1, 0x11, 0,
+                        2, 0x11, 0,
+                        3, 0x11, 0]))
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dht_dc = _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(12)))
+    dht_ac = _seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    codes = {}
+    code = k = 0
+    for ln in range(1, 17):
+        for _ in range(dc_bits[ln - 1]):
+            codes[k] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+
+    out = bytearray()
+    acc = nb = 0
+
+    def emit(c, ln):
+        nonlocal acc, nb
+        acc = (acc << ln) | c
+        nb += ln
+        while nb >= 8:
+            byte = (acc >> (nb - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nb -= 8
+        acc &= (1 << nb) - 1
+
+    pred_y = 0
+    for v in y_blocks.ravel().tolist():
+        dcv = 8 * (int(v) - 128)
+        diff = dcv - pred_y
+        pred_y = dcv
+        t = int(abs(diff)).bit_length() if diff else 0
+        c, ln = codes[t]
+        emit(c, ln)
+        if t:
+            emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        emit(0, 1)  # Y EOB
+        for _chroma in range(2):  # Cb, Cr: DC diff 0, EOB
+            c, ln = codes[0]
+            emit(c, ln)
+            emit(0, 1)
+    if nb:
+        emit((1 << (8 - nb)) - 1, 8 - nb)
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes(out)
+            + b"\xff\xd9")
+
+
+def test_color_jpeg_1x1_neutral_chroma_is_lossless():
+    from rust_paddle_ocr_ray.functions.jpeg import decode_jpeg
+
+    blocks = np.array([[0, 77], [200, 255]], dtype=np.uint8)
+    px = decode_jpeg(_encode_color_dc(blocks))
+    assert px.shape == (16, 16, 3)
+    want = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    for c in range(3):  # Cb=Cr=128 -> R=G=B=Y exactly
+        np.testing.assert_array_equal(px[:, :, c], want)
+
+
+def test_gray_helper_rejects_color():
+    from rust_paddle_ocr_ray.functions.jpeg import decode_jpeg_gray
+
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(_encode_color_dc(np.array([[1]], dtype=np.uint8)))
+
+
+def test_real_decode_dispatches_color_jpeg():
+    blocks = np.array([[50, 150]], dtype=np.uint8)
+    w, h, feat = real_decode(_encode_color_dc(blocks))
+    assert (w, h) == (16, 8)
+    assert abs(feat[0] - blocks.mean() / 255.0) < 1e-6

@@ -145,3 +145,59 @@ def test_featurizer_real_png_vs_fake_fallback(ray_session):
     fw, fh, ffeat = _fake_decode(other, 64)
     assert int(out.loc[2, "width"]) == fw and int(out.loc[2, "height"]) == fh
     assert np.allclose(np.asarray(out.loc[2, "feature"], dtype=np.float32), ffeat)
+
+
+def _png_subbyte(vals: np.ndarray, bitdepth: int, color: int,
+                 palette: np.ndarray | None = None,
+                 row_filters=(0,)) -> bytes:
+    """From-spec sub-byte encoder: pack MSB-first, byte-wise filters."""
+    h, w = vals.shape
+    row_bytes = (w * bitdepth + 7) // 8
+    raw = bytearray()
+    prev = np.zeros(row_bytes, dtype=np.int64)
+    for y in range(h):
+        bits = []
+        for v in vals[y]:
+            bits += [int(v) >> (bitdepth - 1 - i) & 1 for i in range(bitdepth)]
+        bits += [0] * (row_bytes * 8 - len(bits))
+        row = np.packbits(np.array(bits, dtype=np.uint8)).astype(np.int64)
+        f = row_filters[y % len(row_filters)]
+        raw.append(f)
+        if f == 0:
+            enc = row
+        elif f == 1:  # Sub, bpp=1
+            enc = np.empty_like(row)
+            left = 0
+            for i in range(row_bytes):
+                enc[i] = (row[i] - left) & 0xFF
+                left = row[i]
+        elif f == 2:  # Up
+            enc = (row - prev) & 0xFF
+        else:
+            raise AssertionError("test encoder supports filters 0-2")
+        raw += bytes(enc.astype(np.uint8))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_grey_scaling(depth):
+    rng = np.random.RandomState(depth)
+    vals = rng.randint(0, 1 << depth, (5, 11)).astype(np.uint8)
+    px = decode_png(_png_subbyte(vals, depth, 0, row_filters=(0, 1, 2)))
+    scale = 255 // ((1 << depth) - 1)
+    np.testing.assert_array_equal(px[:, :, 0], vals * scale)
+
+
+def test_subbyte_palette_lookup():
+    pal = np.array([[9, 8, 7], [1, 2, 3], [200, 100, 50], [0, 0, 255]],
+                   dtype=np.uint8)
+    vals = np.array([[0, 1, 2, 3, 3, 2, 1], [1, 0, 3, 2, 0, 0, 1]],
+                    dtype=np.uint8)
+    px = decode_png(_png_subbyte(vals, 2, 3, palette=pal,
+                                 row_filters=(2, 1)))
+    np.testing.assert_array_equal(px, pal[vals])

@@ -152,3 +152,21 @@ def test_real_decode_dispatch():
     # formats with no pure-Python decoder stay the declared stub
     with pytest.raises(NotImplementedError):
         real_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 not-decodable")
+
+
+def test_gif_interlaced_deinterlaces():
+    # 8x9 image, value = row index; write rows in interlace pass order
+    # with the interlace flag set, expect display order back
+    ih, iw = 9, 8
+    idx = np.tile(np.arange(ih, dtype=np.uint8)[:, None], (1, iw))
+    order = ([r for r in range(0, ih, 8)] + [r for r in range(4, ih, 8)]
+             + [r for r in range(2, ih, 4)] + [r for r in range(1, ih, 2)])
+    file_rows = idx[order]
+    pal = np.repeat(np.arange(16, dtype=np.uint8)[:, None] * 16, 3, axis=1)
+    data = bytearray(make_gif(file_rows, pal, min_code_size=4))
+    # set the interlace bit in the image descriptor's packed byte
+    i = data.index(0x2C)
+    assert data[i + 9] in (0x00,)  # no LCT in make_gif output
+    data[i + 9] |= 0x40
+    got = decode_gif(bytes(data))
+    np.testing.assert_array_equal(got, pal[idx])
