@@ -8,7 +8,8 @@ fake.
 Supported subset: baseline sequential DCT (SOF0), 8-bit precision,
 grayscale (1-component) and YCbCr color (3-component) scans at 1×1
 sampling — no chroma subsampling, so no upsampling interpolation is
-involved and the decode is exactly defined — no restart markers, no
+involved and the decode is exactly defined — restart intervals
+(DRI/RSTn: byte-align + predictor reset) supported, no
 progressive/arithmetic coding.  Subsampled color raises ValueError:
 chroma upsampling is where implementations legitimately diverge, and
 the honest contract here is exact-or-degrade.
@@ -110,6 +111,15 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def expect_restart(self, i: int):
+        """Byte-align and consume the RSTi marker (T.81 §B.2.1.2)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if d[self.pos:self.pos + 2] != bytes([0xFF, 0xD0 + i]):
+            raise ValueError("missing JPEG restart marker")
+        self.pos += 2
+
     def decode(self, table: _Huff) -> int:
         code = 0
         for length in range(1, 17):
@@ -148,6 +158,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ac_tabs: dict[int, _Huff] = {}
     w = h = None
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    restart_interval = 0
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -196,8 +207,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0})")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = (body[0] << 8) | body[1]
         elif marker == 0xDA:  # SOS
             if body[0] != len(comps):
                 raise ValueError("scan component count != frame's")
@@ -210,7 +221,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("scan missing a frame component")
                 td, ta = tabs[cid]
                 plan.append((qt[tq], dc_tabs[td], ac_tabs[ta]))
-            planes = _decode_scan(data, pos + seg_len, w, h, plan)
+            planes = _decode_scan(data, pos + seg_len, w, h, plan,
+                                  restart_interval)
             if len(planes) == 1:
                 return planes[0]
             return _ycbcr_to_rgb(planes)
@@ -231,10 +243,13 @@ def _ycbcr_to_rgb(planes: list[np.ndarray]) -> np.ndarray:
 
 
 def _decode_scan(data: bytes, pos: int, w: int, h: int,
-                 plan: list[tuple[np.ndarray, _Huff, _Huff]]) -> list[np.ndarray]:
+                 plan: list[tuple[np.ndarray, _Huff, _Huff]],
+                 restart_interval: int = 0) -> list[np.ndarray]:
     """Interleaved baseline scan at 1×1 sampling: each MCU carries one
     8x8 block per component (frame order), with per-component DC
-    predictors.  Returns one (h, w) uint8 plane per component."""
+    predictors.  Every ``restart_interval`` MCUs (when non-zero) the
+    stream byte-aligns at an RSTn marker and the predictors reset
+    (T.81 §B.2.1.2).  Returns one (h, w) uint8 plane per component."""
     if not w or not h:
         raise ValueError("JPEG scan before SOF0")
     bx = -(-w // 8)
@@ -244,6 +259,9 @@ def _decode_scan(data: bytes, pos: int, w: int, h: int,
     preds = [0] * len(plan)
     zz = np.zeros(64, dtype=np.int64)
     for b in range(bx * by):
+        if restart_interval and b and b % restart_interval == 0:
+            rd.expect_restart((b // restart_interval - 1) & 7)
+            preds = [0] * len(plan)
         for ci, (quant, dc, ac) in enumerate(plan):
             zz[:] = 0
             t = rd.decode(dc)

@@ -167,3 +167,71 @@ def test_real_decode_dispatches_color_jpeg():
     w, h, feat = real_decode(_encode_color_dc(blocks))
     assert (w, h) == (16, 8)
     assert abs(feat[0] - blocks.mean() / 255.0) < 1e-6
+
+
+def test_restart_intervals():
+    # gray DC-only stream with DRI=2: RSTn every 2 blocks, byte-aligned,
+    # DC predictor reset (each segment re-encodes its first block as a
+    # full delta from 0)
+    blocks = [10, 250, 40, 90, 170]  # 5 blocks, RST0 after 2, RST1 after 4
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _seg(0xC0, bytes([8]) + (8).to_bytes(2, "big")
+               + (40).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dht_dc = _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(12)))
+    dht_ac = _seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    dri = _seg(0xDD, (2).to_bytes(2, "big"))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    codes = {}
+    code = k = 0
+    for ln in range(1, 17):
+        for _ in range(dc_bits[ln - 1]):
+            codes[k] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+
+    out = bytearray()
+    acc = nb = 0
+
+    def emit(c, ln):
+        nonlocal acc, nb
+        acc = (acc << ln) | c
+        nb += ln
+        while nb >= 8:
+            byte = (acc >> (nb - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nb -= 8
+        acc &= (1 << nb) - 1
+
+    def flush_pad():
+        nonlocal acc, nb
+        if nb:
+            emit((1 << (8 - nb)) - 1, 8 - nb)
+
+    pred = 0
+    for i, v in enumerate(blocks):
+        if i and i % 2 == 0:
+            flush_pad()
+            out.extend([0xFF, 0xD0 + (i // 2 - 1) % 8])
+            pred = 0
+        dcv = 8 * (v - 128)
+        diff = dcv - pred
+        pred = dcv
+        t = int(abs(diff)).bit_length() if diff else 0
+        c, ln = codes[t]
+        emit(c, ln)
+        if t:
+            emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        emit(0, 1)
+    flush_pad()
+    data = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos
+            + bytes(out) + b"\xff\xd9")
+    from rust_paddle_ocr_ray.functions.jpeg import decode_jpeg_gray as dj
+    px = dj(data)
+    want = np.repeat(np.repeat(np.array([blocks], dtype=np.uint8),
+                               8, axis=0), 8, axis=1)
+    np.testing.assert_array_equal(px, want)
