@@ -3154,6 +3154,56 @@ FROM g, unnest(generate_series(0, g.f - 1, 2)) AS t(t)
 """
 
 
+def q85_resize_thumbnails(sf_dir: str):
+    """Resize stage ON THE DRIVER GATE (the brief's decode / featurize
+    / resize / frame-sample family): q81's gradient rasters are
+    decoded and downsampled by the integer-exact nearest-neighbor rule
+    ``src = (dst * src_dim) // dst_dim`` (stages/multimodal.
+    resize_nearest) to a 6×5 thumbnail; the thumbnail's integer pixel
+    mean hash-checks against a closed-form SQL twin that applies the
+    same floor mapping to the gradient formula.  A wrong index map,
+    row order or channel layout breaks the gate."""
+    from ..sources.synth import gradient_image
+    from ..stages.multimodal import decode_payload, resize_nearest
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id"])
+    oh, ow = 6, 5
+
+    def rt(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "fmt": [], "mean_ppm": []}
+        for d in b["doc_id"].to_numpy(dtype="int64"):
+            d = int(d)
+            fmt, payload, _, _ = gradient_image(d)
+            th = resize_nearest(decode_payload(payload), oh, ow)
+            s = int(th.astype(np.int64).sum())
+            rows["doc_id"].append(d)
+            rows["fmt"].append(fmt)
+            rows["mean_ppm"].append(s * 1_000_000 // (oh * ow * 3))
+        out = pd.DataFrame(rows)
+        out["mean_ppm"] = out["mean_ppm"].astype("int64")
+        return out
+
+    return ds.map_batches(rt, batch_format="pandas")
+
+
+SQL_Q85 = """
+WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           FROM documents),
+px AS (
+  SELECT g.doc_id,
+         (((j.j * g.w) // 5 + (i.i * g.h) // 6 + g.doc_id) % 256)::BIGINT
+           AS v
+  FROM g,
+       unnest(generate_series(0, 5)) AS i(i),
+       unnest(generate_series(0, 4)) AS j(j))
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif' ELSE 'png' END
+         AS fmt,
+       ((SUM(v) * 3 * 1000000) // (6 * 5 * 3))::BIGINT AS mean_ppm
+FROM px GROUP BY doc_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3243,4 +3293,5 @@ QUERIES: dict[str, tuple] = {
     "q82_jpeg_roundtrip": (q82_jpeg_roundtrip, SQL_Q82),
     "q83_wav_roundtrip": (q83_wav_roundtrip, SQL_Q83),
     "q84_video_frames": (q84_video_frames, SQL_Q84),
+    "q85_resize_thumbnails": (q85_resize_thumbnails, SQL_Q85),
 }

@@ -34,6 +34,105 @@ MEDIA_META_SCHEMA = pa.schema(
 )
 
 
+def decode_payload(payload: bytes) -> np.ndarray:
+    """Dispatch a raster payload to its pure-Python decoder ->
+    (h, w, c) uint8 pixels.  ValueError outside a decoder's subset,
+    NotImplementedError for formats with no decoder here (WEBP,
+    subsampled-color JPEG)."""
+    from ..functions.jpeg import decode_jpeg
+    from ..functions.raster import decode_bmp, decode_gif
+
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        px = decode_jpeg(payload)
+        return px[:, :, None] if px.ndim == 2 else px
+    raise NotImplementedError(
+        "WEBP (and subsampled-color-JPEG) decode requires an image "
+        "library not present in this environment; the pipeline uses "
+        "the deterministic fake decoder"
+    )
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize with the standard floor mapping
+    ``src = (dst * src_dim) // dst_dim`` — integer-exact and therefore
+    reproducible across engines (bilinear weights are float and
+    engine-specific; the featurizer's grid means cover the smooth
+    case).  Vectorized fancy indexing, no loops."""
+    h, w = px.shape[0], px.shape[1]
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("resize target must be positive")
+    ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[ri][:, ci]
+
+
+class MediaResizer:
+    """Actor-pool resize stage (the brief's decode/featurize/RESIZE/
+    frame-sample family): decodes each payload with the pure-Python
+    decoders and emits fixed-size nearest-neighbor thumbnails as raw
+    RGB bytes; undecodable payloads degrade to a deterministic fake
+    thumbnail (digest-seeded), same contract as MediaFeaturizer."""
+
+    def __init__(self, payload_col: str, id_col: str,
+                 out_h: int = 16, out_w: int = 16):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "width": [], "height": [],
+                "real_decode": [], "thumb": []}
+        for mid, payload in zip(batch[self.id_col].to_pylist(),
+                                batch[self.payload_col].to_pylist()):
+            payload = payload or b""
+            try:
+                px = decode_payload(payload)
+                real = True
+            except (NotImplementedError, ValueError, zlib.error):
+                d = hashlib.blake2b(payload, digest_size=32).digest()
+                side = 8 + d[0] % 8
+                seed = hashlib.blake2b(payload, digest_size=64,
+                                       person=b"thumb").digest()
+                raw = (seed * (side * side // 64 + 1))[: side * side]
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(side, side, 1)
+                real = False
+            if px.shape[2] == 1:
+                px = np.repeat(px, 3, axis=2)
+            thumb = resize_nearest(px[:, :, :3], self.out_h, self.out_w)
+            rows["media_id"].append(mid)
+            rows["width"].append(px.shape[1])
+            rows["height"].append(px.shape[0])
+            rows["real_decode"].append(real)
+            rows["thumb"].append(np.ascontiguousarray(thumb).tobytes())
+        return pa.Table.from_pydict(rows, schema=pa.schema([
+            ("media_id", pa.int64()), ("width", pa.int32()),
+            ("height", pa.int32()), ("real_decode", pa.bool_()),
+            ("thumb", pa.binary()),
+        ]))
+
+
+def resize_media(ds, payload_col: str, id_col: str, out_h: int = 16,
+                 out_w: int = 16, batch_size: int = 64, concurrency=None):
+    """Resize as an actor-pool map_batches stage (small batches — large
+    binary payloads)."""
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"payload_col": payload_col,
+                               "id_col": id_col,
+                               "out_h": out_h, "out_w": out_w},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or proportional_pool(),
+    )
+
+
 def real_decode(payload: bytes, feat_dim: int = 64) -> tuple[int, int, np.ndarray]:
     """The real decode hook -> (width, height, feature).
 
@@ -46,31 +145,9 @@ def real_decode(payload: bytes, feat_dim: int = 64) -> tuple[int, int, np.ndarra
     environment: wire Pillow/ffmpeg here when present — until then
     they raise NotImplementedError and the featurizer degrades to the
     deterministic fake decoder."""
-    from ..functions.jpeg import decode_jpeg
-    from ..functions.raster import decode_bmp, decode_gif
-
-    px = None
-    if payload[:8] == PNG_SIG:
-        px = decode_png(payload)  # ValueError outside the spec subset
-    elif payload[:2] == b"BM":
-        px = decode_bmp(payload)
-    elif payload[:6] in (b"GIF87a", b"GIF89a"):
-        px = decode_gif(payload)
-    elif payload[:2] == b"\xff\xd8":
-        # baseline JPEG, grayscale or 1x1-sampled YCbCr color (real
-        # Huffman + IDCT, functions/jpeg.py); subsampled/progressive
-        # raise ValueError -> fake path
-        px = decode_jpeg(payload)
-        if px.ndim == 2:
-            px = px[:, :, None]
-    if px is not None:
-        h, w = px.shape[0], px.shape[1]
-        return w, h, pixel_feature(px, feat_dim)
-    raise NotImplementedError(
-        "WEBP (and subsampled-color-JPEG) decode requires an image "
-        "library not present in this environment; the pipeline uses "
-        "the deterministic fake decoder"
-    )
+    px = decode_payload(payload)
+    h, w = px.shape[0], px.shape[1]
+    return w, h, pixel_feature(px, feat_dim)
 
 
 def _fake_decode(payload: bytes, feat_dim: int) -> tuple[int, int, np.ndarray]:

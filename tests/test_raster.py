@@ -170,3 +170,39 @@ def test_gif_interlaced_deinterlaces():
     data[i + 9] |= 0x40
     got = decode_gif(bytes(data))
     np.testing.assert_array_equal(got, pal[idx])
+
+
+def test_resize_nearest_floor_mapping():
+    from rust_paddle_ocr_ray.stages.multimodal import resize_nearest
+
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    th = resize_nearest(px, 3, 2)
+    ri = (np.arange(3) * 6) // 3
+    ci = (np.arange(2) * 4) // 2
+    np.testing.assert_array_equal(th, px[ri][:, ci])
+    # upscale replicates
+    up = resize_nearest(px[:1, :1], 4, 4)
+    assert (up == px[0, 0]).all() and up.shape == (4, 4, 3)
+    with pytest.raises(ValueError):
+        resize_nearest(px, 0, 2)
+
+
+def test_media_resizer_stage(ray_session):
+    import ray.data as rd
+
+    from rust_paddle_ocr_ray.stages.multimodal import MediaResizer, resize_media
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    payloads = [make_bmp24(px), b"not an image"]
+    ds = rd.from_items([{"media_id": i, "payload": p}
+                        for i, p in enumerate(payloads)])
+    out = (resize_media(ds, "payload", "media_id", out_h=2, out_w=2,
+                        concurrency=(1, 2))
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert out["real_decode"].tolist() == [True, False]
+    assert out.loc[0, "width"] == 4 and out.loc[0, "height"] == 4
+    want = px[[0, 2]][:, [0, 2]]
+    got = np.frombuffer(out.loc[0, "thumb"], dtype=np.uint8).reshape(2, 2, 3)
+    np.testing.assert_array_equal(got, want)
+    # fake path still yields a stable 2x2x3 thumb
+    assert len(out.loc[1, "thumb"]) == 12
