@@ -3204,6 +3204,65 @@ FROM px GROUP BY doc_id
 """
 
 
+def q86_cms_estimates(sf_dir: str):
+    """Count-min-sketch token-frequency estimates ON THE DRIVER GATE
+    (stages/sketch.cms_estimate_tokens): the 4×256 counter table is an
+    order-free SUM sketch, so both engines build it bit-identically
+    from the shared md5 hash and the estimates (min over rows —
+    OVERcounts on collisions, never under) hash-check exactly.  Width
+    16 vs a ~31-token vocabulary makes 2/3 of the estimates collide
+    (measured), so the gate proves the sketch math, not just counting.
+    Scale: every block reduces to ≤ 4×256 partial rows regardless of
+    corpus size — the whole point of a sketch at 100 TB."""
+    from ..stages.sketch import cms_estimate_tokens
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    # width 16 on a ~31-token vocabulary: 21/31 estimates measurably
+    # OVERcount at sf0.01 — the gate exercises collision behavior
+    return cms_estimate_tokens(ds, "text", depth=4, width=16)
+
+
+SQL_Q86 = r"""
+WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS t
+              FROM documents),
+counters AS (
+  SELECT j.j, ('0x' || substr(md5(t || '#' || j.j), 1, 8))::BIGINT % 16
+           AS h, COUNT(*) AS c
+  FROM toks, unnest([0, 1, 2, 3]) AS j(j)
+  GROUP BY 1, 2),
+probe AS (SELECT DISTINCT t FROM toks)
+SELECT p.t AS token, MIN(c.c)::BIGINT AS est
+FROM probe p
+JOIN counters c
+  ON c.h = ('0x' || substr(md5(p.t || '#' || c.j), 1, 8))::BIGINT % 16
+GROUP BY p.t
+"""
+
+
+def q87_hll_registers(sf_dir: str):
+    """HyperLogLog register table for COUNT(DISTINCT l_orderkey) ON
+    THE DRIVER GATE (stages/sketch.hll_registers, p=6): registers are
+    order-free MAXes of an md5-derived rank, so the m=64 register
+    values hash-check exactly against a bin()/ltrim leading-zero twin.
+    The float estimate finalize (bias-corrected harmonic mean) is the
+    consumer's one-liner over these 64 ints; the registers are the
+    exact mergeable artifact a 256-node cluster would combine."""
+    from ..stages.sketch import hll_registers
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey"])
+    return hll_registers(ds, "l_orderkey")
+
+
+SQL_Q87 = """
+WITH k AS (SELECT DISTINCT l_orderkey FROM lineitem),
+h AS (SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT AS hv
+      FROM k)
+SELECT (hv % 64)::BIGINT AS bucket,
+       MAX(26 - length(ltrim(bin(hv // 64), '0')) + 1)::BIGINT AS register
+FROM h GROUP BY 1
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3294,4 +3353,6 @@ QUERIES: dict[str, tuple] = {
     "q83_wav_roundtrip": (q83_wav_roundtrip, SQL_Q83),
     "q84_video_frames": (q84_video_frames, SQL_Q84),
     "q85_resize_thumbnails": (q85_resize_thumbnails, SQL_Q85),
+    "q86_cms_estimates": (q86_cms_estimates, SQL_Q86),
+    "q87_hll_registers": (q87_hll_registers, SQL_Q87),
 }
