@@ -103,9 +103,12 @@ class MediaResizer:
                 raw = (seed * (side * side // 64 + 1))[: side * side]
                 px = np.frombuffer(raw, dtype=np.uint8).reshape(side, side, 1)
                 real = False
-            if px.shape[2] == 1:
-                px = np.repeat(px, 3, axis=2)
-            thumb = resize_nearest(px[:, :, :3], self.out_h, self.out_w)
+            c = px.shape[2]
+            if c <= 2:  # grey / grey+alpha: replicate luma, drop alpha
+                px = np.repeat(px[:, :, :1], 3, axis=2)
+            elif c == 4:  # RGBA -> RGB
+                px = px[:, :, :3]
+            thumb = resize_nearest(px, self.out_h, self.out_w)
             rows["media_id"].append(mid)
             rows["width"].append(px.shape[1])
             rows["height"].append(px.shape[0])

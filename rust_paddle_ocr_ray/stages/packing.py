@@ -138,9 +138,9 @@ def global_order_by_hash(ds, id_col: str, num_buckets: int = 256):
     in ASCII), so bucket-major + local hex sort is exactly the global
     ``ORDER BY md5(id), id``."""
     import ray
-    from ray.data.aggregate import Count
 
     from ..functions.textstats import md5_head32, md5_hex
+    from .distinct import grouped_sum
     from .merge import _get_broadcast
 
     shift = 32 - (num_buckets - 1).bit_length()  # top bits of head32
@@ -156,7 +156,15 @@ def global_order_by_hash(ds, id_col: str, num_buckets: int = 256):
         })
 
     keyed_ds = ds.map_batches(keyed, batch_format="pandas")
-    counts = (keyed_ds.groupby("_bkt").aggregate(Count(alias_name="n"))
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["_bkt"].value_counts()
+        return pd.DataFrame({"_bkt": vc.index.to_numpy(dtype="int64"),
+                             "n": vc.to_numpy(dtype="int64")})
+
+    counts = (grouped_sum(keyed_ds.map_batches(count_partial,
+                                               batch_format="pandas"),
+                          "_bkt", ["n"], num_buckets=4)
               .to_pandas().sort_values("_bkt"))
     offs = np.zeros(num_buckets, dtype="int64")
     n = counts["n"].to_numpy(dtype="int64")
