@@ -1,0 +1,92 @@
+"""Hypothesis round-trips for the pure-Python codecs: any small image
+must survive encode->decode bit-exactly through BMP / GIF / PNG /
+DC-JPEG / WAV / MJPEG-AVI — the same property style as the PDF
+stream round-trip that caught the round-3 EOL byte-loss bug."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rust_paddle_ocr_ray.functions.audio import decode_wav
+from rust_paddle_ocr_ray.functions.avi import iter_avi_frames
+from rust_paddle_ocr_ray.functions.jpeg import decode_jpeg_gray
+from rust_paddle_ocr_ray.functions.png import decode_png
+from rust_paddle_ocr_ray.functions.raster import decode_bmp, decode_gif
+from rust_paddle_ocr_ray.sources.synth import (
+    encode_avi_mjpeg,
+    encode_bmp24,
+    encode_gif8,
+    encode_jpeg_gray_dc,
+    encode_png_rgb,
+    encode_wav_pcm16,
+)
+
+dims = st.tuples(st.integers(1, 9), st.integers(1, 9))
+
+
+@st.composite
+def rgb_image(draw):
+    h, w = draw(dims)
+    data = draw(st.binary(min_size=h * w * 3, max_size=h * w * 3))
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+@st.composite
+def index_image(draw, n_colors=16):
+    h, w = draw(dims)
+    data = draw(st.lists(st.integers(0, n_colors - 1),
+                         min_size=h * w, max_size=h * w))
+    return np.array(data, dtype=np.uint8).reshape(h, w)
+
+
+PAL16 = np.arange(48, dtype=np.uint8).reshape(16, 3) * 5
+
+
+@settings(max_examples=40, deadline=None)
+@given(rgb_image())
+def test_bmp_roundtrip(px):
+    np.testing.assert_array_equal(decode_bmp(encode_bmp24(px)), px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(index_image())
+def test_gif_roundtrip(idx):
+    got = decode_gif(encode_gif8(idx, PAL16))
+    np.testing.assert_array_equal(got, PAL16[idx])
+
+
+@settings(max_examples=40, deadline=None)
+@given(rgb_image())
+def test_png_roundtrip(px):
+    np.testing.assert_array_equal(decode_png(encode_png_rgb(px)), px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(index_image(n_colors=256))
+def test_jpeg_dc_roundtrip(blocks):
+    px = decode_jpeg_gray(encode_jpeg_gray_dc(blocks))
+    want = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    np.testing.assert_array_equal(px, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+       st.integers(1, 3))
+def test_wav_roundtrip(vals, ch):
+    n = (len(vals) // ch) * ch
+    if not n:
+        vals = vals * ch
+        n = ch
+    s = np.array(vals[:n], dtype=np.int16).reshape(-1, ch)
+    got, rate, bits = decode_wav(encode_wav_pcm16(s, rate=16000))
+    assert (rate, bits) == (16000, 16)
+    np.testing.assert_array_equal(got, s.astype(np.int32))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(index_image(n_colors=256), min_size=1, max_size=5))
+def test_avi_container_roundtrip(frame_blocks):
+    frames = [encode_jpeg_gray_dc(b) for b in frame_blocks]
+    assert list(iter_avi_frames(encode_avi_mjpeg(frames))) == frames
