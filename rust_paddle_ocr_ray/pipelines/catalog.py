@@ -3263,6 +3263,35 @@ FROM h GROUP BY 1
 """
 
 
+def q88_interleave_order(sf_dir: str):
+    """Data-MIXING schedule: proportional source interleaving — every
+    document's global training position such that each source appears
+    ~proportionally in every prefix (q67 decides WHAT to keep, this
+    decides in WHAT ORDER it is consumed).  Two range-bucketed rank
+    passes (stages/packing.interleave_order): within-source
+    pseudo-shuffle rank, then rank by the quantized ideal position
+    ``((2r+1)<<20) // (2·n_s)``.  Hash-checked against the double
+    ROW_NUMBER window twin."""
+    from ..stages.packing import interleave_order
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    return interleave_order(ds, "doc_id", "source")
+
+
+SQL_Q88 = """
+WITH r AS (SELECT doc_id, source,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS r,
+                  COUNT(*) OVER (PARTITION BY source) AS n_s
+           FROM documents)
+SELECT doc_id, source,
+       (ROW_NUMBER() OVER (
+          ORDER BY ((2 * r + 1) * 1048576) // (2 * n_s), source, doc_id)
+        - 1)::BIGINT AS ord
+FROM r
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3355,4 +3384,5 @@ QUERIES: dict[str, tuple] = {
     "q85_resize_thumbnails": (q85_resize_thumbnails, SQL_Q85),
     "q86_cms_estimates": (q86_cms_estimates, SQL_Q86),
     "q87_hll_registers": (q87_hll_registers, SQL_Q87),
+    "q88_interleave_order": (q88_interleave_order, SQL_Q88),
 }

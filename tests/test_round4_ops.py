@@ -111,3 +111,33 @@ def test_scrub_counts_and_redaction(ray_session):
     assert got.loc[0, "redacted"] == "<TERM> the <TERM> for <TERM> rows"
     assert got.loc[1, "n_terms"] == 0 and got.loc[1, "n_emails"] == 1
     assert got.loc[1, "redacted"] == docs.loc[1, "text"]
+
+
+def test_interleave_order_proportional_and_layout_invariant(ray_session):
+    from rust_paddle_ocr_ray.stages.packing import interleave_order
+
+    rng = np.random.RandomState(7)
+    n = 1200
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64"),
+        "source": rng.choice(["big", "mid", "tiny"], n, p=[0.7, 0.25, 0.05]),
+    })
+    outs = []
+    for parts in (3, 11):
+        got = (interleave_order(rd.from_pandas(df).repartition(parts),
+                                "doc_id", "source")
+               .to_pandas().sort_values("ord").reset_index(drop=True))
+        outs.append(got.reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    # a permutation
+    assert sorted(got["ord"]) == list(range(n))
+    # proportionality: in every prefix, each source's share tracks its
+    # global share within a small absolute band
+    totals = df["source"].value_counts()
+    for frac in (0.1, 0.25, 0.5, 0.75):
+        prefix = got.head(int(n * frac))["source"].value_counts()
+        for s, tot in totals.items():
+            want = tot * frac
+            assert abs(prefix.get(s, 0) - want) <= max(3, 0.02 * n), (
+                s, frac, prefix.get(s, 0), want)
