@@ -36,21 +36,29 @@ MEDIA_META_SCHEMA = pa.schema(
 
 def decode_payload(payload: bytes) -> np.ndarray:
     """Dispatch a raster payload to its pure-Python decoder ->
-    (h, w, c) uint8 pixels.  ValueError outside a decoder's subset,
-    NotImplementedError for formats with no decoder here (WEBP,
-    subsampled-color JPEG)."""
+    (h, w, c) uint8 pixels.  ValueError outside a decoder's subset OR
+    for any malformed payload (internal Index/struct/zlib errors are
+    converted here — a 100 TB crawl WILL contain corrupt files, and a
+    task must degrade, not die), NotImplementedError for formats with
+    no decoder here (WEBP, subsampled-color JPEG)."""
+    import struct
+
     from ..functions.jpeg import decode_jpeg
     from ..functions.raster import decode_bmp, decode_gif
 
-    if payload[:8] == PNG_SIG:
-        return decode_png(payload)
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif(payload)
-    if payload[:2] == b"\xff\xd8":
-        px = decode_jpeg(payload)
-        return px[:, :, None] if px.ndim == 2 else px
+    try:
+        if payload[:8] == PNG_SIG:
+            return decode_png(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(payload)
+        if payload[:2] == b"\xff\xd8":
+            px = decode_jpeg(payload)
+            return px[:, :, None] if px.ndim == 2 else px
+    except (IndexError, KeyError, OverflowError, struct.error,
+            zlib.error) as exc:
+        raise ValueError(f"malformed payload: {exc!r}") from exc
     raise NotImplementedError(
         "WEBP (and subsampled-color-JPEG) decode requires an image "
         "library not present in this environment; the pipeline uses "

@@ -90,3 +90,44 @@ def test_wav_roundtrip(vals, ch):
 def test_avi_container_roundtrip(frame_blocks):
     frames = [encode_jpeg_gray_dc(b) for b in frame_blocks]
     assert list(iter_avi_frames(encode_avi_mjpeg(frames))) == frames
+
+
+# --- fuzz: malformed payloads must DEGRADE (ValueError /
+# NotImplementedError via decode_payload), never crash a task ---
+
+MAGICS = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"GIF87a",
+          b"\xff\xd8", b"RIFF"]
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.sampled_from(MAGICS), st.binary(min_size=0, max_size=300))
+def test_decode_payload_never_crashes_on_garbage(magic, tail):
+    import pytest
+
+    from rust_paddle_ocr_ray.stages.multimodal import decode_payload
+
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_payload(magic + tail)
+        raise ValueError("decoded garbage — statistically impossible")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 3), st.data())
+def test_decode_payload_truncations_degrade(kind, data):
+    import pytest
+
+    from rust_paddle_ocr_ray.stages.multimodal import decode_payload
+
+    px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    idx = (px[:, :, 0] % 16).astype(np.uint8)
+    payload = [encode_bmp24(px), encode_gif8(idx, PAL16),
+               encode_png_rgb(px),
+               encode_jpeg_gray_dc(idx[:2, :2])][kind]
+    cut = data.draw(st.integers(1, len(payload) - 1))
+    try:
+        out = decode_payload(payload[:cut])
+        # a prefix may still parse (e.g. PNG ignores a lost IEND) —
+        # but whatever comes back must be a well-formed pixel array
+        assert out.ndim == 3 and out.dtype == np.uint8
+    except (ValueError, NotImplementedError):
+        pass
