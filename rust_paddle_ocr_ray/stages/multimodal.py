@@ -88,11 +88,14 @@ class MediaResizer:
     thumbnail (digest-seeded), same contract as MediaFeaturizer."""
 
     def __init__(self, payload_col: str, id_col: str,
-                 out_h: int = 16, out_w: int = 16):
+                 out_h: int = 16, out_w: int = 16, emit: str = "raw"):
+        if emit not in ("raw", "png"):
+            raise ValueError("emit must be 'raw' or 'png'")
         self.payload_col = payload_col
         self.id_col = id_col
         self.out_h = out_h
         self.out_w = out_w
+        self.emit = emit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {"media_id": [], "width": [], "height": [],
@@ -117,11 +120,19 @@ class MediaResizer:
             elif c == 4:  # RGBA -> RGB
                 px = px[:, :, :3]
             thumb = resize_nearest(px, self.out_h, self.out_w)
+            if self.emit == "png":
+                # decode -> resize -> RE-ENCODE: the thumbnail artifact
+                # a curation pipeline actually writes out
+                from ..sources.synth import encode_png_rgb
+
+                blob = encode_png_rgb(thumb)
+            else:
+                blob = np.ascontiguousarray(thumb).tobytes()
             rows["media_id"].append(mid)
             rows["width"].append(px.shape[1])
             rows["height"].append(px.shape[0])
             rows["real_decode"].append(real)
-            rows["thumb"].append(np.ascontiguousarray(thumb).tobytes())
+            rows["thumb"].append(blob)
         return pa.Table.from_pydict(rows, schema=pa.schema([
             ("media_id", pa.int64()), ("width", pa.int32()),
             ("height", pa.int32()), ("real_decode", pa.bool_()),
@@ -130,14 +141,17 @@ class MediaResizer:
 
 
 def resize_media(ds, payload_col: str, id_col: str, out_h: int = 16,
-                 out_w: int = 16, batch_size: int = 64, concurrency=None):
+                 out_w: int = 16, batch_size: int = 64, concurrency=None,
+                 emit: str = "raw"):
     """Resize as an actor-pool map_batches stage (small batches — large
-    binary payloads)."""
+    binary payloads).  ``emit='png'`` re-encodes each thumbnail as a
+    PNG blob (the artifact a curation run writes out)."""
     return ds.map_batches(
         MediaResizer,
         fn_constructor_kwargs={"payload_col": payload_col,
                                "id_col": id_col,
-                               "out_h": out_h, "out_w": out_w},
+                               "out_h": out_h, "out_w": out_w,
+                               "emit": emit},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or proportional_pool(),

@@ -206,3 +206,17 @@ def test_media_resizer_stage(ray_session):
     np.testing.assert_array_equal(got, want)
     # fake path still yields a stable 2x2x3 thumb
     assert len(out.loc[1, "thumb"]) == 12
+
+
+def test_media_resizer_png_emit_roundtrips(ray_session):
+    import ray.data as rd
+
+    from rust_paddle_ocr_ray.functions.png import decode_png
+    from rust_paddle_ocr_ray.stages.multimodal import resize_media
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    ds = rd.from_items([{"media_id": 0, "payload": make_bmp24(px)}])
+    out = resize_media(ds, "payload", "media_id", out_h=4, out_w=4,
+                       concurrency=(1, 1), emit="png").to_pandas()
+    thumb = decode_png(bytes(out.loc[0, "thumb"]))
+    np.testing.assert_array_equal(thumb, px[[0, 2, 4, 6]][:, [0, 2, 4, 6]])
