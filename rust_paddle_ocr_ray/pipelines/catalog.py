@@ -3292,6 +3292,63 @@ FROM r
 """
 
 
+def q89_windowed_hll(sf_dir: str):
+    """Sketch × window composition: HyperLogLog registers per hopping
+    window (q34's window-replica explode feeding q87's register MAX).
+    THE streaming-cardinality shape at 10¹² events — and unlike q72's
+    exact count-distinct, MAX is IDEMPOTENT, so a (window, user) pair
+    recurring across blocks needs no global dedup exchange at all:
+    per-batch partial maxima combine associatively and that is the
+    whole algorithm.  p=4 (16 registers/window) keeps the demo table
+    small; hash-checked against the bin()/ltrim rho twin."""
+    from ..stages.distinct import grouped_reduce
+
+    hop_us = 1_800_000_000
+    m = 2  # 1 h window / 30 min hop
+    p_reg = 16  # 2^4 registers
+    ds = _rp(sf_dir, "events", columns=["ts", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        te = b["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        wmax = te // hop_us * hop_us
+        ws = np.concatenate([wmax - j * hop_us for j in range(m)])
+        users = np.tile(b["user_id"].to_numpy(dtype="int64"), m)
+        d = (pd.DataFrame({"window_start": ws, "u": users})
+             .drop_duplicates())
+        h = md5_head32(md5_hex(d["u"].astype(str)))
+        suffix = h // p_reg
+        bl = np.zeros(len(suffix), dtype="int64")
+        nz = suffix > 0
+        bl[nz] = np.floor(np.log2(suffix[nz])).astype("int64") + 1
+        g = pd.DataFrame({
+            "window_start": d["window_start"].to_numpy(),
+            "bucket": (h % p_reg).astype("int64"),
+            "register": 28 - bl + 1,
+        })
+        return (g.groupby(["window_start", "bucket"], sort=False)
+                .max().reset_index())
+
+    return grouped_reduce(ds.map_batches(partial, batch_format="pandas"),
+                          ["window_start", "bucket"], ["register"],
+                          how="max", num_buckets=4)
+
+
+SQL_Q89 = """
+WITH e AS (SELECT user_id,
+                  unnest(generate_series(
+                    (epoch_us(ts) // 1800000000 - 1) * 1800000000,
+                    (epoch_us(ts) // 1800000000) * 1800000000,
+                    1800000000)) AS w
+           FROM events),
+d AS (SELECT DISTINCT w, user_id FROM e),
+h AS (SELECT w, ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+      FROM d)
+SELECT w AS window_start, (hv % 16)::BIGINT AS bucket,
+       MAX(28 - length(ltrim(bin(hv // 16), '0')) + 1)::BIGINT AS register
+FROM h GROUP BY 1, 2
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3385,4 +3442,5 @@ QUERIES: dict[str, tuple] = {
     "q86_cms_estimates": (q86_cms_estimates, SQL_Q86),
     "q87_hll_registers": (q87_hll_registers, SQL_Q87),
     "q88_interleave_order": (q88_interleave_order, SQL_Q88),
+    "q89_windowed_hll": (q89_windowed_hll, SQL_Q89),
 }
