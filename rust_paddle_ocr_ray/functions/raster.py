@@ -11,7 +11,7 @@ so the featurizer degrades to its deterministic fake.
 - GIF: GIF87a/89a logical screen + first image descriptor,
   global/local color table, variable-code-width LZW per the GIF89a
   specification appendix (LSB-first bit packing, CLEAR/END codes,
-  12-bit code cap), non-interlaced only.
+  12-bit code cap), interlaced (Appendix-E four-pass scatter) or not.
 
 Both return (height, width, 3) uint8 RGB arrays — the decode analog of
 the reference's raster ingestion (/root/reference/src/det.rs:176-230),
@@ -134,7 +134,8 @@ def _gif_lzw(blocks: bytes, min_code_size: int, max_pixels: int) -> list[int]:
 
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF payload -> (height, width, 3) uint8 RGB pixels of the FIRST
-    frame.  Non-interlaced subset; raises ValueError otherwise."""
+    frame, interlaced (GIF89a Appendix E pass scatter) or sequential;
+    raises ValueError outside the decodable subset."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     pos = 13

@@ -835,13 +835,17 @@ FROM events e ASOF LEFT JOIN r
 # ===========================================================================
 
 def q28_json_extract(sf_dir: str):
-    """F6 analog: per-row JSON field extraction + grouped aggregate."""
-    import json
+    """F6 analog: per-row JSON field extraction + grouped aggregate.
 
+    The ``"k"`` field is pulled with one vectorized ``str.extract``
+    (C-regex over the whole batch; VERDICT r4 item 7 replaced the
+    per-row ``json.loads`` lambda).  A non-matching row would surface
+    as a loud NaN->int64 cast error rather than a silent wrong value.
+    """
     ds = _rp(sf_dir, "events", columns=["event_type", "props"])
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
-        k = b["props"].map(lambda s: json.loads(s).get("k")).astype("int64")
+        k = b["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False).astype("int64")
         g = pd.DataFrame({"event_type": b["event_type"], "n": np.int64(1),
                           "sum_k": k, "max_k": k})
         return (g.groupby("event_type", sort=False)
@@ -2756,7 +2760,11 @@ def q77_collocations(sf_dir: str):
     # ray.put (the zscore/retention pattern); the bigram table then
     # never needs to meet in one task — each block scores its own rows
     # and ships only its local top-20, so the final reduce sees
-    # ≤ 20 × blocks rows no matter how large the bigram space grows
+    # ≤ 20 × blocks rows no matter how large the bigram space grows.
+    # materialize() pins the combined (w1, w2, cnt) blocks so the
+    # unigram filter below and score_topk share ONE execution of the
+    # read+partial+combine lineage (ADVICE r4: it ran twice before)
+    hist = hist.materialize()
     uni_df = (hist.filter(expr="w2 == ''").to_pandas())
     uni = uni_df.set_index("w1")["cnt"]
     n_total = int(uni.sum())

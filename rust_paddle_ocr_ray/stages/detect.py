@@ -25,7 +25,9 @@ tasks; SURVEY.md §2.3 ST1.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import ExtractConfig
 from ..functions.html import segment_page
@@ -52,16 +54,37 @@ SPANS_SCHEMA = pa.schema(
 )
 
 
+_SENTINEL_SPAN = {
+    "block_id": -1, "start": 0, "end": 0, "tstart": 0, "tend": 0,
+    "line_start": 0, "line_end": 0, "tag": "", "depth": 0,
+    "order": -1, "score": 0.0, "raw": "",
+}
+
+# span fields built as numpy arrays (fromiter -> zero-copy pa.array)
+_NUMERIC_SPAN_FIELDS = (
+    ("block_id", np.int32), ("start", np.int64), ("end", np.int64),
+    ("tstart", np.int64), ("tend", np.int64), ("line_start", np.int32),
+    ("line_end", np.int32), ("depth", np.int32), ("order", np.int32),
+    ("score", np.float32),
+)
+
+
 def detect_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
-    """One Arrow batch of pages -> one Arrow batch of span rows."""
-    urls = batch["url"].to_pylist()
-    tss = batch["warc_ts"].to_pylist()
-    langs = batch["lang"].to_pylist()
+    """One Arrow batch of pages -> one Arrow batch of span rows.
+
+    The per-page parse loop is inherent (HTML/PDF tokenizers need Python
+    bytes), but the COLUMN build is vectorized: page columns (url,
+    warc_ts, lang) are replicated over per-page span counts with one
+    ``pc.take`` on the original Arrow arrays (never ``to_pylist``), and
+    the numeric span fields are built with ``np.fromiter`` over the flat
+    span list — no per-span Python appends (SURVEY §11.2).
+    """
     htmls = batch["html"].to_pylist()
+    n_pages = len(htmls)
+    counts = np.empty(n_pages, dtype=np.int64)
+    flat: list[dict] = []
 
-    cols: dict[str, list] = {name: [] for name in SPANS_SCHEMA.names}
-
-    for url, ts, lang, html_bytes in zip(urls, tss, langs, htmls):
+    for i, html_bytes in enumerate(htmls):
         payload = (html_bytes or b"")[: cfg.max_html_bytes]
         kind = sniff_payload(payload)
         if kind == "pdf":
@@ -72,26 +95,23 @@ def detect_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
             page = payload.decode("utf-8", errors="replace")
             spans = segment_page(page, cfg) if page else []
         if not spans:
-            spans = [
-                {
-                    "block_id": -1, "start": 0, "end": 0, "tstart": 0, "tend": 0,
-                    "line_start": 0, "line_end": 0, "tag": "", "depth": 0,
-                    "order": -1, "score": 0.0, "raw": "",
-                }
-            ]
-        for s in spans:
-            cols["url"].append(url)
-            cols["warc_ts"].append(ts)
-            cols["lang"].append(lang)
-            for k in (
-                "block_id", "start", "end", "tstart", "tend", "line_start",
-                "line_end", "tag", "depth", "order", "score", "raw",
-            ):
-                cols[k].append(s[k])
+            spans = [_SENTINEL_SPAN]
+        counts[i] = len(spans)
+        flat.extend(spans)
 
-    return pa.Table.from_pydict(
-        {name: pa.array(cols[name], type=SPANS_SCHEMA.field(name).type) for name in SPANS_SCHEMA.names}
-    )
+    n_spans = len(flat)
+    idx = pa.array(np.repeat(np.arange(n_pages, dtype=np.int64), counts))
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        name: pc.take(batch[name], idx).cast(SPANS_SCHEMA.field(name).type)
+        for name in ("url", "warc_ts", "lang")
+    }
+    for name, np_type in _NUMERIC_SPAN_FIELDS:
+        arr = np.fromiter((s[name] for s in flat), dtype=np_type, count=n_spans)
+        cols[name] = pa.array(arr, type=SPANS_SCHEMA.field(name).type)
+    for name in ("tag", "raw"):
+        cols[name] = pa.array([s[name] for s in flat], type=pa.string())
+
+    return pa.Table.from_pydict({name: cols[name] for name in SPANS_SCHEMA.names})
 
 
 def make_detector(cfg: ExtractConfig):

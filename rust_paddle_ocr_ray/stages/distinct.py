@@ -129,7 +129,15 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str,
     to 2**53, so the only rounding is the final expression; results are
     rounded to ``decimals`` to be comparable with an independent
     streaming implementation (e.g. DuckDB's one-pass CORR).  A
-    zero-variance group yields NaN (SQL NULL)."""
+    zero-variance group yields NaN (SQL NULL).
+
+    Contract note (ADVICE r4): the float64 partials routed through
+    ``grouped_sum`` are only ulp-stable when inputs are NOT
+    integer-valued — float addition order differs between the pandas
+    row-order here and any other engine's block order.  Callers of
+    grouped_corr / grouped_zscore on non-integer inputs rely on the
+    accepted round-``decimals`` output tolerance to absorb that, which
+    is why both finalize with ``np.round`` rather than raw floats."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         x = b[x_col].to_numpy(dtype="float64")
@@ -205,7 +213,11 @@ def grouped_zscore(ds, key_col: str, val_col: str,
     back via a per-batch vectorized merge.  Integer inputs keep the
     sums exact in float64; the z expression is the only rounding, cut
     to ``decimals`` for cross-engine comparison.  A zero-variance
-    group yields NaN (guard the SQL twin the same way)."""
+    group yields NaN (guard the SQL twin the same way).  On
+    non-integer inputs the float partials through ``grouped_sum`` are
+    only ulp-stable across addition orders — the round-``decimals``
+    output tolerance is what absorbs that (see grouped_corr's
+    contract note)."""
     import ray
 
     from .merge import _get_broadcast

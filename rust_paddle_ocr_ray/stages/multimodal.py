@@ -1,14 +1,15 @@
 """Multimodal plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata.
 
-PNG, BMP and GIF payloads decode for REAL — pure-Python public-spec
-pixel decoders (functions/png.py: RFC 2083; functions/raster.py:
-BITMAPINFOHEADER + GIF89a LZW), emitting true width/height and
-pixel-statistics features.  JPEG/WEBP entropy decode remains a STUB
-(no image libraries in this environment — clearly marked below) and
-takes the deterministic fake path; everything Ray-side is real and
-tested: schema, actor-pool signature, small batch sizes for large
-payloads.
+PNG, BMP, GIF and baseline JPEG payloads decode for REAL — pure-Python
+public-spec pixel decoders (functions/png.py: RFC 2083 incl. 1/2/4-bit
+grey/palette; functions/raster.py: BITMAPINFOHEADER + GIF89a LZW incl.
+interlace; functions/jpeg.py: ITU-T T.81 baseline, grayscale + YCbCr),
+emitting true width/height and pixel-statistics features.  Only WEBP
+remains a STUB (VP8 entropy coding genuinely needs a codec library this
+environment lacks) and takes the deterministic fake path; everything
+Ray-side is real and tested: schema, actor-pool signature, small batch
+sizes for large payloads.
 """
 
 from __future__ import annotations
@@ -163,13 +164,14 @@ def real_decode(payload: bytes, feat_dim: int = 64) -> tuple[int, int, np.ndarra
 
     PNG (pure-Python RFC 2083, functions/png.py — zlib IDAT + per-row
     unfilter, all five filter types, grey/RGB/palette/alpha at bit
-    depth 8), BMP (BITMAPINFOHEADER BI_RGB 8/24-bit) and GIF
-    (variable-width LZW per the GIF89a spec, first frame,
-    non-interlaced) decode for REAL (functions/raster.py).  JPEG/WEBP
-    entropy coding still requires image libraries not present in this
-    environment: wire Pillow/ffmpeg here when present — until then
-    they raise NotImplementedError and the featurizer degrades to the
-    deterministic fake decoder."""
+    depths 1/2/4/8), BMP (BITMAPINFOHEADER BI_RGB 8/24-bit), GIF
+    (variable-width LZW per the GIF89a spec, first frame, interlaced
+    or not) and baseline JPEG (functions/jpeg.py — T.81 Huffman +
+    IDCT, grayscale and YCbCr) decode for REAL.  Only WEBP still
+    requires a codec library (VP8) not present in this environment:
+    wire Pillow/ffmpeg here when present — until then it raises
+    ValueError and the featurizer degrades to the deterministic fake
+    decoder."""
     px = decode_payload(payload)
     h, w = px.shape[0], px.shape[1]
     return w, h, pixel_feature(px, feat_dim)
