@@ -1,0 +1,262 @@
+"""Driver-facing curated correctness gate: exactly 50 entries.
+
+The driver's correctness harness records at most 50 ``queries()`` rows
+(CORRECTNESS_r04 stopped at q50 of 89 registered queries, leaving the
+sketch/media/packing families with no driver-verified row — VERDICT r4
+item 1).  This module folds the full 89-query catalog
+(``catalog.QUERIES``, still what ``bench.py`` measures) into a gate of
+exactly 50 entries so EVERY operator family earns a driver-green
+correctness row regardless of how the driver truncates:
+
+- 35 SINGLES — the flagship extraction queries, every novel operator
+  family (media round-trips q81-q85, sketches q86-q89, packing
+  q79/q88, collocations q77, salted/outer joins q74/q78, ...) keep
+  their own gate row under their catalog name.
+- 15 COMPOSITES (``g01_``-``g15_``) — the relational warm-ups and
+  single-aggregate statistics queries are MELTED into suite rows: each
+  member's result is mechanically unpivoted to ``(part, k, metric,
+  v)`` rows by a per-query column spec, and the suite is the UNION ALL
+  of its members.  The identical melt is generated for BOTH engines
+  from the same declarative spec (``MELT_SPECS``) — exactly
+  stringified keys (ints/strings/bools/epoch-µs timestamps), DOUBLE
+  values with a shared NULL sentinel — so the driver's
+  rows+schema+value-hash check retains full per-row, per-column power
+  over every folded query.
+
+Membership is stable and documented in ``COMPOSITES``; the full
+catalog remains independently checkable via
+``tools/check_queries.py --full``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .catalog import QUERIES
+
+# NULL sentinel shared by both engines (exactly representable, far
+# outside every catalog value range).
+_NULL_V = -9.999e15
+
+# Column kinds: "s" varchar, "i" integer, "b" boolean, "ts" timestamp
+# (melted into the string key k), "f" double (melted into value rows).
+MELT_SPECS: dict[str, list[tuple[str, str]]] = {
+    "q01_filter_project": [("l_orderkey", "i"), ("l_linenumber", "i"), ("revenue", "f")],
+    "q02_groupby_agg": [("l_returnflag", "s"), ("l_linestatus", "s"), ("sum_qty", "f"),
+                        ("sum_price", "f"), ("n", "i")],
+    "q03_sort_limit": [("o_orderkey", "i"), ("o_totalprice", "f")],
+    "q06_distinct": [("l_returnflag", "s"), ("l_linestatus", "s")],
+    "q07_agg_events": [("event_type", "s"), ("n", "i"), ("sum_value", "f"), ("max_ts", "ts")],
+    "q10_union": [("o_orderstatus", "s"), ("n", "i")],
+    "q04_join_broadcast": [("r_name", "s"), ("n_cust", "i"), ("sum_bal", "f")],
+    "q05_join_hash": [("c_mktsegment", "s"), ("n_orders", "i"), ("sum_price", "f")],
+    "q28_json_extract": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("max_k", "i")],
+    "q29_multijoin": [("n_name", "s"), ("revenue", "f"), ("n_items", "i")],
+    "q11_langid": [("doc_id", "i"), ("pred_lang", "s")],
+    "q12_quality": [("doc_id", "i"), ("n_chars", "i"), ("n_tokens", "i"), ("n_punct", "i"),
+                    ("n_upper", "i"), ("mean_tok_len_x10", "i"), ("is_quality", "b")],
+    "q14_fingerprint": [("doc_id", "i"), ("fp", "s")],
+    "q32_rolling_fingerprint": [("doc_id", "i"), ("rfp", "i")],
+    "q33_bpe_tokens": [("doc_id", "i"), ("n_bpe", "i")],
+    "q44_repetition_stats": [("doc_id", "i"), ("n_words", "i"), ("n_distinct_words", "i"),
+                             ("top_word_count", "i")],
+    "q15_dedup_exact": [("lang", "s"), ("n_chars", "i"), ("doc_id", "i"), ("dupes", "i")],
+    "q16_dedup_exact_text": [("h", "s"), ("doc_id", "i")],
+    "q48_normalized_dedup": [("h", "s"), ("doc_id", "i"), ("n_dups", "i")],
+    "q18_simhash_pairs": [("a", "i"), ("b", "i"), ("hamming", "i")],
+    "q19_jaccard_pairs": [("a", "i"), ("b", "i")],
+    "q22_embedding_dups": [("a", "i"), ("b", "i")],
+    "q20_knn_bruteforce": [("query_id", "i"), ("neighbor_id", "i"), ("rank", "i")],
+    "q21_knn_lsh": [("query_id", "i"), ("neighbor_id", "i"), ("rank", "i")],
+    "q35_knn_ivf": [("query_id", "i"), ("neighbor_id", "i"), ("rank", "i")],
+    "q25_media_meta": [("media_id", "i"), ("n_bytes", "i"), ("sha16", "s")],
+    "q31_frame_sample": [("media_id", "i"), ("frame_no", "i")],
+    "q08_window_bucket": [("user_id", "i"), ("hour_epoch", "i"), ("n", "i"), ("sum_value", "f")],
+    "q34_hopping_window": [("window_start", "i"), ("n", "i"), ("sum_value", "f")],
+    "q27_asof_join": [("event_id", "i"), ("user_id", "i"), ("o_orderkey", "f"),
+                      ("o_totalprice", "f")],
+    "q46_asof_tolerance": [("event_id", "i"), ("user_id", "i"), ("o_orderkey", "f"),
+                           ("o_totalprice", "f")],
+    "q58_percent_rank": [("doc_id", "i"), ("source", "s"), ("n_chars", "i"), ("pct_rank", "f")],
+    "q59_distinct_users": [("event_type", "s"), ("n_users", "i")],
+    "q60_length_token_corr": [("source", "s"), ("corr", "f"), ("n", "i")],
+    "q69_zscore": [("doc_id", "i"), ("source", "s"), ("n_chars", "i"), ("zscore", "f")],
+    "q71_lang_entropy": [("source", "s"), ("entropy", "f")],
+    "q64_modal_user": [("event_type", "s"), ("modal_user", "i"), ("modal_count", "i")],
+    "q70_event_pivot": [("user_id", "i"), ("n_events", "i"), ("n_click", "i"), ("n_error", "i"),
+                        ("n_purchase", "i"), ("n_signup", "i"), ("n_view", "i")],
+    "q75_grouping_sets": [("source", "s"), ("lang", "s"), ("docs", "i"), ("chars", "i")],
+    "q41_stratified_sample": [("doc_id", "i"), ("source", "s")],
+    "q52_weighted_sample": [("doc_id", "i"), ("source", "s"), ("n_chars", "i"), ("rnk", "i")],
+    "q66_hash_split": [("source", "s"), ("split", "s"), ("docs", "i"), ("chars", "i")],
+    "q55_funnel": [("stage", "i"), ("event_type", "s"), ("users", "i")],
+    "q57_user_cumspend": [("event_id", "i"), ("cum_value", "f")],
+    "q63_inter_event_gaps": [("user_id", "i"), ("n_events", "i"), ("span_us", "i"),
+                             ("max_gap_us", "i"), ("n_breaks", "i")],
+    "q72_hopping_distinct_users": [("window_start", "i"), ("n_users", "i")],
+    "q73_retention_cohorts": [("cohort_day", "i"), ("day", "i"), ("users", "i")],
+    "q13_tokens_by_source": [("source", "s"), ("docs", "i"), ("total_tokens", "i"),
+                             ("total_chars", "i")],
+    "q38_vocab_topk": [("token", "s"), ("n", "i")],
+    "q47_posting_lists": [("token", "s"), ("n_docs", "i"), ("head", "s")],
+    "q53_tfdf_top_terms": [("doc_id", "i"), ("term", "s"), ("tf", "i"), ("df", "i"),
+                           ("score", "f"), ("rnk", "i")],
+    "q51_chunk_documents": [("doc_id", "i"), ("chunk_id", "i"), ("begin_at", "i"),
+                            ("end_at", "i"), ("chunk", "s")],
+    "q62_trim_outliers": [("source", "s"), ("kept", "i"), ("kept_chars", "i"),
+                          ("min_len", "i"), ("max_len", "i")],
+    "q76_embedding_norms": [("label", "i"), ("n", "i"), ("avg_norm", "f")],
+}
+
+# Suite membership — one gate row per suite, full hash power per member.
+COMPOSITES: dict[str, list[str]] = {
+    "g01_rel_warmups": ["q01_filter_project", "q02_groupby_agg", "q03_sort_limit",
+                        "q06_distinct", "q07_agg_events", "q10_union"],
+    "g02_join_suite": ["q04_join_broadcast", "q05_join_hash", "q28_json_extract",
+                       "q29_multijoin"],
+    "g03_doc_profile": ["q11_langid", "q12_quality", "q14_fingerprint",
+                        "q32_rolling_fingerprint", "q33_bpe_tokens", "q44_repetition_stats"],
+    "g04_exact_dedup": ["q15_dedup_exact", "q16_dedup_exact_text", "q48_normalized_dedup"],
+    "g05_neardup_pairs": ["q18_simhash_pairs", "q19_jaccard_pairs", "q22_embedding_dups"],
+    "g06_knn_suite": ["q20_knn_bruteforce", "q21_knn_lsh", "q35_knn_ivf"],
+    "g07_media_meta": ["q25_media_meta", "q31_frame_sample"],
+    "g08_window_suite": ["q08_window_bucket", "q34_hopping_window"],
+    "g09_asof_suite": ["q27_asof_join", "q46_asof_tolerance"],
+    "g10_rank_stats": ["q58_percent_rank", "q59_distinct_users", "q60_length_token_corr",
+                       "q69_zscore", "q71_lang_entropy"],
+    "g11_pivot_rollup": ["q64_modal_user", "q70_event_pivot", "q75_grouping_sets"],
+    "g12_sample_suite": ["q41_stratified_sample", "q52_weighted_sample", "q66_hash_split"],
+    "g13_event_suite": ["q55_funnel", "q57_user_cumspend", "q63_inter_event_gaps",
+                        "q72_hopping_distinct_users", "q73_retention_cohorts"],
+    "g14_text_agg": ["q13_tokens_by_source", "q38_vocab_topk", "q47_posting_lists",
+                     "q53_tfdf_top_terms"],
+    "g15_chunk_trim": ["q51_chunk_documents", "q62_trim_outliers", "q76_embedding_norms"],
+}
+
+# Every catalog query NOT folded into a composite keeps its own row.
+SINGLES: list[str] = [
+    "q09_topk_per_group", "q17_minhash_pairs", "q23_extract", "q24_detect_spans",
+    "q26_sessionize", "q30_mixed_extract", "q36_curation", "q37_range_join",
+    "q39_dup_clusters", "q40_dedup_canonical", "q42_contamination", "q43_pack_bins",
+    "q45_source_quantiles", "q49_grouped_topk", "q50_duplicate_ngrams",
+    "q54_centroid_exemplars", "q56_customers_no_orders", "q61_customer_order_profile",
+    "q65_semantic_filter", "q67_token_budget_mix", "q68_leakage_matrix",
+    "q74_salted_join", "q77_collocations", "q78_full_outer_recon", "q79_shuffle_order",
+    "q80_pii_scrub", "q81_pixel_roundtrip", "q82_jpeg_roundtrip", "q83_wav_roundtrip",
+    "q84_video_frames", "q85_resize_thumbnails", "q86_cms_estimates", "q87_hll_registers",
+    "q88_interleave_order", "q89_windowed_hll",
+]
+
+
+def _k_sql(col: str, kind: str) -> str:
+    if kind == "s":
+        return f"COALESCE({col}, '')"
+    if kind == "i":
+        return f"COALESCE(CAST({col} AS VARCHAR), '')"
+    if kind == "b":
+        return f"COALESCE(CAST(CAST({col} AS INTEGER) AS VARCHAR), '')"
+    if kind == "ts":
+        return f"COALESCE(CAST(epoch_us({col}) AS VARCHAR), '')"
+    raise ValueError(f"not a key kind: {kind}")
+
+
+def melt_sql(part: str, sql: str, spec: list[tuple[str, str]]) -> str:
+    """DuckDB melt of one member twin -> (part, k, metric, v) rows."""
+    ks = [(c, k) for c, k in spec if k != "f"]
+    vs = [c for c, k in spec if k == "f"]
+    k_expr = " || '|' || ".join(_k_sql(c, k) for c, k in ks) if ks else "''"
+    sub = "(" + sql.strip().rstrip(";") + ")"
+    branches = [
+        f"SELECT '{part}' AS part, {k_expr} AS k, '{vc}' AS metric,\n"
+        f"       COALESCE(CAST({vc} AS DOUBLE), {_NULL_V}) AS v\nFROM {sub}"
+        for vc in vs
+    ] or [
+        f"SELECT '{part}' AS part, {k_expr} AS k, '_row' AS metric,\n"
+        f"       CAST(1.0 AS DOUBLE) AS v\nFROM {sub}"
+    ]
+    return "\nUNION ALL\n".join(branches)
+
+
+def _k_py(s: pd.Series, kind: str) -> pd.Series:
+    if kind == "s":
+        return s.map(lambda x: "" if pd.isna(x) else str(x))
+    if kind == "i":
+        return s.map(lambda x: "" if pd.isna(x) else str(int(x)))
+    if kind == "b":
+        return s.map(lambda x: "" if pd.isna(x) else str(int(bool(x))))
+    if kind == "ts":
+        return s.map(lambda x: "" if pd.isna(x) else str(pd.Timestamp(x).value // 1000))
+    raise ValueError(f"not a key kind: {kind}")
+
+
+def melt_df(part: str, df: pd.DataFrame, spec: list[tuple[str, str]]) -> pd.DataFrame:
+    """pandas melt identical to :func:`melt_sql` (shared declarative spec)."""
+    ks = [(c, k) for c, k in spec if k != "f"]
+    vs = [c for c, k in spec if k == "f"]
+    if ks:
+        k = _k_py(df[ks[0][0]], ks[0][1])
+        for c, kind in ks[1:]:
+            k = k + "|" + _k_py(df[c], kind)
+    else:
+        k = pd.Series([""] * len(df), dtype=object)
+    frames = []
+    for vc in vs:
+        v = df[vc].astype("float64").fillna(_NULL_V).to_numpy()
+        frames.append(pd.DataFrame({"part": part, "k": k.to_numpy(dtype=object),
+                                    "metric": vc, "v": v}))
+    if not vs:
+        frames.append(pd.DataFrame({"part": part, "k": k.to_numpy(dtype=object),
+                                    "metric": "_row", "v": np.float64(1.0)}))
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({"part": object, "k": object, "metric": object, "v": "float64"})
+
+
+def _to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+    from ray.data import Dataset
+
+    if isinstance(obj, Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def _make_composite(name: str, members: list[str]):
+    def fn(sf_dir: str, _members=tuple(members)) -> pd.DataFrame:
+        frames = [
+            melt_df(qn, _to_pandas(QUERIES[qn][0](sf_dir)), MELT_SPECS[qn])
+            for qn in _members
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    fn.__name__ = name
+    fn.__doc__ = f"Gate suite: melted union of {', '.join(members)}."
+    sql = "\nUNION ALL\n".join(
+        melt_sql(qn, QUERIES[qn][1], MELT_SPECS[qn]) for qn in members
+    )
+    return fn, sql
+
+
+def _build() -> dict[str, tuple]:
+    gate: dict[str, tuple] = {}
+    for name, members in COMPOSITES.items():
+        for qn in members:
+            if QUERIES[qn][1] is None:
+                raise ValueError(f"composite member {qn} has no SQL twin")
+        gate[name] = _make_composite(name, members)
+    for qn in SINGLES:
+        gate[qn] = QUERIES[qn]
+    # exactly-50 invariant: the driver records at most 50 rows, and with
+    # exactly 50 no truncation order can drop a family.
+    assert len(gate) == 50, f"gate must have exactly 50 entries, got {len(gate)}"
+    folded = {m for ms in COMPOSITES.values() for m in ms}
+    assert folded | set(SINGLES) == set(QUERIES), (
+        "every catalog query must be a single or a composite member: "
+        f"missing={set(QUERIES) - folded - set(SINGLES)}"
+    )
+    return gate
+
+
+GATE_QUERIES: dict[str, tuple] = _build()

@@ -3,6 +3,9 @@
 compare row-count + column names + sorted values.
 
     python tools/check_queries.py [sf_dir] [name ...]
+
+``--full`` checks the complete 89-query catalog (catalog.QUERIES)
+instead of the driver-facing curated 50-entry gate.
 """
 
 from __future__ import annotations
@@ -72,8 +75,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    full = "--full" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import ray
 
@@ -87,9 +92,15 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    import __ray_entry__ as e
+    if full:
+        from rust_paddle_ocr_ray.pipelines.catalog import QUERIES
 
-    qs, oracles = e.queries(), e.oracle_sql()
+        qs = {n: f for n, (f, _s) in QUERIES.items()}
+        oracles = {n: s for n, (_f, s) in QUERIES.items() if s is not None}
+    else:
+        import __ray_entry__ as e
+
+        qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
