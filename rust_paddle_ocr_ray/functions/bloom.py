@@ -98,10 +98,90 @@ class BloomFilter:
         return got.all(axis=0)
 
 
+_C3 = np.uint64(0x8EBC6AF09C88C6E3)
+_C4 = np.uint64(0x589965CC75374CC3)
+
+
+class BlockedBloomFilter:
+    """Blocked bloom filter: all ``k`` probes of a value land inside ONE
+    512-bit block chosen by the first hash (the classic cache-line
+    blocked design, Putze/Sanders/Singler 2007).
+
+    The property that matters here is not cache locality but
+    DISTRIBUTABILITY: because a value touches exactly one block, the
+    bitmap can be built with a single slim exchange — map tasks emit one
+    uint64 base hash per id, range-partitioned by block; each reduce
+    task OR-builds only its contiguous chunk of blocks; the driver
+    receives exactly ``m/8`` bytes total (the finished bitmap), never a
+    stream of candidate rows (VERDICT r4 item 3).  Blocking skews
+    per-block load, so sizing adds +30% bits over the flat formula;
+    false positives stay one-sided (no false negatives), which both
+    call sites tolerate by construction.
+    """
+
+    __slots__ = ("bits", "m", "k", "n_blocks", "n_added")
+
+    BLOCK_BITS = 512
+
+    def __init__(self, capacity: int, fp_rate: float = 0.005,
+                 bits: np.ndarray | None = None):
+        capacity = max(1, int(capacity))
+        m = int(math.ceil(-capacity * math.log(fp_rate) / (math.log(2) ** 2) * 1.3))
+        self.n_blocks = max(1, (m + self.BLOCK_BITS - 1) // self.BLOCK_BITS)
+        self.m = self.n_blocks * self.BLOCK_BITS
+        self.k = max(1, min(16, round(self.m / capacity * math.log(2))))
+        if bits is None:
+            bits = np.zeros(self.m // 8, dtype=np.uint8)
+        assert bits.nbytes == self.m // 8
+        self.bits = bits
+        self.n_added = 0
+
+    def __bool__(self) -> bool:
+        return self.n_added > 0
+
+    @staticmethod
+    def block_of_hash(h: np.ndarray, n_blocks: int) -> np.ndarray:
+        """uint64 block id per base hash (the exchange partition key)."""
+        return _splitmix(h, _C1) % np.uint64(n_blocks)
+
+    @staticmethod
+    def probes_from_hash(h: np.ndarray, n_blocks: int, k: int) -> np.ndarray:
+        """(k, n) GLOBAL bit indices per base hash — static so a reduce
+        task can set bits in a chunk-local buffer without allocating the
+        full bitmap."""
+        blk = BlockedBloomFilter.block_of_hash(h, n_blocks)
+        h1 = _splitmix(h, _C3)
+        h2 = _splitmix(h, _C4) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            off = (h1[None, :] + i * h2[None, :]) % np.uint64(
+                BlockedBloomFilter.BLOCK_BITS)
+            return blk[None, :] * np.uint64(BlockedBloomFilter.BLOCK_BITS) + off
+
+    def add_many(self, values) -> None:
+        values = np.asarray(values)
+        if values.size == 0:
+            return
+        idx = self.probes_from_hash(_base_hash(values), self.n_blocks, self.k).ravel()
+        np.bitwise_or.at(self.bits, (idx >> 3).astype(np.int64),
+                         np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)))
+        self.n_added += int(values.size)
+
+    def contains_many(self, values) -> np.ndarray:
+        values = np.asarray(values)
+        if values.size == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self.probes_from_hash(_base_hash(values), self.n_blocks, self.k)
+        got = (self.bits[(idx >> 3).astype(np.int64)]
+               >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+        return got.all(axis=0)
+
+
 def member_mask(obj, values) -> np.ndarray:
-    """Boolean membership mask against either a BloomFilter (approximate,
-    one-sided error) or any exact container (set/frozenset/dict keys)."""
-    if isinstance(obj, BloomFilter):
+    """Boolean membership mask against either bloom filter flavor
+    (approximate, one-sided error) or any exact container
+    (set/frozenset/dict keys)."""
+    if isinstance(obj, (BloomFilter, BlockedBloomFilter)):
         return obj.contains_many(values)
     if not isinstance(values, pd.Series):
         values = pd.Series(values)

@@ -24,7 +24,8 @@ from itertools import combinations
 import numpy as np
 import pandas as pd
 
-from ..functions.bloom import BloomFilter, member_mask
+from ..functions.bloom import BlockedBloomFilter, BloomFilter, member_mask
+from ..functions.bloom import _base_hash as _bloom_base_hash
 from ..functions.hashing import (
     band_keys,
     hamming64,
@@ -205,6 +206,82 @@ def _verify_pairs_broadcast(docs, text_col, id_col, k, threshold, need_ref,
     return rd.from_arrow(pairs_tbl).map_batches(verify, batch_format="pandas")
 
 
+def _distributed_need_bloom(cand, capacity: int,
+                            chunk_mb: int = 32) -> tuple[BlockedBloomFilter, int]:
+    """Build the candidate-id need-set bloom with NO driver pass over
+    candidate pairs (VERDICT r4 item 3).
+
+    Map side: each candidate block emits one uint64 base hash per
+    locally-UNIQUE id plus one overflow-count row — slim uint64 rows,
+    never pairs.  Reduce side: ONE range exchange on the id's bloom
+    block (every probe of a blocked bloom lives in its block, so a
+    chunk of contiguous blocks is buildable locally); each reduce task
+    ORs its ``chunk_mb``-sized slice of the bitmap.  The driver
+    receives exactly the finished ``m/8`` bytes — O(bits) memory AND
+    O(bits) driver CPU at any candidate cardinality.
+
+    Returns (bloom, n_overflow_markers).
+    """
+    proto = BlockedBloomFilter(capacity)
+    n_blocks, k = proto.n_blocks, proto.k
+    m_bytes = proto.m // 8
+    want_chunks = max(1, min(256, m_bytes // max(1, chunk_mb << 20) + 1))
+    bpc = -(-n_blocks // want_chunks)  # blocks per chunk (ceil)
+    num_chunks = -(-n_blocks // bpc)
+    block_b = BlockedBloomFilter.BLOCK_BITS // 8
+    chunk_bytes = [
+        (min(n_blocks, (c + 1) * bpc) - c * bpc) * block_b for c in range(num_chunks)
+    ]
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype="int64")
+        bb = b["b"].to_numpy(dtype="int64")
+        keep = a >= 0
+        n_ov = int(len(a) - keep.sum())
+        ids = np.unique(np.concatenate([a[keep], bb[keep]]))
+        h = _bloom_base_hash(ids)
+        blk = BlockedBloomFilter.block_of_hash(h, n_blocks)
+        chunk = (blk // np.uint64(bpc)).astype("int32")
+        out = pd.DataFrame({"chunk": chunk, "h": h})
+        if n_ov:
+            out = pd.concat(
+                [out, pd.DataFrame({"chunk": np.int32(-1),
+                                    "h": np.array([n_ov], dtype="uint64")})],
+                ignore_index=True)
+        return out
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        c = int(g["chunk"].iloc[0])
+        if c < 0:
+            return pd.DataFrame({"chunk": np.int32(-1), "n": [0],
+                                 "words": [int(g["h"].sum()).to_bytes(8, "little")]})
+        h = np.unique(g["h"].to_numpy(dtype="uint64"))
+        buf = np.zeros(chunk_bytes[c], dtype=np.uint8)
+        base_bit = c * bpc * BlockedBloomFilter.BLOCK_BITS
+        idx = BlockedBloomFilter.probes_from_hash(h, n_blocks, k).ravel() - np.uint64(base_bit)
+        np.bitwise_or.at(buf, (idx >> 3).astype(np.int64),
+                         np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)))
+        return pd.DataFrame({"chunk": np.int32(c), "n": [len(h)],
+                             "words": [buf.tobytes()]})
+
+    chunks = (cand.map_batches(part, batch_format="pandas", batch_size=None)
+              .groupby("chunk").map_groups(build, batch_format="pandas")
+              .take_all())
+    bits = np.zeros(m_bytes, dtype=np.uint8)
+    n_overflow, n_ids = 0, 0
+    for row in chunks:
+        c = int(row["chunk"])
+        if c < 0:
+            n_overflow += int.from_bytes(row["words"], "little")
+            continue
+        b0 = sum(chunk_bytes[:c])
+        bits[b0:b0 + chunk_bytes[c]] = np.frombuffer(row["words"], dtype=np.uint8)
+        n_ids += int(row["n"])
+    bloom = BlockedBloomFilter(capacity, bits=bits)
+    bloom.n_added = n_ids  # upper bound (per-chunk unique), only gates __bool__
+    return bloom, n_overflow
+
+
 def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7,
                         num_perm: int = 128, bands: int = 16, k: int = 3,
                         concurrency=None, max_bucket: int = 200,
@@ -221,10 +298,13 @@ def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7
        **Driver bound** (``max_driver_ids``, default
        ``8 * broadcast_max_docs``): when the candidate-pair count says
        the id set could exceed the cap, the exact set degrades to a
-       fixed-size :class:`~..functions.bloom.BloomFilter` — O(bits) on
-       the driver at any candidate cardinality; false positives only
-       shingle extra docs whose rows then match no pair request in the
-       (fully distributed) join-back;
+       :class:`~..functions.bloom.BlockedBloomFilter` built FULLY
+       DISTRIBUTED (:func:`_distributed_need_bloom` — slim uint64-hash
+       exchange range-partitioned on the bloom block, per-chunk OR
+       reducers; the driver never scans a candidate pair and receives
+       only the finished bitmap: O(bits) memory AND cpu); false
+       positives only shingle extra docs whose rows then match no pair
+       request in the (fully distributed) join-back;
     3. verify strategy is MEASURED, like every broadcast decision in
        this package: at or under ``broadcast_max_docs`` candidate docs
        (bounded footprint — ~tens of MB of packed shingles) the
@@ -250,37 +330,38 @@ def minhash_dedup_pairs(docs, text_col: str, id_col: str, threshold: float = 0.7
     )
     cand = minhash_candidate_pairs(band_rows, max_bucket=max_bucket).materialize()
 
-    # driver touches ONLY the two int columns: ids for the semi-join
-    # broadcast, distinct pairs while they provably fit, and the
-    # overflow-marker count.  Above max_driver_ids the exact id set
-    # degrades to a bloom (O(bits) driver), and verification stays
-    # fully distributed.
+    # Above max_driver_ids the exact id set degrades to a blocked bloom
+    # built FULLY DISTRIBUTED (_distributed_need_bloom: slim uint64-hash
+    # exchange, OR'd bitmap chunks — the driver never scans a candidate
+    # pair and receives only the finished m/8 bytes).  At or under the
+    # cap the candidate count is provably small, so one driver pass
+    # collects the exact id set and the distinct pairs for the
+    # broadcast-verify fast path.
     if max_driver_ids is None:
         max_driver_ids = max(8 * broadcast_max_docs, 1)
     n_pairs_upper = cand.count()  # includes overflow markers: safe upper bound
     use_bloom = 2 * n_pairs_upper > max_driver_ids
-    need: set[int] | BloomFilter = (
-        BloomFilter(2 * n_pairs_upper) if use_bloom else set()
-    )
-    pairs_acc: set[tuple[int, int]] | None = None if use_bloom else set()
-    max_driver_pairs = max(4 * broadcast_max_docs, 1)
+    need: set[int] | BlockedBloomFilter
+    pairs_acc: set[tuple[int, int]] | None
     n_overflow = 0
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        a_np = b["a"].to_numpy()
-        b_np = b["b"].to_numpy()
-        ov = a_np < 0
-        n_overflow += int(ov.sum())
-        keep = ~ov
-        if use_bloom:
-            need.add_many(a_np[keep])
-            need.add_many(b_np[keep])
-        else:
+    if use_bloom:
+        need, n_overflow = _distributed_need_bloom(cand, 2 * n_pairs_upper)
+        pairs_acc = None
+    else:
+        need, pairs_acc = set(), set()
+        max_driver_pairs = max(4 * broadcast_max_docs, 1)
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            a_np = b["a"].to_numpy()
+            b_np = b["b"].to_numpy()
+            ov = a_np < 0
+            n_overflow += int(ov.sum())
+            keep = ~ov
             need.update(a_np[keep].tolist())
             need.update(b_np[keep].tolist())
-        if pairs_acc is not None:
-            pairs_acc.update(zip(a_np[keep].tolist(), b_np[keep].tolist()))
-            if len(pairs_acc) > max_driver_pairs:
-                pairs_acc = None  # too many: stay fully distributed
+            if pairs_acc is not None:
+                pairs_acc.update(zip(a_np[keep].tolist(), b_np[keep].tolist()))
+                if len(pairs_acc) > max_driver_pairs:
+                    pairs_acc = None  # too many: stay fully distributed
     if n_overflow:
         logger.warning(
             "minhash_dedup_pairs: %d oversized LSH bucket(s) dropped "

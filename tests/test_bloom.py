@@ -119,3 +119,61 @@ def test_pipeline_bloom_routing_matches_at_merge(ray_session, tmp_path):
             .sort_values("url").reset_index(drop=True))
     assert got["url"].is_unique
     pd.testing.assert_frame_equal(got, want, rtol=0, atol=1e-12)
+
+
+def test_blocked_bloom_no_false_negatives_and_sane_fp():
+    from rust_paddle_ocr_ray.functions.bloom import BlockedBloomFilter
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 2**62, size=20_000, dtype=np.int64)
+    others = rng.integers(0, 2**62, size=20_000, dtype=np.int64)
+    others = others[~np.isin(others, members)]
+    bf = BlockedBloomFilter(len(members))
+    bf.add_many(members)
+    assert bf.contains_many(members).all()  # no false negatives, ever
+    fp = bf.contains_many(others).mean()
+    assert fp < 0.03  # sized for 0.5%; blocked skew stays well under 3%
+
+
+def test_distributed_need_bloom_equals_local_build(ray_session):
+    """The per-chunk OR assembly must produce the BIT-IDENTICAL bitmap a
+    single-process add_many build produces, and count overflow markers."""
+    import ray.data as rd
+
+    from rust_paddle_ocr_ray.functions.bloom import BlockedBloomFilter
+    from rust_paddle_ocr_ray.stages.dedup import _distributed_need_bloom
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 10_000, size=5_000, dtype=np.int64)
+    b = rng.integers(0, 10_000, size=5_000, dtype=np.int64)
+    # plant 7 overflow markers (a < 0) among the pairs
+    a[:7] = -1
+    cand = rd.from_pandas(pd.DataFrame({"a": a, "b": b})).repartition(8)
+
+    capacity = 2 * len(a)
+    got, n_ov = _distributed_need_bloom(cand, capacity)
+    assert n_ov == 7
+
+    want = BlockedBloomFilter(capacity)
+    ids = np.unique(np.concatenate([a[7:], b[7:]]))
+    want.add_many(ids)
+    assert got.m == want.m and got.k == want.k
+    np.testing.assert_array_equal(got.bits, want.bits)
+    assert bool(got)
+
+
+def test_distributed_need_bloom_multi_chunk(ray_session):
+    """Force >1 chunk (tiny chunk_mb) so the range-partition identity and
+    per-chunk base-bit offsets are exercised."""
+    import ray.data as rd
+
+    from rust_paddle_ocr_ray.functions.bloom import BlockedBloomFilter
+    from rust_paddle_ocr_ray.stages.dedup import _distributed_need_bloom
+
+    ids = np.arange(50_000, dtype=np.int64)
+    cand = rd.from_pandas(pd.DataFrame({"a": ids, "b": ids + 1_000_000})).repartition(4)
+    got, n_ov = _distributed_need_bloom(cand, 2 * len(ids), chunk_mb=0)
+    assert n_ov == 0
+    want = BlockedBloomFilter(2 * len(ids))
+    want.add_many(np.unique(np.concatenate([ids, ids + 1_000_000])))
+    np.testing.assert_array_equal(got.bits, want.bits)
