@@ -6,13 +6,16 @@ outside the subset so the featurizer degrades to its deterministic
 fake.
 
 Supported subset: baseline sequential DCT (SOF0), 8-bit precision,
-grayscale (1-component) and YCbCr color (3-component) scans at 1×1
-sampling — no chroma subsampling, so no upsampling interpolation is
-involved and the decode is exactly defined — restart intervals
-(DRI/RSTn: byte-align + predictor reset) supported, no
-progressive/arithmetic coding.  Subsampled color raises ValueError:
-chroma upsampling is where implementations legitimately diverge, and
-the honest contract here is exact-or-degrade.
+grayscale (1-component) and YCbCr color (3-component) scans including
+SUBSAMPLED chroma (4:2:0 / 4:2:2 / 4:4:0 and any integer-ratio
+Hi×Vi ≤ 4×4) — interleaved MCUs per T.81 §A.2.3, restart intervals
+(DRI/RSTn: byte-align + predictor reset), no progressive/arithmetic
+coding.  Chroma upsampling is PINNED to sample replication
+(``np.repeat`` by ``hmax/Hi`` × ``vmax/Vi``, top-left anchored — the
+libjpeg "plain" non-fancy rule): upsampling is where implementations
+legitimately diverge, so the rule is documented and closed-form so
+round-trip gates stay integer-exact.  Non-integer sampling ratios
+raise ValueError (legal per spec, vanishingly rare in the wild).
 
 The full machinery is real: marker walk, DQT/DHT parsing, canonical
 Huffman decode over the 0xFF00-unstuffed bit stream, DC prediction +
@@ -148,7 +151,9 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG -> (height, width) uint8 (grayscale) or
-    (height, width, 3) uint8 RGB (YCbCr color at 1×1 sampling).
+    (height, width, 3) uint8 RGB (YCbCr color, 1×1 through 2×2 /
+    arbitrary integer-ratio Hi×Vi sampling; chroma upsampling by
+    sample replication — see module doc).
 
     Raises ValueError outside the supported subset (see module doc)."""
     if data[:2] != b"\xff\xd8":
@@ -157,7 +162,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dc_tabs: dict[int, _Huff] = {}
     ac_tabs: dict[int, _Huff] = {}
     w = h = None
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h_i, v_i, quant id)
     restart_interval = 0
     pos = 2
     n = len(data)
@@ -201,9 +206,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError(f"{ncomp}-component JPEG not supported")
             for ci in range(ncomp):
                 cid = body[6 + 3 * ci]
-                if body[7 + 3 * ci] != 0x11:
-                    raise ValueError("chroma subsampling not supported")
-                comps.append((cid, body[8 + 3 * ci]))
+                hv = body[7 + 3 * ci]
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"illegal sampling factor {hv:#04x}")
+                comps.append((cid, hi, vi, body[8 + 3 * ci]))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _cid, hi, vi, _tq in comps:
+                if hmax % hi or vmax % vi:
+                    raise ValueError(
+                        "non-integer sampling ratio (replication "
+                        "upsampling undefined)")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0})")
@@ -216,16 +230,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                        body[2 + 2 * ci] & 0x0F)
                     for ci in range(body[0])}
             plan = []
-            for cid, tq in comps:
+            for cid, hi, vi, tq in comps:
                 if cid not in tabs:
                     raise ValueError("scan missing a frame component")
                 td, ta = tabs[cid]
-                plan.append((qt[tq], dc_tabs[td], ac_tabs[ta]))
+                plan.append((qt[tq], dc_tabs[td], ac_tabs[ta], hi, vi))
             planes = _decode_scan(data, pos + seg_len, w, h, plan,
                                   restart_interval)
-            if len(planes) == 1:
-                return planes[0]
-            return _ycbcr_to_rgb(planes)
+            # Pinned upsampling rule: sample replication to full
+            # resolution (hmax/hi × vmax/vi repeats, top-left anchor),
+            # then crop to the frame dims.
+            up = [
+                np.repeat(np.repeat(p, vmax // vi, axis=0),
+                          hmax // hi, axis=1)[:h, :w]
+                for p, (_q, _d, _a, hi, vi) in zip(planes, plan)
+            ]
+            if len(up) == 1:
+                return up[0]
+            return _ycbcr_to_rgb(up)
         pos += seg_len
     raise ValueError("JPEG without a scan")
 
@@ -243,48 +265,62 @@ def _ycbcr_to_rgb(planes: list[np.ndarray]) -> np.ndarray:
 
 
 def _decode_scan(data: bytes, pos: int, w: int, h: int,
-                 plan: list[tuple[np.ndarray, _Huff, _Huff]],
+                 plan: list[tuple[np.ndarray, _Huff, _Huff, int, int]],
                  restart_interval: int = 0) -> list[np.ndarray]:
-    """Interleaved baseline scan at 1×1 sampling: each MCU carries one
-    8x8 block per component (frame order), with per-component DC
-    predictors.  Every ``restart_interval`` MCUs (when non-zero) the
-    stream byte-aligns at an RSTn marker and the predictors reset
-    (T.81 §B.2.1.2).  Returns one (h, w) uint8 plane per component."""
+    """Interleaved baseline scan per T.81 §A.2.3: each MCU carries
+    ``v_i × h_i`` 8×8 blocks per component (frame order, row-major
+    within a component), with per-component DC predictors.  Every
+    ``restart_interval`` MCUs (when non-zero) the stream byte-aligns
+    at an RSTn marker and the predictors reset (T.81 §B.2.1.2).
+    Returns one plane per component at its NATURAL (subsampled)
+    resolution ``(ceil(h·v_i/vmax), ceil(w·h_i/hmax))`` — the caller
+    upsamples (replication) and crops to the frame dims."""
     if not w or not h:
         raise ValueError("JPEG scan before SOF0")
-    bx = -(-w // 8)
-    by = -(-h // 8)
-    outs = [np.zeros((by * 8, bx * 8), dtype=np.uint8) for _ in plan]
+    hmax = max(p[3] for p in plan)
+    vmax = max(p[4] for p in plan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    outs = [np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
+            for (_q, _d, _a, hi, vi) in plan]
     rd = _BitReader(data, pos)
     preds = [0] * len(plan)
     zz = np.zeros(64, dtype=np.int64)
-    for b in range(bx * by):
-        if restart_interval and b and b % restart_interval == 0:
-            rd.expect_restart((b // restart_interval - 1) & 7)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            rd.expect_restart((m // restart_interval - 1) & 7)
             preds = [0] * len(plan)
-        for ci, (quant, dc, ac) in enumerate(plan):
-            zz[:] = 0
-            t = rd.decode(dc)
-            diff = _extend(rd.read_bits(t), t) if t else 0
-            preds[ci] += diff
-            zz[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = rd.decode(ac)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("JPEG AC run past block end")
-                zz[k] = _extend(rd.read_bits(s), s)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[ZIGZAG] = zz * quant.reshape(-1)[ZIGZAG]
-            px = idct2(coef.reshape(8, 8)) + 128.0
-            r0, c0 = (b // bx) * 8, (b % bx) * 8
-            outs[ci][r0:r0 + 8, c0:c0 + 8] = np.clip(np.rint(px), 0, 255)
-    return [o[:h, :w] for o in outs]
+        my, mx = m // mcux, m % mcux
+        for ci, (quant, dc, ac, hi, vi) in enumerate(plan):
+            for bv in range(vi):
+                for bh in range(hi):
+                    zz[:] = 0
+                    t = rd.decode(dc)
+                    diff = _extend(rd.read_bits(t), t) if t else 0
+                    preds[ci] += diff
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = rd.decode(ac)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        zz[k] = _extend(rd.read_bits(s), s)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[ZIGZAG] = zz * quant.reshape(-1)[ZIGZAG]
+                    px = idct2(coef.reshape(8, 8)) + 128.0
+                    r0 = (my * vi + bv) * 8
+                    c0 = (mx * hi + bh) * 8
+                    outs[ci][r0:r0 + 8, c0:c0 + 8] = np.clip(
+                        np.rint(px), 0, 255)
+    return [
+        o[: -(-h * vi // vmax), : -(-w * hi // hmax)]
+        for o, (_q, _d, _a, hi, vi) in zip(outs, plan)
+    ]

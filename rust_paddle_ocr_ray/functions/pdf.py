@@ -23,11 +23,23 @@ The PDF parser is public-format knowledge only (PDF 1.x / ISO 32000):
 * any text-positioning operator (``Td``/``TD``/``T*``/``Tm``) between
   shows becomes a line break; one BT..ET object = one candidate block.
 
-Everything else (xref, page tree, fonts, encodings beyond the above)
-is intentionally out of scope: the parser covers the common text-PDF
-subset and degrades to zero spans on anything it cannot parse —
-mirroring how the reference's det model simply finds no boxes on an
-unreadable raster (/root/reference/src/det.rs:351-360).
+* object streams (ISO 32000 §7.5.7, ``/Type /ObjStm``) are EXPANDED:
+  the stream decodes through the same filter machinery, its
+  ``/N``/``/First`` header (objnum/offset integer pairs) is walked,
+  and every packed object is surfaced as a synthetic ``N 0 obj``
+  body so the font/ToUnicode resolution and any other object-level
+  scan see objects that compressed-xref ("PDF 1.5+") writers hide
+  inside ObjStm.  Content streams themselves are never inside an
+  ObjStm (the spec forbids stream objects there) and keep being
+  found by the linear scan; ``/Type /ObjStm`` and ``/Type /XRef``
+  streams are structural and excluded from the text scan.
+
+Everything else (the xref TABLE itself — this parser scans linearly
+and never needs byte offsets — page tree, fonts, encodings beyond
+the above) is intentionally out of scope: the parser covers the
+common text-PDF subset and degrades to zero spans on anything it
+cannot parse — mirroring how the reference's det model simply finds
+no boxes on an unreadable raster (/root/reference/src/det.rs:351-360).
 
 Reference analog: the det model path on image-bearing inputs,
 /root/reference/src/det.rs:176-360.
@@ -318,15 +330,44 @@ def _stream_filters(data: bytes, stream_kw_at: int) -> list[bytes] | None:
     return _NAME_RE.findall(m.group(1))
 
 
-def iter_content_streams(data: bytes):
-    """Yield every decoded stream in the file that contains a BT text
-    object.  The declared /Filter chain (Flate, ASCIIHex, ASCII85,
-    RunLength, LZW — incl. chains like [/ASCII85Decode /FlateDecode])
-    is applied in order; a stream with an unsupported filter
-    (DCT/JBIG2/...) or a failing decode degrades to zero text blocks,
-    mirroring the reference's no-boxes result on unreadable input
-    (src/det.rs:351-360).  Without a visible /Filter entry the legacy
-    heuristic applies: try Flate, else pass bytes through raw."""
+#: stream-dict /Type values that are file STRUCTURE, not page content:
+#: their decoded bytes must never be scanned for BT text objects (an
+#: ObjStm packs arbitrary dicts whose strings may contain "BT"; an
+#: unpredicted XRef stream is binary that can alias any byte pair)
+_STRUCTURAL_TYPE_RE = re.compile(rb"/Type\s*/(?:ObjStm|XRef)\b")
+_OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_INT_RE = re.compile(rb"\d+")
+_OBJSTM_MAX_OBJECTS = 1 << 16  # bounds the header walk on hostile input
+
+
+def _decode_stream_body(data: bytes, stream_kw_at: int,
+                        raw: bytes) -> bytes | None:
+    """Decode one stream's raw bytes through its declared /Filter chain
+    (None on unsupported filter / corrupt data — the caller degrades);
+    without a visible /Filter entry the legacy heuristic applies: try
+    Flate, else pass bytes through raw."""
+    chain = _stream_filters(data, stream_kw_at)
+    if chain is not None:
+        if not all(f in _FILTERS for f in chain):
+            return None  # unsupported filter: degrade
+        content = raw
+        try:
+            for f in chain:
+                content = _FILTERS[f](content)
+        except Exception:
+            return None  # corrupt stream: degrade
+        return content
+    try:
+        return _flate(raw)
+    except zlib.error:
+        return _strip_eol(raw)
+
+
+def _iter_raw_streams(data: bytes):
+    """(stream-keyword offset, raw bytes, own dict or None) for every
+    ``stream``/``endstream`` pair in file order."""
     pos = 0
     while True:
         m = _STREAM_RE.search(data, pos)
@@ -336,25 +377,69 @@ def iter_content_streams(data: bytes):
         end = data.find(b"endstream", start)
         if end == -1:
             return
-        raw = data[start:end]
         pos = end + len(b"endstream")
+        yield m.start(), data[start:end], _stream_dict(data, m.start())
 
-        chain = _stream_filters(data, m.start())
-        if chain is not None:
-            if not all(f in _FILTERS for f in chain):
-                continue  # unsupported filter: degrade (no text from this stream)
-            content = raw
-            try:
-                for f in chain:
-                    content = _FILTERS[f](content)
-            except Exception:
-                continue  # corrupt stream: degrade
-        else:
-            try:
-                content = _flate(raw)
-            except zlib.error:
-                content = _strip_eol(raw)
-        if b"BT" in content:
+
+def expand_object_streams(data: bytes) -> bytes:
+    """Synthetic ``N 0 obj ... endobj`` bytes for every object packed
+    inside a ``/Type /ObjStm`` stream (ISO 32000 §7.5.7), or ``b""``.
+
+    The decoded ObjStm starts with ``/N`` pairs of integers (object
+    number, byte offset relative to ``/First``); each object's body is
+    the slice between consecutive offsets.  Appending the expansion to
+    the original file bytes makes the packed objects visible to every
+    regex-level object scan (``_object_body``, the /Font resource
+    walk) exactly as if the writer had emitted them uncompressed —
+    which is all this parser ever needs, since it scans linearly and
+    ignores xref offsets.  Malformed headers/streams degrade to
+    ``b""`` per the module's no-garbage contract.  Stream objects
+    cannot appear inside an ObjStm (spec), so the expansion never
+    introduces new content streams."""
+    out = bytearray()
+    for kw_at, raw, d in _iter_raw_streams(data):
+        if d is None or _OBJSTM_TYPE_RE.search(d) is None:
+            continue
+        nm = _OBJSTM_N_RE.search(d)
+        fm = _OBJSTM_FIRST_RE.search(d)
+        if nm is None or fm is None:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        if not (0 < n <= _OBJSTM_MAX_OBJECTS) or first <= 0:
+            continue
+        content = _decode_stream_body(data, kw_at, raw)
+        if content is None or first > len(content):
+            continue
+        ints = _INT_RE.findall(content[:first])
+        if len(ints) < 2 * n:
+            continue
+        pairs = [(int(ints[2 * i]), int(ints[2 * i + 1])) for i in range(n)]
+        for i, (num, off) in enumerate(pairs):
+            stop = pairs[i + 1][1] if i + 1 < n else len(content) - first
+            if not (0 <= off <= stop <= len(content) - first):
+                continue
+            body = content[first + off:first + stop].strip()
+            out += (str(num).encode("ascii") + b" 0 obj\n" + body
+                    + b"\nendobj\n")
+    return bytes(out)
+
+
+def iter_content_streams(data: bytes):
+    """Yield every decoded stream in the file that contains a BT text
+    object.  The declared /Filter chain (Flate, ASCIIHex, ASCII85,
+    RunLength, LZW — incl. chains like [/ASCII85Decode /FlateDecode])
+    is applied in order; a stream with an unsupported filter
+    (DCT/JBIG2/...) or a failing decode degrades to zero text blocks,
+    mirroring the reference's no-boxes result on unreadable input
+    (src/det.rs:351-360).  Without a visible /Filter entry the legacy
+    heuristic applies: try Flate, else pass bytes through raw.
+    Structural streams (``/Type /ObjStm``, ``/Type /XRef``) are
+    skipped — they pack dicts / xref rows, not page content."""
+    for kw_at, raw, d in _iter_raw_streams(data):
+        if d is not None and _STRUCTURAL_TYPE_RE.search(d) is not None:
+            continue
+        content = _decode_stream_body(data, kw_at, raw)
+        if content is not None and b"BT" in content:
             yield content
 
 
@@ -592,7 +677,14 @@ def _block_text(region: bytes,
 
 
 def pdf_text_blocks(data: bytes) -> list[str]:
-    """All non-empty text blocks of a PDF payload, in stream order."""
+    """All non-empty text blocks of a PDF payload, in stream order.
+    Object streams are expanded first (appended as synthetic bodies)
+    so compressed-xref PDFs — whose font / ToUnicode-bearing dicts
+    live inside ``/Type /ObjStm`` — resolve fonts identically to
+    their uncompressed equivalents."""
+    exp = expand_object_streams(data)
+    if exp:
+        data = data + b"\n" + exp
     fonts = _font_cmaps(data)
     blocks: list[str] = []
     for content in iter_content_streams(data):

@@ -3011,54 +3011,135 @@ FROM px GROUP BY doc_id, w, h
 
 
 def q82_jpeg_roundtrip(sf_dir: str):
-    """Baseline-JPEG decoder ON THE DRIVER GATE (companion to q81):
-    per doc a block-gradient grayscale image (8×8 block (i, j) is the
-    constant (i+j+id) % 256) is ENCODED as a real baseline JPEG
-    (sources/synth.encode_jpeg_gray_dc — Annex-K DC Huffman table,
-    0xFF stuffing, unit quant) and DECODED by the pure-Python Huffman +
-    IDCT decoder (functions/jpeg.py); DC-only blocks decode losslessly,
-    so decoded dims + the integer-exact pixel mean hash-check against a
-    closed-form SQL twin over the block indices.  A bug anywhere in the
-    entropy decode, DC prediction, dequant or IDCT breaks the gate."""
-    from ..functions.jpeg import decode_jpeg_gray
-    from ..sources.synth import encode_jpeg_gray_dc
+    """Baseline-JPEG decoder ON THE DRIVER GATE (companion to q81),
+    now covering SUBSAMPLED COLOR: even docs encode a block-gradient
+    grayscale JPEG (8×8 block (i, j) = (i+j+id) % 256,
+    sources/synth.encode_jpeg_gray_dc); odd docs encode a DC-only
+    YCbCr JPEG at 4:2:0 (id % 4 == 1) or 4:2:2 (id % 4 == 3) chroma
+    sampling with CROPPED frame dims (partial-MCU path,
+    sources/synth.encode_jpeg_color_dc).  Every payload is DECODED by
+    the pure-Python Huffman + IDCT decoder (functions/jpeg.py) — MCU
+    walk per T.81 §A.2.3, pinned replication chroma upsampling — and
+    dims + the integer-exact pixel mean hash-check against a
+    closed-form SQL twin that replays the block grids, the
+    bit-identical float YCbCr→RGB math (explicit half-even rounding;
+    no value in the 8-bit domain differs) and the crop.  A bug
+    anywhere in the entropy decode, DC prediction, MCU interleave,
+    upsampling anchor or IDCT breaks the gate."""
+    from ..functions.jpeg import decode_jpeg, decode_jpeg_gray
+    from ..sources.synth import encode_jpeg_color_dc, encode_jpeg_gray_dc
 
     ds = _rp(sf_dir, "documents", columns=["doc_id"])
 
     def rt(b: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "width": [], "height": [], "mean_ppm": []}
+        rows = {"doc_id": [], "kind": [], "width": [], "height": [],
+                "mean_ppm": []}
         for d in b["doc_id"].to_numpy(dtype="int64"):
             d = int(d)
-            bx, by = 1 + d % 3, 1 + d % 2
-            i = np.arange(by, dtype=np.int64)[:, None]
-            j = np.arange(bx, dtype=np.int64)[None, :]
-            blocks = ((i + j + d) % 256).astype(np.uint8)
-            px = decode_jpeg_gray(encode_jpeg_gray_dc(blocks))
-            h, w = px.shape
+            if d % 2 == 0:
+                bx, by = 1 + d % 3, 1 + (d // 2) % 2
+                i = np.arange(by, dtype=np.int64)[:, None]
+                j = np.arange(bx, dtype=np.int64)[None, :]
+                blocks = ((i + j + d) % 256).astype(np.uint8)
+                px = decode_jpeg_gray(encode_jpeg_gray_dc(blocks))
+                kind = "gray"
+                h, w = px.shape
+                nch = 1
+            else:
+                hy, vy = (2, 2) if d % 4 == 1 else (2, 1)
+                mx, my = 1 + d % 3, 1 + (d // 3) % 2
+                iy = np.arange(vy * my, dtype=np.int64)[:, None]
+                jy = np.arange(hy * mx, dtype=np.int64)[None, :]
+                ic = np.arange(my, dtype=np.int64)[:, None]
+                jc = np.arange(mx, dtype=np.int64)[None, :]
+                yb = (3 * iy + 5 * jy + d) % 256
+                cbb = (7 * ic + 11 * jc + 2 * d) % 256
+                crb = (13 * ic + 17 * jc + 3 * d) % 256
+                w = 8 * hy * mx - d % 8
+                h = 8 * vy * my - (d // 2) % 8
+                px = decode_jpeg(encode_jpeg_color_dc(
+                    yb, cbb, crb, hy, vy, w=w, h=h))
+                kind = "ycbcr420" if d % 4 == 1 else "ycbcr422"
+                assert px.shape == (h, w, 3)
+                nch = 3
             s = int(px.astype(np.int64).sum())
             rows["doc_id"].append(d)
+            rows["kind"].append(kind)
             rows["width"].append(w)
             rows["height"].append(h)
-            rows["mean_ppm"].append(s * 1_000_000 // (w * h))
+            rows["mean_ppm"].append(s * 1_000_000 // (w * h * nch))
         out = pd.DataFrame(rows)
-        for c in ("width", "height", "mean_ppm"):
+        for c in ("doc_id", "width", "height", "mean_ppm"):
             out[c] = out[c].astype("int64")
         return out
 
     return ds.map_batches(rt, batch_format="pandas")
 
 
-SQL_Q82 = """
-WITH g AS (SELECT doc_id, 1 + doc_id % 3 AS bx, 1 + doc_id % 2 AS by
-           FROM documents),
+def _sql_rint(x: str) -> str:
+    """DuckDB expression for round-half-to-EVEN of a double (np.rint):
+    this DuckDB has no round_even(), and round() is half-away — the
+    two differ exactly at .5, which the 8-bit YCbCr domain does hit
+    (512 blue / 476 green combinations)."""
+    f = f"floor({x})"
+    return (f"CAST(CASE WHEN {x} - {f} > 0.5 THEN {f} + 1 "
+            f"WHEN {x} - {f} < 0.5 THEN {f} "
+            f"WHEN CAST({f} AS BIGINT) % 2 = 0 THEN {f} "
+            f"ELSE {f} + 1 END AS BIGINT)")
+
+
+def _sql_chan(pre: str) -> str:
+    return f"GREATEST(0, LEAST(255, {_sql_rint(pre)}))"
+
+
+SQL_Q82 = f"""
+WITH g AS (SELECT doc_id, 1 + doc_id % 3 AS bx, 1 + (doc_id // 2) % 2 AS by
+           FROM documents WHERE doc_id % 2 = 0),
 bl AS (
   SELECT g.doc_id, g.bx, g.by, ((i.i + j.j + g.doc_id) % 256)::BIGINT AS v
   FROM g,
        unnest(generate_series(0, g.by - 1)) AS i(i),
-       unnest(generate_series(0, g.bx - 1)) AS j(j))
-SELECT doc_id, (bx * 8)::BIGINT AS width, (by * 8)::BIGINT AS height,
-       ((SUM(v) * 64 * 1000000) // (bx * by * 64))::BIGINT AS mean_ppm
-FROM bl GROUP BY doc_id, bx, by
+       unnest(generate_series(0, g.bx - 1)) AS j(j)),
+grows AS (
+  SELECT doc_id, 'gray' AS kind,
+         (bx * 8)::BIGINT AS width, (by * 8)::BIGINT AS height,
+         ((SUM(v) * 64 * 1000000) // (bx * by * 64))::BIGINT AS mean_ppm
+  FROM bl GROUP BY doc_id, bx, by),
+c AS (SELECT doc_id AS d,
+             2 AS hy,
+             CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS vy,
+             1 + doc_id % 3 AS mx, 1 + (doc_id // 3) % 2 AS my
+      FROM documents WHERE doc_id % 2 = 1),
+cdim AS (
+  SELECT d, hy, vy,
+         8 * hy * mx - d % 8 AS w,
+         8 * vy * my - (d // 2) % 8 AS h
+  FROM c),
+cpx AS (
+  SELECT d, w, h,
+    ((3 * (y.y // 8) + 5 * (x.x // 8) + d) % 256)::DOUBLE AS yv,
+    ((7 * (y.y // (8 * vy)) + 11 * (x.x // (8 * hy)) + 2 * d) % 256)::DOUBLE
+        - 128.0 AS cbd,
+    ((13 * (y.y // (8 * vy)) + 17 * (x.x // (8 * hy)) + 3 * d) % 256)::DOUBLE
+        - 128.0 AS crd
+  FROM cdim,
+       unnest(generate_series(0, h - 1)) AS y(y),
+       unnest(generate_series(0, w - 1)) AS x(x)),
+pre AS (
+  SELECT d, w, h,
+    yv + CAST(1.402 AS DOUBLE) * crd AS pr,
+    (yv - CAST(0.344136 AS DOUBLE) * cbd) - CAST(0.714136 AS DOUBLE) * crd
+        AS pg,
+    yv + CAST(1.772 AS DOUBLE) * cbd AS pb
+  FROM cpx),
+crows AS (
+  SELECT d AS doc_id,
+         CASE WHEN d % 4 = 1 THEN 'ycbcr420' ELSE 'ycbcr422' END AS kind,
+         w::BIGINT AS width, h::BIGINT AS height,
+         ((SUM({_sql_chan('pr')} + {_sql_chan('pg')} + {_sql_chan('pb')})
+           * 1000000) // (w * h * 3))::BIGINT AS mean_ppm
+  FROM pre GROUP BY d, w, h)
+SELECT * FROM grows UNION ALL SELECT * FROM crows
 """
 
 

@@ -333,6 +333,110 @@ def make_pdf(paragraphs: list[str], words_per_line: int = 12,
     return bytes(out)
 
 
+def make_pdf_objstm(paragraphs: list[str],
+                    words_per_line: int = 12) -> bytes:
+    """Compressed-xref ("PDF 1.5") variant of :func:`make_pdf`: every
+    NON-stream object — catalog, page tree, page dict (with its /Font
+    resource) and a Type0 font carrying the /ToUnicode reference — is
+    packed inside a FlateDecode'd ``/Type /ObjStm`` object stream, the
+    cross-reference is a ``/Type /XRef`` STREAM (W [1 2 1] rows,
+    type-2 entries pointing into the ObjStm) instead of a classic
+    table, and the page text is shown as 2-byte CMap codes in hex
+    strings.  Extraction therefore REQUIRES object-stream expansion
+    (functions/pdf.expand_object_streams): without it the font's
+    ToUnicode CMap is unreachable (the font dict exists only inside
+    the compressed ObjStm) and the hex codes decode to garbage; with
+    it the text round-trips byte-identically to :func:`make_pdf`'s
+    uncompressed layout.  Pure function of its inputs."""
+    # 2-byte identity CMap over exactly the codepoints used (BMP only;
+    # astral chars would need surrogate shows — out of synth scope)
+    text_all = "\n".join(paragraphs)
+    cps = sorted({ord(c) for c in text_all if ord(c) <= 0xFFFF})
+    bf = bytearray()
+    for i in range(0, len(cps), 100):  # <=100 entries per block (spec)
+        chunk = cps[i:i + 100]
+        bf += (str(len(chunk)).encode("ascii") + b" beginbfchar\n")
+        for cp in chunk:
+            bf += b"<%04X> <%04X>\n" % (cp, cp)
+        bf += b"endbfchar\n"
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            + bytes(bf) + b"endcmap\n")
+
+    def hexshow(line: str) -> bytes:
+        codes = b"".join(b"%04X" % ord(c) for c in line if ord(c) <= 0xFFFF)
+        return b"<" + codes + b"> Tj"
+
+    ops = []
+    for para in paragraphs:
+        words = para.split()
+        lines = [" ".join(words[i:i + words_per_line])
+                 for i in range(0, len(words), words_per_line)] or [""]
+        body = b"\nT*\n".join(hexshow(ln) for ln in lines)
+        ops.append(b"BT\n/F1 12 Tf\n72 720 Td\n" + body + b"\nET")
+    content = zlib.compress(b"\n".join(ops))
+
+    # objects 1/2/3/5 live in the ObjStm; 4 (content), 6 (CMap),
+    # 7 (ObjStm) and 8 (XRef stream) are top-level stream objects
+    packed = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        (5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+            b"/ToUnicode 6 0 R >>"),
+    ]
+    bodies = b"".join(body + b"\n" for _num, body in packed)
+    offs, pos = [], 0
+    for _num, body in packed:
+        offs.append(pos)
+        pos += len(body) + 1
+    header = b" ".join(b"%d %d" % (num, off)
+                       for (num, _b), off in zip(packed, offs)) + b"\n"
+    objstm_payload = zlib.compress(header + bodies)
+    first = len(header)
+
+    cmap_z = zlib.compress(cmap)
+    top = {
+        4: (b"<< /Filter /FlateDecode /Length "
+            + str(len(content)).encode("ascii") + b" >>\nstream\n"
+            + content + b"\nendstream"),
+        6: (b"<< /Filter /FlateDecode /Length "
+            + str(len(cmap_z)).encode("ascii") + b" >>\nstream\n"
+            + cmap_z + b"\nendstream"),
+        7: (b"<< /Type /ObjStm /N " + str(len(packed)).encode("ascii")
+            + b" /First " + str(first).encode("ascii")
+            + b" /Filter /FlateDecode /Length "
+            + str(len(objstm_payload)).encode("ascii") + b" >>\nstream\n"
+            + objstm_payload + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    top_off = {}
+    for num in (4, 6, 7):
+        top_off[num] = len(out)
+        out += str(num).encode("ascii") + b" 0 obj\n" + top[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    # W [1 2 1] entries for objects 0..8: type 0 free, type 1 offset,
+    # type 2 (objstm number, index)
+    rows = bytearray()
+    objstm_index = {num: i for i, (num, _b) in enumerate(packed)}
+    for num in range(9):
+        if num == 0:
+            rows += bytes([0]) + (0).to_bytes(2, "big") + bytes([255])
+        elif num in objstm_index:
+            rows += bytes([2]) + (7).to_bytes(2, "big") \
+                + bytes([objstm_index[num]])
+        elif num in top_off:
+            rows += bytes([1]) + top_off[num].to_bytes(2, "big") + bytes([0])
+        else:  # the xref stream itself
+            rows += bytes([1]) + xref_pos.to_bytes(2, "big") + bytes([0])
+    out += (b"8 0 obj\n<< /Type /XRef /Size 9 /W [1 2 1] /Root 1 0 R "
+            b"/Length " + str(len(rows)).encode("ascii") + b" >>\nstream\n"
+            + bytes(rows) + b"\nendstream\nendobj\n")
+    out += (b"startxref\n" + str(xref_pos).encode("ascii") + b"\n%%EOF\n")
+    return bytes(out)
+
+
 def _doc_paras(text: str) -> list[str]:
     words = (text or "").split()
     return [" ".join(words[i : i + 25]) for i in range(0, len(words), 25)]
@@ -587,6 +691,105 @@ def encode_jpeg_gray_dc(blocks) -> bytes:
         if t:
             emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
         emit(0, 1)  # EOB
+    if nb:
+        emit((1 << (8 - nb)) - 1, 8 - nb)  # pad with 1s per spec
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes(out)
+            + b"\xff\xd9")
+
+
+def encode_jpeg_color_dc(y_blocks, cb_blocks, cr_blocks,
+                         hy: int = 2, vy: int = 2,
+                         w: int | None = None,
+                         h: int | None = None) -> bytes:
+    """DC-only SUBSAMPLED-color baseline JPEG (the companion of
+    :func:`encode_jpeg_gray_dc` for the 4:2:0 / 4:2:2 / 4:4:0 decode
+    path, functions/jpeg.py): Y sampled at ``hy×vy`` (per-MCU
+    ``vy×hy`` luma blocks, row-major per T.81 §A.2.3), Cb/Cr at 1×1.
+
+    ``y_blocks`` is a ``(vy*my, hy*mx)`` uint8 grid of constant luma
+    block values; ``cb_blocks``/``cr_blocks`` are ``(my, mx)`` chroma
+    block values.  ``w``/``h`` (default: the full padded MCU grid)
+    write SMALLER frame dims into SOF0 so the decoder's partial-MCU
+    crop path is exercised; they must still need the same MCU count.
+    Unit quant + Annex-K-shaped DC table + 1-bit EOB AC table, so
+    every block decodes losslessly and — with the decoder's pinned
+    replication upsampling — the full RGB round-trip is closed-form
+    (catalog q82 odd-doc rows)."""
+    import numpy as np
+
+    yb = np.asarray(y_blocks, dtype=np.int64)
+    cbb = np.asarray(cb_blocks, dtype=np.int64)
+    crb = np.asarray(cr_blocks, dtype=np.int64)
+    my, mx = cbb.shape
+    if crb.shape != (my, mx) or yb.shape != (vy * my, hy * mx):
+        raise ValueError("block grids inconsistent with sampling")
+    if w is None:
+        w = mx * hy * 8
+    if h is None:
+        h = my * vy * 8
+    if -(-w // (8 * hy)) != mx or -(-h // (8 * vy)) != my:
+        raise ValueError("frame dims inconsistent with the MCU grid")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big")
+                + body)
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([3,
+                       1, (hy << 4) | vy, 0,
+                       2, 0x11, 0,
+                       3, 0x11, 0]))
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = bytes(range(12))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    dc_codes = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(dc_bits[length - 1]):
+            dc_codes[dc_vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+
+    out = bytearray()
+    acc = nb = 0
+
+    def emit(c: int, ln: int):
+        nonlocal acc, nb
+        acc = (acc << ln) | c
+        nb += ln
+        while nb >= 8:
+            byte = (acc >> (nb - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nb -= 8
+        acc &= (1 << nb) - 1
+
+    preds = [0, 0, 0]
+
+    def emit_block(ci: int, v: int):
+        dcv = 8 * (v - 128)
+        diff = dcv - preds[ci]
+        preds[ci] = dcv
+        t = int(abs(diff)).bit_length() if diff else 0
+        c, ln = dc_codes[t]
+        emit(c, ln)
+        if t:
+            emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        emit(0, 1)  # EOB
+
+    for m in range(mx * my):
+        r, c = m // mx, m % mx
+        for bv in range(vy):
+            for bh in range(hy):
+                emit_block(0, int(yb[r * vy + bv, c * hy + bh]))
+        emit_block(1, int(cbb[r, c]))
+        emit_block(2, int(crb[r, c]))
     if nb:
         emit((1 << (8 - nb)) - 1, 8 - nb)  # pad with 1s per spec
     return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes(out)

@@ -41,7 +41,8 @@ def decode_payload(payload: bytes) -> np.ndarray:
     for any malformed payload (internal Index/struct/zlib errors are
     converted here — a 100 TB crawl WILL contain corrupt files, and a
     task must degrade, not die), NotImplementedError for formats with
-    no decoder here (WEBP, subsampled-color JPEG)."""
+    no decoder here (WEBP only; baseline JPEG including subsampled
+    4:2:0/4:2:2 chroma decodes for real)."""
     import struct
 
     from ..functions.jpeg import decode_jpeg
@@ -61,9 +62,8 @@ def decode_payload(payload: bytes) -> np.ndarray:
             zlib.error) as exc:
         raise ValueError(f"malformed payload: {exc!r}") from exc
     raise NotImplementedError(
-        "WEBP (and subsampled-color-JPEG) decode requires an image "
-        "library not present in this environment; the pipeline uses "
-        "the deterministic fake decoder"
+        "WEBP decode requires a VP8 codec library not present in this "
+        "environment; the pipeline uses the deterministic fake decoder"
     )
 
 

@@ -11,13 +11,14 @@ from hypothesis import strategies as st
 
 from rust_paddle_ocr_ray.functions.audio import decode_wav
 from rust_paddle_ocr_ray.functions.avi import iter_avi_frames
-from rust_paddle_ocr_ray.functions.jpeg import decode_jpeg_gray
+from rust_paddle_ocr_ray.functions.jpeg import decode_jpeg, decode_jpeg_gray
 from rust_paddle_ocr_ray.functions.png import decode_png
 from rust_paddle_ocr_ray.functions.raster import decode_bmp, decode_gif
 from rust_paddle_ocr_ray.sources.synth import (
     encode_avi_mjpeg,
     encode_bmp24,
     encode_gif8,
+    encode_jpeg_color_dc,
     encode_jpeg_gray_dc,
     encode_png_rgb,
     encode_wav_pcm16,
@@ -68,6 +69,48 @@ def test_png_roundtrip(px):
 def test_jpeg_dc_roundtrip(blocks):
     px = decode_jpeg_gray(encode_jpeg_gray_dc(blocks))
     want = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    np.testing.assert_array_equal(px, want)
+
+
+@st.composite
+def color_jpeg_case(draw):
+    hy, vy = draw(st.sampled_from([(2, 2), (2, 1), (1, 2), (1, 1)]))
+    my, mx = draw(st.integers(1, 3)), draw(st.integers(1, 3))
+    blk = st.integers(0, 255)
+    yb = np.array(draw(st.lists(blk, min_size=vy * my * hy * mx,
+                                max_size=vy * my * hy * mx)),
+                  dtype=np.int64).reshape(vy * my, hy * mx)
+    cbb = np.array(draw(st.lists(blk, min_size=my * mx, max_size=my * mx)),
+                   dtype=np.int64).reshape(my, mx)
+    crb = np.array(draw(st.lists(blk, min_size=my * mx, max_size=my * mx)),
+                   dtype=np.int64).reshape(my, mx)
+    w = 8 * hy * mx - draw(st.integers(0, 8 * hy - 1))
+    h = 8 * vy * my - draw(st.integers(0, 8 * vy - 1))
+    return yb, cbb, crb, hy, vy, max(w, 1), max(h, 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(color_jpeg_case())
+def test_jpeg_subsampled_color_roundtrip(case):
+    """DC-only YCbCr JPEG at 4:2:0 / 4:2:2 / 4:4:0 / 4:4:4 sampling
+    with partial-MCU frame dims decodes EXACTLY to the closed form:
+    replicated block values through the pinned nearest upsampling
+    anchor and the bit-identical float YCbCr->RGB (np.rint)."""
+    yb, cbb, crb, hy, vy, w, h = case
+    data = encode_jpeg_color_dc(yb, cbb, crb, hy, vy, w=w, h=h)
+    px = decode_jpeg(data)
+    x = np.arange(w)
+    y = np.arange(h)
+    yv = yb[y[:, None] // 8, x[None, :] // 8].astype(np.float64)
+    cb = cbb[y[:, None] // (8 * vy),
+             x[None, :] // (8 * hy)].astype(np.float64) - 128.0
+    cr = crb[y[:, None] // (8 * vy),
+             x[None, :] // (8 * hy)].astype(np.float64) - 128.0
+    want = np.clip(np.rint(np.stack(
+        [yv + 1.402 * cr,
+         yv - 0.344136 * cb - 0.714136 * cr,
+         yv + 1.772 * cb], axis=2)), 0, 255).astype(np.uint8)
+    assert px.shape == (h, w, 3)
     np.testing.assert_array_equal(px, want)
 
 

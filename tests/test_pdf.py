@@ -580,3 +580,97 @@ def test_no_cmap_pdfs_unchanged():
     # the synthetic corpus (no ToUnicode anywhere) must extract identically
     pdf = make_pdf(["alpha beta gamma delta epsilon zeta eta theta"])
     assert pdf_text_blocks(pdf) == ["alpha beta gamma delta epsilon zeta eta theta"]
+
+
+# --------------------------------------------------------------------------
+# object streams / compressed-xref PDFs (ISO 32000 §7.5.7)
+# --------------------------------------------------------------------------
+
+_OBJSTM_PARAS = [
+    "hello world this is a compressed xref pdf whose font dict lives "
+    "inside an object stream with enough words to wrap across lines",
+    "second paragraph 日本語テキスト mixed unicode content here",
+]
+
+
+def test_objstm_pdf_golden():
+    """The ObjStm-packed synthetic PDF extracts BYTE-IDENTICALLY to its
+    plain make_pdf equivalent: the catalog/pages/page/font objects are
+    only reachable through expand_object_streams, and the 2-byte CMap
+    codes decode through the ToUnicode map the ObjStm carries a
+    reference to."""
+    from rust_paddle_ocr_ray.sources.synth import make_pdf_objstm
+
+    assert (pdf_text_blocks(make_pdf_objstm(_OBJSTM_PARAS))
+            == pdf_text_blocks(make_pdf(_OBJSTM_PARAS)))
+
+
+def test_objstm_expansion_is_load_bearing():
+    """Without the expansion the font's ToUnicode CMap is unreachable
+    (the font dict exists only inside the FlateDecode'd ObjStm), so the
+    2-byte hex codes fall back to the plain Latin-1 byte decode —
+    NUL-interleaved garbage.  Proves the golden actually gates the
+    ObjStm walk rather than passing vacuously."""
+    from rust_paddle_ocr_ray.functions import pdf as P
+    from rust_paddle_ocr_ray.sources.synth import make_pdf_objstm
+
+    data = make_pdf_objstm(_OBJSTM_PARAS)
+    exp = P.expand_object_streams(data)
+    assert b"/ToUnicode 6 0 R" in exp and b"/Type /Catalog" in exp
+    fonts_noexp = P._font_cmaps(data)  # no expansion: font unresolvable
+    blocks_noexp = [
+        t for content in P.iter_content_streams(data)
+        for m in P._BT_RE.finditer(content)
+        if (t := P._block_text(m.group(1), fonts_noexp or None).strip())
+    ]
+    assert blocks_noexp != pdf_text_blocks(data)
+    assert "\x00" in blocks_noexp[0]  # Latin-1 over UTF-16BE-ish codes
+
+
+def test_structural_streams_excluded_from_text_scan():
+    """A BT..ET byte sequence INSIDE an ObjStm (e.g. a string operand
+    of a packed dict) or an XRef stream must never surface as a text
+    block — structural streams are excluded from the content scan."""
+    from rust_paddle_ocr_ray.functions.pdf import iter_content_streams
+
+    objstm_body = b"11 0\n<< /Fake (BT (sneaky) Tj ET) >>\n"
+    pdf = (b"%PDF-1.5\n"
+           b"7 0 obj\n<< /Type /ObjStm /N 1 /First 5 /Length "
+           + str(len(objstm_body)).encode() + b" >>\nstream\n"
+           + objstm_body + b"\nendstream\nendobj\n"
+           b"8 0 obj\n<< /Type /XRef /Size 2 /W [1 2 1] /Length 8 >>\n"
+           b"stream\nBT 12 ET\nendstream\nendobj\n")
+    assert list(iter_content_streams(pdf)) == []
+    assert pdf_text_blocks(pdf) == []
+
+
+def test_objstm_corrupt_degrades():
+    """Corrupt / malformed ObjStm payloads degrade to no expansion (and
+    never raise), per the module's no-garbage contract."""
+    from rust_paddle_ocr_ray.functions.pdf import expand_object_streams
+
+    # truncated flate body
+    bad = (b"%PDF-1.5\n7 0 obj\n<< /Type /ObjStm /N 2 /First 10 "
+           b"/Filter /FlateDecode /Length 4 >>\nstream\n\x78\x9c\x01\x02"
+           b"\nendstream\nendobj\n")
+    assert expand_object_streams(bad) == b""
+    assert pdf_text_blocks(bad) == []
+    # header shorter than /N pairs
+    short = (b"%PDF-1.5\n7 0 obj\n<< /Type /ObjStm /N 3 /First 4 >>\n"
+             b"stream\n1 0\n<< >>\nendstream\nendobj\n")
+    assert expand_object_streams(short) == b""
+    # /First beyond the stream
+    far = (b"%PDF-1.5\n7 0 obj\n<< /Type /ObjStm /N 1 /First 9999 >>\n"
+           b"stream\n1 0\n<< >>\nendstream\nendobj\n")
+    assert expand_object_streams(far) == b""
+
+
+def test_objstm_spans_follow_detect_contract():
+    """extract_pdf_spans over an ObjStm PDF emits the same spans as
+    over the equivalent plain PDF (the detect-stage contract is decode
+    -layout-agnostic)."""
+    from rust_paddle_ocr_ray.sources.synth import make_pdf_objstm
+
+    a = extract_pdf_spans(make_pdf_objstm(_OBJSTM_PARAS), CLI_CONFIG)
+    b = extract_pdf_spans(make_pdf(_OBJSTM_PARAS), CLI_CONFIG)
+    assert a == b and len(a) >= 1
