@@ -14,6 +14,8 @@ pick ``num_buckets`` so (|L| + |R|) / B stays at a few hundred MB.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -180,11 +182,77 @@ def broadcast_lookup(ds, mapping: dict, key_col: str, out_col: str):
     return ds.map_batches(_lk, batch_format="pandas")
 
 
+def measure_hot_keys(left, on: str, *, hot_threshold_rows: int,
+                     hot_keys_cap: int = 100_000,
+                     mode: str = "exact",
+                     sample_rate: float = 0.01,
+                     seed: int = 0x5A17) -> set:
+    """The salted-join hot-key pre-pass, exposed for direct use/tests.
+
+    ``mode="exact"``: per-batch key-count partials collapse to a slim
+    (key, rows) table via :func:`grouped_sum` (one vocabulary-sized
+    exchange); keys above ``hot_threshold_rows`` form the hot set.
+
+    ``mode="sample"``: a seeded Bernoulli row sample
+    (``Dataset.random_sample(sample_rate, seed)``) feeds the same
+    partial+combine, and a key is flagged hot when its SAMPLED count
+    exceeds ``p*T - 3*sqrt(p*T)`` (p=sample_rate, T=threshold) — the
+    3-sigma lower bound of Binomial(T, p), so a truly-hot key (n >= T)
+    is missed with probability ~1e-3 while the bias-toward-inclusion
+    only costs a little extra right-side replication (always correct,
+    never wrong-answer).  Error bound: a key with true count n has
+    sampled count ~ Binomial(n, p), relative sigma sqrt((1-p)/(p*n));
+    at the threshold that is sqrt((1-p)/(p*T)) — pick p so p*T >= 100
+    (rel. sigma <= 10%).  The scale win over exact mode on a huge fact
+    is twofold: the per-batch groupby touches ~p of the rows, and the
+    slim exchange carries only keys with >= 1 sampled row — on a
+    web-scale key space (urls, hosts) that shrinks the vocabulary-sized
+    exchange by orders of magnitude because rare keys vanish from the
+    sample.
+
+    Hot keys are few by definition — if more than ``hot_keys_cap``
+    qualify the threshold is meaningless and we raise rather than
+    silently build a huge driver set."""
+    from .distinct import grouped_sum
+
+    if mode == "sample":
+        if not 0.0 < sample_rate <= 1.0:
+            raise ValueError(f"sample_rate must be in (0, 1], got {sample_rate}")
+        pt = sample_rate * hot_threshold_rows
+        eff_threshold = max(1.0, pt - 3.0 * math.sqrt(pt))
+        src = left.random_sample(sample_rate, seed=seed)
+    elif mode == "exact":
+        eff_threshold = float(hot_threshold_rows)
+        src = left
+    else:
+        raise ValueError(f"unknown hot-key pre-pass mode {mode!r}")
+
+    def key_counts(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b.groupby(on, sort=False).size()
+        return pd.DataFrame({on: vc.index.to_numpy(),
+                             "_rows": vc.to_numpy(dtype="int64")})
+
+    counts = grouped_sum(
+        src.map_batches(key_counts, batch_format="pandas"),
+        on, ["_rows"])
+    hot = counts.filter(expr=f"_rows > {eff_threshold}")
+    hot_rows = hot.take_all()
+    if len(hot_rows) > hot_keys_cap:
+        raise ValueError(
+            f"{len(hot_rows)} keys exceed hot_threshold_rows="
+            f"{hot_threshold_rows} (mode={mode}); raise the threshold — a "
+            "'hot set' this large would broadcast a huge driver structure")
+    return {r[on] for r in hot_rows}
+
+
 def salted_hash_join(left, right, on: str, salts: int = 8,
                      num_buckets: int | None = None,
                      hot_keys: set | None = None,
                      hot_threshold_rows: int = 1_000_000,
                      hot_keys_cap: int = 100_000,
+                     hot_prepass: str = "exact",
+                     hot_sample_rate: float = 0.01,
+                     hot_sample_seed: int = 0x5A17,
                      rows_hint: int | None = None,
                      _return_tagged: bool = False):
     """Skew-aware INNER hash join: hot join keys are SALTED so one
@@ -199,38 +267,28 @@ def salted_hash_join(left, right, on: str, salts: int = 8,
     One (key, salt)-bucket exchange, pandas merge per bucket — the
     hash_join contract otherwise.
 
-    ``hot_keys=None`` triggers a MEASURED pre-pass: per-batch key-count
-    partials collapse to a slim (key, rows) table (one vocabulary-sized
-    exchange), keys above ``hot_threshold_rows`` broadcast as the hot
-    set.  Hot keys are few by definition — if more than
-    ``hot_keys_cap`` qualify the threshold is meaningless and we raise
-    rather than silently build a huge driver set."""
+    ``hot_keys=None`` triggers a pre-pass (:func:`measure_hot_keys`):
+    ``hot_prepass="exact"`` (default) counts every left row —
+    a second full left scan; ``hot_prepass="sample"`` estimates from a
+    seeded Bernoulli row sample at ``hot_sample_rate`` with a 3-sigma
+    bias-toward-inclusion threshold (error bound in
+    :func:`measure_hot_keys`) — the cheap choice on a huge fact, and
+    always CORRECT either way (a missed hot key only loses the salting
+    perf benefit; a false positive only replicates a few extra right
+    rows)."""
     import ray
 
     from ..sizing import data_aware_buckets, estimate_rows
-    from .distinct import grouped_sum
     from .merge import _get_broadcast
 
     buckets = num_buckets or data_aware_buckets(
         rows_hint if rows_hint is not None else estimate_rows(left, right))
 
     if hot_keys is None:
-        def key_counts(b: pd.DataFrame) -> pd.DataFrame:
-            vc = b.groupby(on, sort=False).size()
-            return pd.DataFrame({on: vc.index.to_numpy(),
-                                 "_rows": vc.to_numpy(dtype="int64")})
-
-        counts = grouped_sum(
-            left.map_batches(key_counts, batch_format="pandas"),
-            on, ["_rows"])
-        hot = counts.filter(expr=f"_rows > {int(hot_threshold_rows)}")
-        hot_rows = hot.take_all()
-        if len(hot_rows) > hot_keys_cap:
-            raise ValueError(
-                f"{len(hot_rows)} keys exceed hot_threshold_rows="
-                f"{hot_threshold_rows}; raise the threshold — a 'hot set' "
-                "this large would broadcast a huge driver structure")
-        hot_keys = {r[on] for r in hot_rows}
+        hot_keys = measure_hot_keys(
+            left, on, hot_threshold_rows=hot_threshold_rows,
+            hot_keys_cap=hot_keys_cap, mode=hot_prepass,
+            sample_rate=hot_sample_rate, seed=hot_sample_seed)
     ref = ray.put(hot_keys)
 
     l_schema, r_schema = left.schema(), right.schema()

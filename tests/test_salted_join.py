@@ -78,3 +78,39 @@ def test_salted_join_hot_rows_spread_tasks(ray_session):
     assert set(hot_r["__bucket"].unique()) == set(hot_l["__bucket"].unique())
     assert len(hot_r) == 4 * (r["k"] == 7).sum()  # replicated per salt
     assert cold_l["__bucket"].nunique() == 1
+
+
+def _powerlaw_frame(seed: int) -> pd.DataFrame:
+    """Planted power-law fact: key 0 has 20k rows (hot), keys 1..200
+    have ~50 each (cold) — a clean two-decade gap around the planted
+    threshold so the 3-sigma sampled bound separates them."""
+    rng = np.random.RandomState(seed)
+    keys = np.concatenate([np.full(20_000, 0),
+                           np.repeat(np.arange(1, 201), 50)]).astype("int64")
+    rng.shuffle(keys)
+    return pd.DataFrame({"k": keys, "a": np.arange(len(keys), dtype="int64")})
+
+
+def test_hot_key_prepass_sample_equals_exact(ray_session):
+    """VERDICT r4 item 6: the seeded row-sample estimate mode flags the
+    same hot set as the exact full-scan pre-pass on a planted power-law
+    key (p*T = 0.3*5000 = 1500 >> 100, rel. sigma ~2.6%)."""
+    from rust_paddle_ocr_ray.stages.join import measure_hot_keys
+
+    l = _powerlaw_frame(29)
+    ds = rd.from_pandas(l)
+    exact = measure_hot_keys(ds, "k", hot_threshold_rows=5_000, mode="exact")
+    sampled = measure_hot_keys(ds, "k", hot_threshold_rows=5_000,
+                               mode="sample", sample_rate=0.3, seed=41)
+    assert exact == {0}
+    assert sampled == exact
+
+
+def test_salted_join_sampled_pre_pass(ray_session):
+    """End-to-end: hot_prepass='sample' joins identically to DuckDB
+    (the pre-pass mode can only affect perf, never the row multiset)."""
+    l, r = _frames(31)
+    got = _engine(l, r, salts=4, hot_threshold_rows=500,
+                  hot_prepass="sample", hot_sample_rate=0.5,
+                  hot_sample_seed=13)
+    pd.testing.assert_frame_equal(got, _duck(l, r))
