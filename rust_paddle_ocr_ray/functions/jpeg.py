@@ -5,12 +5,19 @@ public specs allow without image libraries, raise ``ValueError``
 outside the subset so the featurizer degrades to its deterministic
 fake.
 
-Supported subset: baseline sequential DCT (SOF0), 8-bit precision,
-grayscale (1-component) and YCbCr color (3-component) scans including
-SUBSAMPLED chroma (4:2:0 / 4:2:2 / 4:4:0 and any integer-ratio
-Hi×Vi ≤ 4×4) — interleaved MCUs per T.81 §A.2.3, restart intervals
-(DRI/RSTn: byte-align + predictor reset), no progressive/arithmetic
-coding.  Chroma upsampling is PINNED to sample replication
+Supported subset: baseline sequential DCT (SOF0) AND progressive DCT
+(SOF2, Huffman), 8-bit precision, grayscale (1-component) and YCbCr
+color (3-component) scans including SUBSAMPLED chroma (4:2:0 / 4:2:2
+/ 4:4:0 and any integer-ratio Hi×Vi ≤ 4×4) — interleaved MCUs per
+T.81 §A.2.3, restart intervals (DRI/RSTn: byte-align + predictor
+reset), no arithmetic coding / hierarchical / lossless modes.
+Progressive decode per T.81 Annex G: spectral-selection bands +
+successive approximation, per-scan coefficient accumulation
+(DC first/refine with floor-shift + bit-OR semantics, AC first with
+EOBn runs, AC refinement with the correction-bit walk — the same
+algorithm shape libjpeg uses, which is the de-facto interop
+standard), one dequant+IDCT reconstruction at EOI.  Chroma
+upsampling is PINNED to sample replication
 (``np.repeat`` by ``hmax/Hi`` × ``vmax/Vi``, top-left anchored — the
 libjpeg "plain" non-fancy rule): upsampling is where implementations
 legitimately diverge, so the rule is documented and closed-form so
@@ -150,10 +157,10 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> (height, width) uint8 (grayscale) or
-    (height, width, 3) uint8 RGB (YCbCr color, 1×1 through 2×2 /
-    arbitrary integer-ratio Hi×Vi sampling; chroma upsampling by
-    sample replication — see module doc).
+    """Baseline or progressive JPEG -> (height, width) uint8
+    (grayscale) or (height, width, 3) uint8 RGB (YCbCr color, 1×1
+    through 2×2 / arbitrary integer-ratio Hi×Vi sampling; chroma
+    upsampling by sample replication — see module doc).
 
     Raises ValueError outside the supported subset (see module doc)."""
     if data[:2] != b"\xff\xd8":
@@ -164,6 +171,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     w = h = None
     comps: list[tuple[int, int, int, int]] = []  # (cid, h_i, v_i, quant id)
     restart_interval = 0
+    progressive = False
+    store: list[np.ndarray] | None = None  # per-comp zigzag coefficients
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -196,7 +205,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = bytes(body[i + 17:i + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h = (body[1] << 8) | body[2]
@@ -218,12 +228,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(
                         "non-integer sampling ratio (replication "
                         "upsampling undefined)")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0})")
+            raise ValueError(f"unsupported JPEG mode (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             restart_interval = (body[0] << 8) | body[1]
         elif marker == 0xDA:  # SOS
+            if progressive:
+                if not comps:
+                    raise ValueError("JPEG scan before SOF2")
+                if store is None:
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    store = [np.zeros((mcuy * vi, mcux * hi, 64),
+                                      dtype=np.int32)
+                             for (_c, hi, vi, _t) in comps]
+                ns = body[0]
+                scomp = []
+                for ci in range(ns):
+                    cid = body[1 + 2 * ci]
+                    td, ta = body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 0x0F
+                    idxs = [i for i, c in enumerate(comps) if c[0] == cid]
+                    if not idxs:
+                        raise ValueError("scan names a non-frame component")
+                    scomp.append((idxs[0], td, ta))
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+                pos = _decode_prog_scan(data, pos + seg_len, w, h, comps,
+                                        store, scomp, dc_tabs, ac_tabs,
+                                        ss, se, ah, al, restart_interval)
+                continue  # pos sits at the next 0xFF marker
             if body[0] != len(comps):
                 raise ValueError("scan component count != frame's")
             tabs = {body[1 + 2 * ci]: (body[2 + 2 * ci] >> 4,
@@ -249,6 +285,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 return up[0]
             return _ycbcr_to_rgb(up)
         pos += seg_len
+    if progressive and store is not None:
+        return _finish_progressive(w, h, comps, qt, store)
     raise ValueError("JPEG without a scan")
 
 
@@ -324,3 +362,214 @@ def _decode_scan(data: bytes, pos: int, w: int, h: int,
         o[: -(-h * vi // vmax), : -(-w * hi // hmax)]
         for o, (_q, _d, _a, hi, vi) in zip(outs, plan)
     ]
+
+
+def _dc_unit(rd: _BitReader, blk: np.ndarray, dc: _Huff | None,
+             ah: int, al: int, pred: int) -> int:
+    """One block of a progressive DC scan (T.81 G.1.2.1).  First scan
+    (Ah=0): baseline diff decode, value = pred << Al (DC uses
+    floor-shift + bit-OR semantics — two's complement, matching the
+    encoder's arithmetic right shift).  Refinement (Ah>0): one raw bit
+    ORed in at position Al."""
+    if ah == 0:
+        if dc is None:
+            raise ValueError("DC scan without a DC Huffman table")
+        t = rd.decode(dc)
+        pred += _extend(rd.read_bits(t), t) if t else 0
+        blk[0] = pred << al
+    elif rd.read_bit():
+        blk[0] |= 1 << al
+    return pred
+
+
+def _ac_first(rd: _BitReader, blk: np.ndarray, ac: _Huff,
+              ss: int, se: int, al: int, eobrun: int) -> int:
+    """One block of a first AC scan (Ah=0, T.81 G.1.2.2): baseline
+    run/size pairs over the Ss..Se band, values << Al, EOBn symbols
+    (s=0, r<15) start a run of (1<<r)+bits all-done blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.decode(ac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        blk[k] = _extend(rd.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(rd: _BitReader, blk: np.ndarray, ac: _Huff,
+               ss: int, se: int, al: int, eobrun: int) -> int:
+    """One block of an AC refinement scan (Ah=Al+1, T.81 G.1.2.3),
+    the correction-bit walk in libjpeg's shape: runs count ZERO-history
+    coefficients only; every nonzero-history coefficient passed reads
+    one correction bit (1 = grow magnitude by 1<<Al, guarded by the
+    bit not being set yet); newly-nonzero coefficients arrive as s=1
+    symbols with an explicit sign bit; an EOBn symbol switches the
+    rest of this block (and the next eobrun-1 whole blocks) to
+    correction-bits-only."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.decode(ac)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.read_bits(r)
+                    break
+                sval = 0  # ZRL: 16 zero-history slots, no placement
+            elif s == 1:
+                sval = p1 if rd.read_bit() else m1
+            else:
+                raise ValueError("AC refinement size != 1")
+            while k <= se:
+                if blk[k] != 0:
+                    if rd.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval and k <= se:
+                blk[k] = sval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB correction phase: history coeffs only
+            if blk[k] != 0:
+                if rd.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(data: bytes, pos: int, w: int, h: int,
+                      comps: list[tuple[int, int, int, int]],
+                      store: list[np.ndarray],
+                      scomp: list[tuple[int, int, int]],
+                      dc_tabs: dict[int, _Huff], ac_tabs: dict[int, _Huff],
+                      ss: int, se: int, ah: int, al: int,
+                      ri: int) -> int:
+    """Decode one progressive scan into the per-component zigzag
+    coefficient ``store`` and return the byte offset of the NEXT
+    marker.  DC scans (Ss=0) may interleave all frame components over
+    MCUs; AC scans are single-component, walking that component's
+    non-interleaved block grid ceil(comp_dim/8) — NOT the MCU-padded
+    grid (partial MCUs exist only in interleaved scans, T.81 §A.2.2).
+    Restart intervals byte-align at RSTn and reset predictors and the
+    EOB run; the interval counts MCUs when interleaved, blocks when
+    not."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    rd = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if len(scomp) > 1:  # interleaved over MCUs
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            preds = [0] * len(scomp)
+            for m in range(mcux * mcuy):
+                if ri and m and m % ri == 0:
+                    rd.expect_restart((m // ri - 1) & 7)
+                    preds = [0] * len(scomp)
+                my, mx = m // mcux, m % mcux
+                for si, (idx, td, _ta) in enumerate(scomp):
+                    _cid, hi, vi, _tq = comps[idx]
+                    for bv in range(vi):
+                        for bh in range(hi):
+                            preds[si] = _dc_unit(
+                                rd, store[idx][my * vi + bv, mx * hi + bh],
+                                dc_tabs.get(td), ah, al, preds[si])
+        else:
+            idx, td, _ta = scomp[0]
+            _cid, hi, vi, _tq = comps[idx]
+            by = -(-(-(-h * vi // vmax)) // 8)
+            bx = -(-(-(-w * hi // hmax)) // 8)
+            pred = 0
+            u = 0
+            for r in range(by):
+                for c in range(bx):
+                    if ri and u and u % ri == 0:
+                        rd.expect_restart((u // ri - 1) & 7)
+                        pred = 0
+                    pred = _dc_unit(rd, store[idx][r, c],
+                                    dc_tabs.get(td), ah, al, pred)
+                    u += 1
+    else:
+        if len(scomp) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("illegal spectral band")
+        idx, _td, ta = scomp[0]
+        if ta not in ac_tabs:
+            raise ValueError("AC scan without an AC Huffman table")
+        _cid, hi, vi, _tq = comps[idx]
+        by = -(-(-(-h * vi // vmax)) // 8)
+        bx = -(-(-(-w * hi // hmax)) // 8)
+        unit = _ac_refine if ah else _ac_first
+        eobrun = 0
+        u = 0
+        for r in range(by):
+            for c in range(bx):
+                if ri and u and u % ri == 0:
+                    rd.expect_restart((u // ri - 1) & 7)
+                    eobrun = 0
+                eobrun = unit(rd, store[idx][r, c], ac_tabs[ta],
+                              ss, se, al, eobrun)
+                u += 1
+    p = rd.pos  # skip pad bits / stuffing to the next true marker
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 1
+    raise ValueError("JPEG truncated after a progressive scan")
+
+
+def _finish_progressive(w: int, h: int,
+                        comps: list[tuple[int, int, int, int]],
+                        qt: dict[int, np.ndarray],
+                        store: list[np.ndarray]) -> np.ndarray:
+    """Accumulated zigzag coefficients -> pixels: dequantize, one
+    vectorized IDCT over every block, assemble planes at natural
+    resolution, then the same pinned replication upsample + crop as
+    the baseline path."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for (cid, hi, vi, tq), coefz in zip(comps, store):
+        if tq not in qt:
+            raise ValueError("frame references a missing quant table")
+        qvec = qt[tq].reshape(-1)[ZIGZAG]  # quant value per zigzag index
+        by, bx, _ = coefz.shape
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[..., ZIGZAG] = coefz * qvec
+        blocks = nat.reshape(by, bx, 8, 8)
+        px = np.einsum("ux,rcuv,vy->rcxy", _IDCT_A, blocks, _IDCT_A) + 128.0
+        plane = np.clip(np.rint(px), 0, 255).astype(np.uint8)
+        plane = plane.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        planes.append(plane[: -(-h * vi // vmax), : -(-w * hi // hmax)])
+    up = [
+        np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)[:h, :w]
+        for p, (_c, hi, vi, _t) in zip(planes, comps)
+    ]
+    if len(up) == 1:
+        return up[0]
+    return _ycbcr_to_rgb(up)

@@ -843,3 +843,323 @@ def encode_avi_mjpeg(frames: list[bytes], rate: int = 25,
     movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class _JpegBits:
+    """MSB-first bit emitter with 0xFF00 stuffing + RSTn support for
+    the progressive encoder (the closure-based emitters above are
+    per-function; scans need pad/restart as first-class ops)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nb = 0
+
+    def emit(self, c: int, ln: int):
+        if ln == 0:
+            return
+        self.acc = (self.acc << ln) | (c & ((1 << ln) - 1))
+        self.nb += ln
+        while self.nb >= 8:
+            byte = (self.acc >> (self.nb - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nb -= 8
+        self.acc &= (1 << self.nb) - 1
+
+    def pad(self):
+        if self.nb:
+            self.emit((1 << (8 - self.nb)) - 1, 8 - self.nb)
+
+    def restart(self, n: int):
+        self.pad()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
+
+def _jpeg_prog_tables():
+    """(dc_codes, ac_codes, dht segments): the Annex-K-shaped DC table
+    plus a flat all-length-8 AC table carrying every (r<<4)|s symbol
+    r 0..15, s 0..10 (176 codes < 256, so the canonical table is legal
+    and no code is all ones)."""
+    def seg(marker: int, body: bytes) -> bytes:
+        return (bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big")
+                + body)
+
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = bytes(range(12))
+    dc_codes = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(dc_bits[length - 1]):
+            dc_codes[dc_vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    ac_syms = [(r << 4) | s for r in range(16) for s in range(11)]
+    ac_codes = {sym: (i, 8) for i, sym in enumerate(ac_syms)}
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)
+    dht = (seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+           + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms)))
+    return dc_codes, ac_codes, dht
+
+
+def encode_jpeg_progressive(comp_coefs, samplings=None,
+                            w: int | None = None, h: int | None = None,
+                            restart_interval: int = 0) -> bytes:
+    """Quantized zigzag coefficient grids -> PROGRESSIVE JPEG (SOF2),
+    the synthetic twin of functions/jpeg.py's Annex-G decode path.
+
+    ``comp_coefs``: one ``(by_pad, bx_pad, 64)`` int array per
+    component (1 = grayscale, 3 = YCbCr), zigzag order, grids padded
+    to the full MCU coverage of ``samplings`` (``[(hi, vi), ...]``,
+    default all 1×1).  Unit quant tables, so the decoder's
+    reconstruction is the closed-form dequant+IDCT of exactly these
+    integers.  ``w``/``h`` default to the padded grid; smaller values
+    exercise the interleaved-vs-non-interleaved grid split (AC scans
+    walk ceil(comp/8) blocks, DC interleaved scans walk the padded MCU
+    grid).
+
+    Scan script (exercises every Annex-G scan type): DC first
+    (interleaved, Al=1), DC refine (Al=0), then per component AC first
+    Ss=1..5 / 6..63 at Al=1 and AC refine of both bands at Al=0 — with
+    EOB-run accumulation and ZRL/correction-bit buffering in libjpeg's
+    shape.  ``restart_interval`` (MCUs for the DC scans, blocks for AC
+    scans) emits DRI + RSTn with predictor/EOB-run resets."""
+    import numpy as np
+
+    coefs = [np.asarray(c, dtype=np.int64) for c in comp_coefs]
+    ncomp = len(coefs)
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 components")
+    if samplings is None:
+        samplings = [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcuy = coefs[0].shape[0] // samplings[0][1]
+    mcux = coefs[0].shape[1] // samplings[0][0]
+    for c, (hi, vi) in zip(coefs, samplings):
+        if c.shape != (mcuy * vi, mcux * hi, 64):
+            raise ValueError("coefficient grid inconsistent with sampling")
+    if w is None:
+        w = mcux * hmax * 8
+    if h is None:
+        h = mcuy * vmax * 8
+    if -(-w // (8 * hmax)) != mcux or -(-h // (8 * vmax)) != mcuy:
+        raise ValueError("frame dims inconsistent with the MCU grid")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big")
+                + body)
+
+    dc_codes, ac_codes, dht = _jpeg_prog_tables()
+    head = bytearray(b"\xff\xd8")
+    head += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for ci, (hi, vi) in enumerate(samplings):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])
+    head += seg(0xC2, sof)
+    head += dht
+    if restart_interval:
+        head += seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    ri = restart_interval
+    out = bytearray(head)
+
+    def emit_signed(b: _JpegBits, code_map, run: int, v: int):
+        t = int(abs(v)).bit_length()
+        c, ln = code_map[(run << 4) | t]
+        b.emit(c, ln)
+        b.emit(v if v >= 0 else v + (1 << t) - 1, t)
+
+    # --- DC first + DC refine ------------------------------------------
+    # A multi-component DC scan interleaves vi*hi blocks per MCU over
+    # the PADDED MCU grid; a single-component frame's DC scan is
+    # NON-interleaved per T.81 §A.2.2 — MCU = 1 block, the grid is
+    # ceil(dim/8) with no sampling padding, and the restart interval
+    # counts blocks.
+    for ah, al in ((0, 1), (1, 0)):
+        out += sos(list(range(1, ncomp + 1)), 0, 0, ah, al)
+        b = _JpegBits()
+        preds = [0] * ncomp
+
+        def dc_block(ci: int, dc: int):
+            if ah == 0:
+                v = dc >> al  # arithmetic shift, like the C
+                diff = v - preds[ci]
+                preds[ci] = v
+                t = int(abs(diff)).bit_length()
+                c, ln = dc_codes[t]
+                b.emit(c, ln)
+                b.emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            else:
+                b.emit((dc >> al) & 1, 1)
+
+        if ncomp == 1:
+            by = -(-h // 8)
+            bx = -(-w // 8)
+            u = 0
+            for br_ in range(by):
+                for bc in range(bx):
+                    if ri and u and u % ri == 0:
+                        b.restart((u // ri - 1) & 7)
+                        preds = [0]
+                    dc_block(0, int(coefs[0][br_, bc, 0]))
+                    u += 1
+        else:
+            for m in range(mcux * mcuy):
+                if ri and m and m % ri == 0:
+                    b.restart((m // ri - 1) & 7)
+                    preds = [0] * ncomp
+                my, mx = m // mcux, m % mcux
+                for ci, (hi, vi) in enumerate(samplings):
+                    for bv in range(vi):
+                        for bh in range(hi):
+                            dc_block(ci, int(coefs[ci][my * vi + bv,
+                                                       mx * hi + bh, 0]))
+        b.pad()
+        out += b.out
+
+    bands = [(1, 5), (6, 63)]
+
+    # --- AC first scans (per component, non-interleaved) --------------
+    for ci, (hi, vi) in enumerate(samplings):
+        by = -(-(-(-h * vi // vmax)) // 8)
+        bx = -(-(-(-w * hi // hmax)) // 8)
+        for ss, se in bands:
+            al = 1
+            out += sos([ci + 1], ss, se, 0, al)
+            b = _JpegBits()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                while eobrun > 0:
+                    run = min(eobrun, 32767)
+                    g = run.bit_length() - 1
+                    c, ln = ac_codes[(g << 4) | 0]
+                    b.emit(c, ln)
+                    b.emit(run - (1 << g), g)
+                    eobrun -= run
+
+            u = 0
+            for br_ in range(by):
+                for bc in range(bx):
+                    if ri and u and u % ri == 0:
+                        flush_eob()
+                        b.restart((u // ri - 1) & 7)
+                    u += 1
+                    blk = coefs[ci][br_, bc]
+                    r = 0
+                    any_nz = False
+                    for k in range(ss, se + 1):
+                        cv = int(blk[k])
+                        v = (abs(cv) >> al) * (1 if cv >= 0 else -1)
+                        if v == 0:
+                            r += 1
+                            continue
+                        flush_eob()
+                        while r > 15:
+                            c, ln = ac_codes[0xF0]
+                            b.emit(c, ln)
+                            r -= 16
+                        emit_signed(b, ac_codes, r, v)
+                        r = 0
+                        any_nz = True
+                    if r > 0 or not any_nz:
+                        eobrun += 1
+                        if eobrun == 32767:
+                            flush_eob()
+            flush_eob()
+            b.pad()
+            out += b.out
+
+    # --- AC refinement scans -------------------------------------------
+    for ci, (hi, vi) in enumerate(samplings):
+        by = -(-(-(-h * vi // vmax)) // 8)
+        bx = -(-(-(-w * hi // hmax)) // 8)
+        for ss, se in bands:
+            al = 0
+            out += sos([ci + 1], ss, se, 1, al)
+            b = _JpegBits()
+            eobrun = 0
+            be: list[int] = []
+
+            def flush_eob_r():
+                nonlocal eobrun, be
+                if eobrun:
+                    g = eobrun.bit_length() - 1
+                    c, ln = ac_codes[(g << 4) | 0]
+                    b.emit(c, ln)
+                    b.emit(eobrun - (1 << g), g)
+                    eobrun = 0
+                for bit in be:
+                    b.emit(bit, 1)
+                be = []
+
+            u = 0
+            for br_ in range(by):
+                for bc in range(bx):
+                    if ri and u and u % ri == 0:
+                        flush_eob_r()
+                        b.restart((u // ri - 1) & 7)
+                    u += 1
+                    blk = coefs[ci][br_, bc]
+                    tvals = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                    if 1 not in tvals:
+                        # EOB-phase block: history correction bits only
+                        eobrun += 1
+                        be.extend(t & 1 for t in tvals if t > 1)
+                        if eobrun == 32767:
+                            flush_eob_r()
+                        continue
+                    flush_eob_r()
+                    # libjpeg's emit shape: the ZRL check runs at EVERY
+                    # nonzero encounter (history ones too, before their
+                    # bit buffers) so buffered correction bits flush in
+                    # exactly the order the decoder walk consumes them
+                    # around each 16-zero boundary; past the last newly
+                    # nonzero coefficient (> last_new) zeros fold into
+                    # the EOB run instead.
+                    last_new = max(off for off, t in enumerate(tvals)
+                                   if t == 1)
+                    r = 0
+                    br_bits: list[int] = []
+                    for off, t in enumerate(tvals):
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and off <= last_new:
+                            c, ln = ac_codes[0xF0]
+                            b.emit(c, ln)
+                            for bit in br_bits:
+                                b.emit(bit, 1)
+                            br_bits = []
+                            r -= 16
+                        if t > 1:
+                            br_bits.append(t & 1)
+                            continue
+                        c, ln = ac_codes[(r << 4) | 1]
+                        b.emit(c, ln)
+                        b.emit(1 if int(blk[ss + off]) > 0 else 0, 1)
+                        for bit in br_bits:
+                            b.emit(bit, 1)
+                        br_bits = []
+                        r = 0
+                    if r > 0 or br_bits:
+                        eobrun += 1
+                        be.extend(br_bits)
+            flush_eob_r()
+            b.pad()
+            out += b.out
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -41,8 +41,8 @@ def decode_payload(payload: bytes) -> np.ndarray:
     for any malformed payload (internal Index/struct/zlib errors are
     converted here — a 100 TB crawl WILL contain corrupt files, and a
     task must degrade, not die), NotImplementedError for formats with
-    no decoder here (WEBP only; baseline JPEG including subsampled
-    4:2:0/4:2:2 chroma decodes for real)."""
+    no decoder here (WEBP only; JPEG — baseline AND progressive,
+    including subsampled 4:2:0/4:2:2 chroma — decodes for real)."""
     import struct
 
     from ..functions.jpeg import decode_jpeg
@@ -166,8 +166,8 @@ def real_decode(payload: bytes, feat_dim: int = 64) -> tuple[int, int, np.ndarra
     unfilter, all five filter types, grey/RGB/palette/alpha at bit
     depths 1/2/4/8), BMP (BITMAPINFOHEADER BI_RGB 8/24-bit), GIF
     (variable-width LZW per the GIF89a spec, first frame, interlaced
-    or not) and baseline JPEG (functions/jpeg.py — T.81 Huffman +
-    IDCT, grayscale and YCbCr) decode for REAL.  Only WEBP still
+    or not) and JPEG (functions/jpeg.py — T.81 Huffman + IDCT,
+    baseline and progressive, grayscale and YCbCr) decode for REAL.  Only WEBP still
     requires a codec library (VP8) not present in this environment:
     wire Pillow/ffmpeg here when present — until then it raises
     ValueError and the featurizer degrades to the deterministic fake

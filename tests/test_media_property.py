@@ -174,3 +174,56 @@ def test_decode_payload_truncations_degrade(kind, data):
         assert out.ndim == 3 and out.dtype == np.uint8
     except (ValueError, NotImplementedError):
         pass
+
+
+@st.composite
+def prog_case(draw):
+    """Random progressive-JPEG case: sampling layout, sparse zigzag
+    coefficients, cropped frame dims, optional restart interval."""
+    hy, vy = draw(st.sampled_from([(1, 1), (2, 2), (2, 1), (1, 2)]))
+    my = draw(st.integers(1, 2))
+    mx = draw(st.integers(1, 3))
+    color = draw(st.booleans())
+
+    def grid(by, bx, rng_key):
+        n = by * bx * 64
+        vals = draw(st.lists(st.integers(-60, 60), min_size=n, max_size=n))
+        cz = np.array(vals, dtype=np.int64).reshape(by, bx, 64)
+        mask = np.array(
+            draw(st.lists(st.booleans(), min_size=n, max_size=n))
+        ).reshape(by, bx, 64)
+        cz[~mask] = 0  # ~half the coefficients zero -> runs + EOBs
+        return cz
+
+    if color:
+        coefs = [grid(vy * my, hy * mx, 0), grid(my, mx, 1), grid(my, mx, 2)]
+        samp = [(hy, vy), (1, 1), (1, 1)]
+    else:
+        coefs = [grid(vy * my, hy * mx, 0)]
+        samp = [(hy, vy)]
+    wfull, hfull = mx * (hy if color else hy) * 8, my * (vy if color else vy) * 8
+    w = wfull - draw(st.integers(0, 7))
+    h = hfull - draw(st.integers(0, 7))
+    ri = draw(st.sampled_from([0, 0, 1, 3]))
+    return coefs, samp, w, h, ri
+
+
+@settings(max_examples=30, deadline=None)
+@given(prog_case())
+def test_jpeg_progressive_roundtrip(case):
+    """Progressive (SOF2) decode must reconstruct exactly the pixels
+    the same coefficients produce through the baseline math: dequant
+    (unit tables) + matrix IDCT + clip, crop, replication upsample,
+    BT.601 — cross-checked here against the decoder's own baseline
+    constants via the independent per-block reference in
+    tests/test_jpeg_progressive.py; this property run covers layout ×
+    crop × restart-interval space."""
+    from tests.test_jpeg_progressive import _ref_reconstruct
+
+    coefs, samp, w, h, ri = case
+    from rust_paddle_ocr_ray.sources.synth import encode_jpeg_progressive
+
+    data = encode_jpeg_progressive(coefs, samp, w=w, h=h,
+                                   restart_interval=ri)
+    got = decode_jpeg(data)
+    np.testing.assert_array_equal(got, _ref_reconstruct(coefs, samp, w, h))
