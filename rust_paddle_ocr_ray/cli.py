@@ -13,6 +13,10 @@ Modes (mirroring src/main.rs:134-208):
            confidence, unlike the CLI's hardcoded 1.0 (src/main.rs:178)
   text     extracted text per url -> stdout (debug path, small inputs
            only — takes a driver-side limit)
+  overlay  one schematic span-overlay PNG per url -> parquet
+           (url, width, height, n_spans, overlay_png) — the debug
+           overlay sink (stages/overlay.py, SURVEY §2 S5; the analog
+           of examples/simple.rs:96-129's draw-boxes output)
 
 This is the ONLY module that may own a Ray session (driver contract:
 the library never calls ray.init).
@@ -28,7 +32,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="rust_paddle_ocr_ray")
     ap.add_argument("--input", required=True, help="parquet pages file/dir")
     ap.add_argument("--output", help="output dir (required for parquet/json)")
-    ap.add_argument("--mode", choices=["parquet", "json", "text"], default="parquet")
+    ap.add_argument("--mode", choices=["parquet", "json", "text", "overlay"],
+                    default="parquet")
     ap.add_argument("--checkpoint", type=int, default=0,
                     help="N>0: resumable run with N partitions (parquet mode)")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -62,6 +67,13 @@ def _run(args) -> int:
     if not args.output:
         print("--output is required for parquet/json modes", file=sys.stderr)
         return 2
+
+    if args.mode == "overlay":
+        from .stages.overlay import overlay_pages
+
+        spans = pipe.detect(pipe.read_pages(args.input))
+        overlay_pages(spans).write_parquet(args.output)
+        return 0
 
     if args.mode == "json":
         spans = pipe.recognize(pipe.detect(pipe.read_pages(args.input)))
