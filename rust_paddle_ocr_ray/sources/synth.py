@@ -1163,3 +1163,308 @@ def encode_jpeg_progressive(comp_coefs, samplings=None,
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+class _Vp8lBits:
+    """LSB-first bit writer; prefix codes go on the wire MSB-first
+    (the DEFLATE convention functions/vp8l.py reads)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nb = 0
+
+    def emit(self, v: int, n: int):
+        for i in range(n):
+            if self.nb == 0:
+                self.out.append(0)
+            self.out[-1] |= ((v >> i) & 1) << self.nb
+            self.nb = (self.nb + 1) & 7
+            if self.nb == 0:
+                pass
+
+    def emit_code(self, code: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.emit((code >> i) & 1, 1)
+
+
+def _vp8l_balanced_lengths(n: int) -> dict[int, int]:
+    """Complete canonical code over n symbols using at most three
+    adjacent lengths (never a single length, so the code-length code
+    itself always has >= 2 used symbols)."""
+    if n < 2:
+        raise ValueError("need >= 2 symbols")
+    L = max(2, (n - 1).bit_length())
+    if n == (1 << L):  # perturb: 1 at L-1, n-3 at L, 2 at L+1
+        lengths = {0: L - 1}
+        for s in range(1, n - 2):
+            lengths[s] = L
+        lengths[n - 2] = L + 1
+        lengths[n - 1] = L + 1
+        return lengths
+    k = (1 << L) - n  # k symbols at L-1, rest at L (Kraft == 1)
+    return {s: (L - 1 if s < k else L) for s in range(n)}
+
+
+def _vp8l_canon_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    codes = {}
+    code = 0
+    prev = 0
+    for sym in sorted((s for s, l in lengths.items() if l),
+                      key=lambda s: (lengths[s], s)):
+        l = lengths[sym]
+        code <<= (l - prev)
+        codes[sym] = (code, l)
+        code += 1
+        prev = l
+    return codes
+
+
+def _vp8l_emit_code_table(b: _Vp8lBits, lengths: dict[int, int],
+                          alphabet_size: int):
+    """Emit one prefix code the length-coded way: 3-bit code-length-
+    code lengths in CL_ORDER covering the used lengths, no max_symbol,
+    every symbol's length emitted literally (no repeats)."""
+    from ..functions.vp8l import CL_ORDER
+
+    b.emit(0, 1)  # not simple
+    used = sorted(set(lengths.values()) | {0})
+    # code-length code: length 1/2 codes over the used CL symbols
+    if len(used) == 2:
+        cl_lengths = {used[0]: 1, used[1]: 1}
+    elif len(used) == 3:
+        cl_lengths = {used[0]: 2, used[1]: 1, used[2]: 2}
+    elif len(used) == 4:
+        cl_lengths = {used[0]: 2, used[1]: 2, used[2]: 2, used[3]: 2}
+    else:
+        raise ValueError("encoder supports <= 4 distinct code lengths")
+    need = max(CL_ORDER.index(s) for s in cl_lengths) + 1
+    b.emit(max(0, need - 4), 4)
+    for i in range(max(4, need)):
+        b.emit(cl_lengths.get(CL_ORDER[i], 0), 3)
+    b.emit(0, 1)  # no max_symbol
+    cl_codes = _vp8l_canon_codes(cl_lengths)
+    for s in range(alphabet_size):
+        c, ln = cl_codes[lengths.get(s, 0)]
+        b.emit_code(c, ln)
+
+
+def _vp8l_prefix_value(v: int) -> tuple[int, int, int]:
+    """value >= 1 -> (prefix_code, extra_bits_value, extra_bits_n)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for code in range(4, 40):
+        extra = (code - 2) >> 1
+        lo = ((2 + (code & 1)) << extra) + 1
+        if lo <= v <= lo + (1 << extra) - 1:
+            return code, v - lo, extra
+    raise ValueError("value out of LZ77 prefix range")
+
+
+def encode_webp_lossless(px, cache_bits: int = 0, rle: bool = False,
+                         transform: str | None = None,
+                         size_bits: int = 2, palette=None) -> bytes:
+    """(h, w, 3|4) uint8 -> lossless WebP (RIFF + VP8L), the synthetic
+    twin of functions/vp8l.decode_webp.  Balanced complete prefix
+    codes emitted through the full code-length-code machinery; LZ77
+    runs (``rle=True``) as plain-distance-1 backward references;
+    ``cache_bits`` > 0 enables the color cache (hash-hit pixels emit
+    cache symbols).  ``transform``: None | 'subtract_green' |
+    'predictor' (mode-2/top residuals with a literal-coded mode
+    subimage) | 'color' (fixed transform elements per block) |
+    'palette' (color-indexing; pass ``palette`` as a list of (a,r,g,b)
+    tuples; indices bundle sub-byte when <= 16 entries)."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    has_alpha = px.shape[2] == 4
+    # to (a, r, g, b) tuples, row-major
+    if has_alpha:
+        pixels = [(int(p[3]), int(p[0]), int(p[1]), int(p[2]))
+                  for row in px for p in row]
+    else:
+        pixels = [(255, int(p[0]), int(p[1]), int(p[2]))
+                  for row in px for p in row]
+
+    b = _Vp8lBits()
+    b.emit(0x2F, 8)
+    b.emit(w - 1, 14)
+    b.emit(h - 1, 14)
+    b.emit(1 if has_alpha else 0, 1)
+    b.emit(0, 3)  # version
+
+    from ..functions.vp8l import _cdelta, predict_pixel
+
+    cur_w = w
+    if transform == "subtract_green":
+        b.emit(1, 1)
+        b.emit(2, 2)
+        pixels = [(a, (r - g) & 0xFF, g, (bl - g) & 0xFF)
+                  for (a, r, g, bl) in pixels]
+    elif transform == "predictor":
+        b.emit(1, 1)
+        b.emit(0, 2)
+        b.emit(size_bits - 2, 3)
+        sw = -(-w // (1 << size_bits))
+        sh = -(-h // (1 << size_bits))
+        # mode subimage: mode 2 (top) everywhere, green channel
+        modes = [(255, 0, 2, 0)] * (sw * sh)
+        _vp8l_emit_subimage(b, modes)
+        res = list(pixels)
+        for i in range(w * h - 1, -1, -1):
+            x, y = i % w, i // w
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = pixels[i - 1]
+            elif x == 0:
+                pred = pixels[i - w]
+            else:
+                left, top, tl = pixels[i - 1], pixels[i - w], pixels[i - w - 1]
+                tr = pixels[i - w + 1] if x + 1 < w else top
+                pred = predict_pixel(2, left, top, tr, tl)
+            res[i] = tuple((p - q) & 0xFF for p, q in zip(pixels[i], pred))
+        pixels = res
+    elif transform == "color":
+        b.emit(1, 1)
+        b.emit(1, 2)
+        b.emit(size_bits - 2, 3)
+        sw = -(-w // (1 << size_bits))
+        sh = -(-h // (1 << size_bits))
+        # fixed elements: g2r=0x10, g2b=0x08, r2b=0xF0 (negative)
+        g2r, g2b, r2b = 0x10, 0x08, 0xF0
+        elems = [(255, r2b, g2b, g2r)] * (sw * sh)
+        _vp8l_emit_subimage(b, elems)
+        out = []
+        for (a, r, g, bl) in pixels:
+            nr = (r - _cdelta(g2r, g)) & 0xFF
+            nb = (bl - _cdelta(g2b, g) - _cdelta(r2b, r)) & 0xFF
+            out.append((a, nr, g, nb))
+        pixels = out
+    elif transform == "palette":
+        if palette is None:
+            raise ValueError("palette transform needs palette")
+        b.emit(1, 1)
+        b.emit(3, 2)
+        b.emit(len(palette) - 1, 8)
+        # delta-coded palette subimage (1 x size)
+        deltas = []
+        prev = (0, 0, 0, 0)
+        for p in palette:
+            deltas.append(tuple((a - q) & 0xFF for a, q in zip(p, prev)))
+            prev = p
+        _vp8l_emit_subimage(b, deltas)
+        lut = {p: i for i, p in enumerate(palette)}
+        idx = [lut[p] for p in pixels]
+        n = len(palette)
+        wbits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+        ppb = 1 << wbits
+        ibits = 8 >> wbits
+        cur_w = -(-w // ppb)
+        packed = []
+        for y in range(h):
+            row = idx[y * w:(y + 1) * w]
+            for sx in range(cur_w):
+                g = 0
+                for j in range(ppb):
+                    x = sx * ppb + j
+                    if x < w:
+                        g |= row[x] << (j * ibits)
+                packed.append((255, 0, g, 0))
+        pixels = packed
+    elif transform is not None:
+        raise ValueError(f"unknown transform {transform!r}")
+    b.emit(0, 1)  # end of transforms
+
+    _vp8l_emit_spatial(b, pixels, cache_bits=cache_bits, rle=rle)
+
+    payload = bytes(b.out)
+    if len(payload) & 1:
+        chunk = payload + b"\x00"
+    else:
+        chunk = payload
+    riff = (b"VP8L" + len(payload).to_bytes(4, "little") + chunk)
+    return (b"RIFF" + (4 + len(riff)).to_bytes(4, "little") + b"WEBP"
+            + riff)
+
+
+def _vp8l_emit_subimage(b: "_Vp8lBits", pixels):
+    """Emit a (transform/palette) subimage: no cache, literal-coded
+    balanced trees, no LZ77."""
+    b.emit(0, 1)  # no color cache
+    _vp8l_emit_groups_and_pixels(b, pixels, cache_bits=0, rle=False)
+
+
+def _vp8l_emit_spatial(b: "_Vp8lBits", pixels, cache_bits: int,
+                       rle: bool):
+    """Emit the main spatially-coded image: optional color cache, no
+    meta prefix, one prefix-code group."""
+    if cache_bits:
+        b.emit(1, 1)
+        b.emit(cache_bits, 4)
+    else:
+        b.emit(0, 1)
+    b.emit(0, 1)  # no meta prefix
+    _vp8l_emit_groups_and_pixels(b, pixels, cache_bits, rle)
+
+
+def _vp8l_emit_groups_and_pixels(b: "_Vp8lBits", pixels,
+                                 cache_bits: int, rle: bool):
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_n = 256 + 24 + cache_size
+    gl = _vp8l_balanced_lengths(green_n)
+    cl = _vp8l_balanced_lengths(256)
+    dl = _vp8l_balanced_lengths(40)
+    _vp8l_emit_code_table(b, gl, green_n)
+    for _ in range(3):  # red, blue, alpha share the 256-symbol shape
+        _vp8l_emit_code_table(b, cl, 256)
+    _vp8l_emit_code_table(b, dl, 40)
+    g_codes = _vp8l_canon_codes(gl)
+    c_codes = _vp8l_canon_codes(cl)
+    d_codes = _vp8l_canon_codes(dl)
+    cache = [(0, 0, 0, 0)] * cache_size
+
+    def cache_key(p):
+        argb = (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
+        return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    i = 0
+    n = len(pixels)
+    while i < n:
+        p = pixels[i]
+        if rle and i > 0 and pixels[i - 1] == p:
+            run = 1
+            while i + run < n and pixels[i + run] == p and run < 4096:
+                run += 1
+            if run >= 3:
+                code, ev, en = _vp8l_prefix_value(run)
+                c, ln = g_codes[256 + code]
+                b.emit_code(c, ln)
+                b.emit(ev, en)
+                dcode, dev, den = _vp8l_prefix_value(121)  # distance 1
+                c, ln = d_codes[dcode]
+                b.emit_code(c, ln)
+                b.emit(dev, den)
+                if cache_size:  # decoder inserts every copied pixel
+                    cache[cache_key(p)] = p
+                i += run
+                continue
+        if cache_size:
+            k = cache_key(p)
+            if cache[k] == p:
+                c, ln = g_codes[256 + 24 + k]
+                b.emit_code(c, ln)
+                i += 1
+                continue
+            cache[k] = p
+        a, r, g, bl = p
+        c, ln = g_codes[g]
+        b.emit_code(c, ln)
+        c, ln = c_codes[r]
+        b.emit_code(c, ln)
+        c, ln = c_codes[bl]
+        b.emit_code(c, ln)
+        c, ln = c_codes[a]
+        b.emit_code(c, ln)
+        i += 1

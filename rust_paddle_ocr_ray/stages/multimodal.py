@@ -4,10 +4,11 @@ with typed metadata.
 PNG, BMP, GIF and baseline JPEG payloads decode for REAL — pure-Python
 public-spec pixel decoders (functions/png.py: RFC 2083 incl. 1/2/4-bit
 grey/palette; functions/raster.py: BITMAPINFOHEADER + GIF89a LZW incl.
-interlace; functions/jpeg.py: ITU-T T.81 baseline, grayscale + YCbCr),
-emitting true width/height and pixel-statistics features.  Only WEBP
-remains a STUB (VP8 entropy coding genuinely needs a codec library this
-environment lacks) and takes the deterministic fake path; everything
+interlace; functions/jpeg.py: ITU-T T.81 baseline + progressive, grayscale +
+YCbCr; functions/vp8l.py: lossless WebP), emitting true width/height
+and pixel-statistics features.  Only LOSSY WebP remains a STUB (VP8
+entropy coding genuinely needs a codec library this environment
+lacks) and takes the deterministic fake path; everything
 Ray-side is real and tested: schema, actor-pool signature, small batch
 sizes for large payloads.
 """
@@ -41,12 +42,14 @@ def decode_payload(payload: bytes) -> np.ndarray:
     for any malformed payload (internal Index/struct/zlib errors are
     converted here — a 100 TB crawl WILL contain corrupt files, and a
     task must degrade, not die), NotImplementedError for formats with
-    no decoder here (WEBP only; JPEG — baseline AND progressive,
-    including subsampled 4:2:0/4:2:2 chroma — decodes for real)."""
+    no decoder here (LOSSY WebP/VP8 only; JPEG — baseline AND
+    progressive, including subsampled chroma — and LOSSLESS WebP
+    (VP8L, functions/vp8l.py) decode for real)."""
     import struct
 
     from ..functions.jpeg import decode_jpeg
     from ..functions.raster import decode_bmp, decode_gif
+    from ..functions.vp8l import decode_webp
 
     try:
         if payload[:8] == PNG_SIG:
@@ -58,12 +61,14 @@ def decode_payload(payload: bytes) -> np.ndarray:
         if payload[:2] == b"\xff\xd8":
             px = decode_jpeg(payload)
             return px[:, :, None] if px.ndim == 2 else px
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            return decode_webp(payload)  # VP8L real; VP8 lossy raises
     except (IndexError, KeyError, OverflowError, struct.error,
             zlib.error) as exc:
         raise ValueError(f"malformed payload: {exc!r}") from exc
     raise NotImplementedError(
-        "WEBP decode requires a VP8 codec library not present in this "
-        "environment; the pipeline uses the deterministic fake decoder"
+        "no decoder for this payload format; the pipeline uses the "
+        "deterministic fake decoder"
     )
 
 
@@ -166,12 +171,14 @@ def real_decode(payload: bytes, feat_dim: int = 64) -> tuple[int, int, np.ndarra
     unfilter, all five filter types, grey/RGB/palette/alpha at bit
     depths 1/2/4/8), BMP (BITMAPINFOHEADER BI_RGB 8/24-bit), GIF
     (variable-width LZW per the GIF89a spec, first frame, interlaced
-    or not) and JPEG (functions/jpeg.py — T.81 Huffman + IDCT,
-    baseline and progressive, grayscale and YCbCr) decode for REAL.  Only WEBP still
+    or not), JPEG (functions/jpeg.py — T.81 Huffman + IDCT, baseline
+    and progressive, grayscale and YCbCr) and LOSSLESS WebP
+    (functions/vp8l.py — VP8L prefix codes, color cache, LZ77,
+    all four transforms) decode for REAL.  Only lossy WebP still
     requires a codec library (VP8) not present in this environment:
     wire Pillow/ffmpeg here when present — until then it raises
-    ValueError and the featurizer degrades to the deterministic fake
-    decoder."""
+    NotImplementedError and the featurizer degrades to the
+    deterministic fake decoder."""
     px = decode_payload(payload)
     h, w = px.shape[0], px.shape[1]
     return w, h, pixel_feature(px, feat_dim)

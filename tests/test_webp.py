@@ -1,0 +1,121 @@
+"""Lossless WebP (VP8L, functions/vp8l.py) round-trips against the
+synthetic encoder (sources/synth.encode_webp_lossless): the full
+prefix-code machinery, color cache, LZ77 plain-distance references,
+and all four transforms must reconstruct pixels bit-exactly.  Lossy
+VP8 stays a declared stub (NotImplementedError); malformed payloads
+degrade with ValueError."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rust_paddle_ocr_ray.functions.vp8l import decode_vp8l, decode_webp
+from rust_paddle_ocr_ray.sources.synth import encode_webp_lossless
+
+
+def _img(seed, h, w, c=3):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def test_literals_rgb_roundtrip():
+    px = _img(1, 7, 9)
+    got = decode_webp(encode_webp_lossless(px))
+    np.testing.assert_array_equal(got, px)
+    assert got.shape == (7, 9, 3)
+
+
+def test_literals_rgba_roundtrip():
+    px = _img(2, 5, 6, 4)
+    got = decode_webp(encode_webp_lossless(px))
+    np.testing.assert_array_equal(got, px)
+    assert got.shape == (5, 6, 4)
+
+
+def test_color_cache_roundtrip():
+    pal = _img(3, 1, 4)[0]
+    px = pal[np.random.default_rng(4).integers(0, 4, size=(16, 16))]
+    got = decode_webp(encode_webp_lossless(px, cache_bits=4))
+    np.testing.assert_array_equal(got, px)
+
+
+def test_lz77_runs_roundtrip():
+    base = _img(5, 6, 3)
+    px = np.repeat(base, 7, axis=1)  # long horizontal runs
+    for cb in (0, 3):
+        got = decode_webp(encode_webp_lossless(px, rle=True, cache_bits=cb))
+        np.testing.assert_array_equal(got, px)
+
+
+@pytest.mark.parametrize("transform",
+                         ["subtract_green", "predictor", "color"])
+def test_transform_roundtrip(transform):
+    px = _img(6, 11, 13)
+    got = decode_webp(encode_webp_lossless(px, transform=transform))
+    np.testing.assert_array_equal(got, px)
+
+
+@pytest.mark.parametrize("ncolors", [2, 4, 13, 40])
+def test_palette_roundtrip(ncolors):
+    """Color-indexing incl. sub-byte bundling (1/2/4-bit indices) and
+    the >16-entry unbundled path."""
+    rng = np.random.default_rng(ncolors)
+    pal = [(255, int(r), int(g), int(b))
+           for r, g, b in rng.integers(0, 256, size=(ncolors, 3))]
+    idx = rng.integers(0, ncolors, size=(9, 13))
+    px = np.array([[pal[i][1:] for i in row] for row in idx],
+                  dtype=np.uint8)
+    got = decode_webp(encode_webp_lossless(px, transform="palette",
+                                           palette=pal))
+    np.testing.assert_array_equal(got, px)
+
+
+def test_lossy_vp8_declared_stub():
+    riff = (b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + (2).to_bytes(4, "little") + b"\x00\x00")
+    with pytest.raises(NotImplementedError):
+        decode_webp(riff)
+
+
+def test_malformed_degrades():
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_vp8l(b"\x00garbage")
+    with pytest.raises(ValueError):
+        # valid signature, truncated bitstream
+        decode_vp8l(bytes([0x2F, 0x01, 0x02]))
+
+
+@st.composite
+def webp_case(draw):
+    h = draw(st.integers(1, 10))
+    w = draw(st.integers(1, 10))
+    c = draw(st.sampled_from([3, 4]))
+    data = draw(st.binary(min_size=h * w * c, max_size=h * w * c))
+    px = np.frombuffer(data, dtype=np.uint8).reshape(h, w, c)
+    cache_bits = draw(st.sampled_from([0, 0, 2, 5]))
+    rle = draw(st.booleans())
+    transform = draw(st.sampled_from(
+        [None, None, "subtract_green", "predictor", "color"]))
+    return px, cache_bits, rle, transform
+
+
+@settings(max_examples=40, deadline=None)
+@given(webp_case())
+def test_webp_property_roundtrip(case):
+    px, cache_bits, rle, transform = case
+    got = decode_webp(encode_webp_lossless(
+        px, cache_bits=cache_bits, rle=rle, transform=transform))
+    np.testing.assert_array_equal(got, px)
+
+
+def test_featurizer_dispatch_decodes_vp8l():
+    from rust_paddle_ocr_ray.stages.multimodal import decode_payload
+
+    px = _img(9, 6, 8)
+    got = decode_payload(encode_webp_lossless(px))
+    np.testing.assert_array_equal(got, px)
