@@ -2955,9 +2955,10 @@ FROM documents
 def q81_pixel_roundtrip(sf_dir: str):
     """Real-decoder round-trip ON THE DRIVER GATE: a deterministic
     gradient raster per doc_id (format cycles BMP 24-bit / GIF LZW /
-    PNG; pixel (x,y) = (x+y+id) % 256 on every channel) is ENCODED and
-    then DECODED by the pure-Python decoders (functions/raster.py,
-    functions/png.py), and the decoded dimensions + integer-exact pixel
+    PNG / LOSSLESS WEBP; pixel (x,y) = (x+y+id) % 256 on every
+    channel) is ENCODED and then DECODED by the pure-Python decoders
+    (functions/raster.py, functions/png.py, functions/vp8l.py), and
+    the decoded dimensions + integer-exact pixel
     mean (ppm) are hash-checked against a closed-form SQL twin that
     derives the same stats from the formula — no image library on
     either side, so a decoder bug (bit unpacking, row order, palette,
@@ -2966,6 +2967,7 @@ def q81_pixel_roundtrip(sf_dir: str):
     parallel via map_batches."""
     from ..functions.png import decode_png
     from ..functions.raster import decode_bmp, decode_gif
+    from ..functions.vp8l import decode_webp
     from ..sources.synth import gradient_image
 
     ds = _rp(sf_dir, "documents", columns=["doc_id"])
@@ -2977,6 +2979,7 @@ def q81_pixel_roundtrip(sf_dir: str):
             fmt, payload, _, _ = gradient_image(int(d))
             px = (decode_bmp(payload) if fmt == "bmp"
                   else decode_gif(payload) if fmt == "gif"
+                  else decode_webp(payload) if fmt == "webp"
                   else decode_png(payload))
             h, w = px.shape[0], px.shape[1]
             s = int(px.astype(np.int64).sum())
@@ -3002,8 +3005,8 @@ px AS (
        unnest(generate_series(0, g.w - 1)) AS xs(x),
        unnest(generate_series(0, g.h - 1)) AS ys(y))
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif' ELSE 'png' END
-         AS fmt,
+       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif'
+            WHEN 2 THEN 'png' ELSE 'webp' END AS fmt,
        w AS width, h AS height,
        ((SUM(v) * 3 * 1000000) // (w * h * 3))::BIGINT AS mean_ppm
 FROM px GROUP BY doc_id, w, h
@@ -3012,9 +3015,13 @@ FROM px GROUP BY doc_id, w, h
 
 def q82_jpeg_roundtrip(sf_dir: str):
     """Baseline-JPEG decoder ON THE DRIVER GATE (companion to q81),
-    now covering SUBSAMPLED COLOR: even docs encode a block-gradient
-    grayscale JPEG (8×8 block (i, j) = (i+j+id) % 256,
-    sources/synth.encode_jpeg_gray_dc); odd docs encode a DC-only
+    now covering SUBSAMPLED COLOR and PROGRESSIVE: even docs encode a
+    block-gradient grayscale JPEG (8×8 block (i, j) = (i+j+id) % 256)
+    — BASELINE (sources/synth.encode_jpeg_gray_dc) when id % 4 == 0,
+    PROGRESSIVE (SOF2, the full Annex-G scan script through
+    sources/synth.encode_jpeg_progressive with the same DC-only
+    coefficients, so pixels stay closed-form) when id % 4 == 2; odd
+    docs encode a DC-only
     YCbCr JPEG at 4:2:0 (id % 4 == 1) or 4:2:2 (id % 4 == 3) chroma
     sampling with CROPPED frame dims (partial-MCU path,
     sources/synth.encode_jpeg_color_dc).  Every payload is DECODED by
@@ -3027,7 +3034,11 @@ def q82_jpeg_roundtrip(sf_dir: str):
     anywhere in the entropy decode, DC prediction, MCU interleave,
     upsampling anchor or IDCT breaks the gate."""
     from ..functions.jpeg import decode_jpeg, decode_jpeg_gray
-    from ..sources.synth import encode_jpeg_color_dc, encode_jpeg_gray_dc
+    from ..sources.synth import (
+        encode_jpeg_color_dc,
+        encode_jpeg_gray_dc,
+        encode_jpeg_progressive,
+    )
 
     ds = _rp(sf_dir, "documents", columns=["doc_id"])
 
@@ -3041,8 +3052,15 @@ def q82_jpeg_roundtrip(sf_dir: str):
                 i = np.arange(by, dtype=np.int64)[:, None]
                 j = np.arange(bx, dtype=np.int64)[None, :]
                 blocks = ((i + j + d) % 256).astype(np.uint8)
-                px = decode_jpeg_gray(encode_jpeg_gray_dc(blocks))
-                kind = "gray"
+                if d % 4 == 2:  # same pixels, progressive scan script
+                    cz = np.zeros((by, bx, 64), dtype=np.int64)
+                    cz[..., 0] = 8 * (blocks.astype(np.int64) - 128)
+                    payload = encode_jpeg_progressive([cz], [(1, 1)])
+                    kind = "gray_prog"
+                else:
+                    payload = encode_jpeg_gray_dc(blocks)
+                    kind = "gray"
+                px = decode_jpeg_gray(payload)
                 h, w = px.shape
                 nch = 1
             else:
@@ -3101,7 +3119,8 @@ bl AS (
        unnest(generate_series(0, g.by - 1)) AS i(i),
        unnest(generate_series(0, g.bx - 1)) AS j(j)),
 grows AS (
-  SELECT doc_id, 'gray' AS kind,
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 2 THEN 'gray_prog' ELSE 'gray' END AS kind,
          (bx * 8)::BIGINT AS width, (by * 8)::BIGINT AS height,
          ((SUM(v) * 64 * 1000000) // (bx * by * 64))::BIGINT AS mean_ppm
   FROM bl GROUP BY doc_id, bx, by),
@@ -3286,8 +3305,8 @@ px AS (
        unnest(generate_series(0, 5)) AS i(i),
        unnest(generate_series(0, 4)) AS j(j))
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif' ELSE 'png' END
-         AS fmt,
+       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif'
+            WHEN 2 THEN 'png' ELSE 'webp' END AS fmt,
        ((SUM(v) * 3 * 1000000) // (6 * 5 * 3))::BIGINT AS mean_ppm
 FROM px GROUP BY doc_id
 """

@@ -610,9 +610,10 @@ def encode_png_rgb(px) -> bytes:
 def gradient_image(doc_id: int) -> tuple[str, bytes, int, int]:
     """Deterministic tiny raster for ``doc_id``: dims (8 + id%9,
     8 + id%7), every channel of pixel (x, y) = (x + y + id) % 256;
-    format cycles bmp/gif/png by id % 3.  Returns (fmt, payload, w, h).
-    The closed-form pixel mean makes the decode round-trip
-    SQL-checkable (catalog q81)."""
+    format cycles bmp/gif/png/webp-lossless by id % 4.  Returns
+    (fmt, payload, w, h).  The closed-form pixel mean makes the
+    decode round-trip SQL-checkable (catalog q81); webp is VP8L so
+    the round-trip stays lossless."""
     import numpy as np
 
     w = 8 + doc_id % 9
@@ -620,12 +621,14 @@ def gradient_image(doc_id: int) -> tuple[str, bytes, int, int]:
     x = np.arange(w, dtype=np.int64)[None, :]
     y = np.arange(h, dtype=np.int64)[:, None]
     v = ((x + y + doc_id) % 256).astype(np.uint8)
-    fmt = ("bmp", "gif", "png")[doc_id % 3]
+    fmt = ("bmp", "gif", "png", "webp")[doc_id % 4]
     if fmt == "bmp":
         payload = encode_bmp24(np.repeat(v[:, :, None], 3, axis=2))
     elif fmt == "gif":
         grey = np.arange(256, dtype=np.uint8)
         payload = encode_gif8(v, np.repeat(grey[:, None], 3, axis=1))
+    elif fmt == "webp":
+        payload = encode_webp_lossless(np.repeat(v[:, :, None], 3, axis=2))
     else:
         payload = encode_png_rgb(np.repeat(v[:, :, None], 3, axis=2))
     return fmt, payload, w, h
