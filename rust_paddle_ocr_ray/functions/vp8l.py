@@ -15,14 +15,14 @@ predictor (14 modes), color (signed 3.5 fixed-point deltas),
 subtract-green, color-indexing including sub-byte pixel bundling and
 the delta-coded palette.
 
-Pinned / declared subset edges (each raises ValueError):
+Declared subset edges (each raises ValueError):
 - LZ77 neighborhood distance codes (dist_code <= 120, the 120-entry
   2D proximity map) are unsupported — plain distances (> 120) decode.
-- The predictor's top-right pixel at the rightmost column is PINNED
-  to the top pixel (the spec's edge rule is implementation-defined in
-  practice; documented so round-trips are closed-form).
 - Color-indexing combined with other transforms (width-change
   interactions) is rejected.
+Predictor edge rules follow libwebp exactly, including top-right at
+the rightmost column = the current row's first (already decoded)
+pixel — the spec's unguarded ``argb[i - w + 1]`` access.
 """
 
 from __future__ import annotations
@@ -127,12 +127,16 @@ def _read_prefix_code(bits: _Bits, alphabet_size: int) -> _Canon:
                 prev = cl
         elif cl == 16:
             for _ in range(3 + bits.read(2)):
+                if sym >= alphabet_size:
+                    raise ValueError("VP8L code-length repeat overflow")
                 lengths[sym] = prev
                 sym += 1
         elif cl == 17:
             sym += 3 + bits.read(3)
         else:  # 18
             sym += 11 + bits.read(7)
+    if sym > alphabet_size:
+        raise ValueError("VP8L code lengths exceed the alphabet")
     return _Canon(lengths)
 
 
@@ -287,9 +291,12 @@ def predict_pixel(mode: int, left, top, topright, topleft):
 
 def _inv_predictor(px, w, h, size_bits, modes, modes_w):
     """In-place inverse of the predictor transform: pixel = residual +
-    predictor (mod 256 per channel).  Pinned edge rule: (0,0) predicts
-    opaque black; row 0 uses L; column 0 uses T; top-right at the
-    rightmost column uses T."""
+    predictor (mod 256 per channel).  Edge rules per libwebp: (0,0)
+    predicts opaque black; row 0 uses L; column 0 uses T; top-right is
+    ALWAYS ``px[i - w + 1]`` — at the rightmost column that index is
+    the current row's FIRST pixel (already reconstructed), which is
+    exactly libwebp's unguarded array access, so real-world files
+    decode identically."""
     for i in range(w * h):
         x, y = i % w, i // w
         if x == 0 and y == 0:
@@ -300,11 +307,8 @@ def _inv_predictor(px, w, h, size_bits, modes, modes_w):
             pred = px[i - w]
         else:
             mode = modes[(y >> size_bits) * modes_w + (x >> size_bits)][2]
-            left = px[i - 1]
-            top = px[i - w]
-            topleft = px[i - w - 1]
-            topright = px[i - w + 1] if x + 1 < w else top
-            pred = predict_pixel(mode, left, top, topright, topleft)
+            pred = predict_pixel(mode, px[i - 1], px[i - w],
+                                 px[i - w + 1], px[i - w - 1])
         px[i] = tuple((r + p) & 0xFF for r, p in zip(px[i], pred))
 
 

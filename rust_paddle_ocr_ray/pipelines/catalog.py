@@ -837,15 +837,31 @@ FROM events e ASOF LEFT JOIN r
 def q28_json_extract(sf_dir: str):
     """F6 analog: per-row JSON field extraction + grouped aggregate.
 
-    The ``"k"`` field is pulled with one vectorized ``str.extract``
-    (C-regex over the whole batch; VERDICT r4 item 7 replaced the
-    per-row ``json.loads`` lambda).  A non-matching row would surface
-    as a loud NaN->int64 cast error rather than a silent wrong value.
+    Hybrid extraction (VERDICT r4 item 7 + the r5 review fix): the
+    fast path is one vectorized ``str.extract`` C-regex per batch, but
+    it only TRUSTS itself when the row has exactly ONE ``"k":``
+    occurrence and the value is a bare integer — any other shape
+    (duplicate/nested ``"k"``, a ``"k":`` inside a string value, a
+    float) falls back to exact ``json.loads`` for that row, so the result
+    matches the twin's ``json_extract('$.k')`` on every valid JSON
+    input rather than assuming the testdata's flat shape.  A row with
+    no extractable k surfaces as a loud error, never a silent value.
     """
     ds = _rp(sf_dir, "events", columns=["event_type", "props"])
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
-        k = b["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False).astype("int64")
+        import json as _json
+
+        props = b["props"]
+        counts = props.str.count(r'"k"\s*:')
+        fast = props.str.extract(r'"k"\s*:\s*(-?\d+)(?![\d.eE])',
+                                 expand=False)
+        ok = (counts == 1) & fast.notna()
+        k = np.empty(len(b), dtype="int64")
+        k[ok.to_numpy()] = fast[ok].astype("int64").to_numpy()
+        if (~ok).any():
+            k[(~ok).to_numpy()] = [int(_json.loads(p)["k"])
+                                   for p in props[~ok]]
         g = pd.DataFrame({"event_type": b["event_type"], "n": np.int64(1),
                           "sum_k": k, "max_k": k})
         return (g.groupby("event_type", sort=False)

@@ -416,21 +416,23 @@ def make_pdf_objstm(paragraphs: list[str],
         top_off[num] = len(out)
         out += str(num).encode("ascii") + b" 0 obj\n" + top[num] + b"\nendobj\n"
     xref_pos = len(out)
-    # W [1 2 1] entries for objects 0..8: type 0 free, type 1 offset,
-    # type 2 (objstm number, index)
+    # W [1 4 1] entries for objects 0..8: type 0 free, type 1 offset,
+    # type 2 (objstm number, index).  4-byte offsets: a large paragraph
+    # corpus pushes objects past 65535 bytes, which 2-byte fields
+    # cannot hold (OverflowError at corpus-generation time).
     rows = bytearray()
     objstm_index = {num: i for i, (num, _b) in enumerate(packed)}
     for num in range(9):
         if num == 0:
-            rows += bytes([0]) + (0).to_bytes(2, "big") + bytes([255])
+            rows += bytes([0]) + (0).to_bytes(4, "big") + bytes([255])
         elif num in objstm_index:
-            rows += bytes([2]) + (7).to_bytes(2, "big") \
+            rows += bytes([2]) + (7).to_bytes(4, "big") \
                 + bytes([objstm_index[num]])
         elif num in top_off:
-            rows += bytes([1]) + top_off[num].to_bytes(2, "big") + bytes([0])
+            rows += bytes([1]) + top_off[num].to_bytes(4, "big") + bytes([0])
         else:  # the xref stream itself
-            rows += bytes([1]) + xref_pos.to_bytes(2, "big") + bytes([0])
-    out += (b"8 0 obj\n<< /Type /XRef /Size 9 /W [1 2 1] /Root 1 0 R "
+            rows += bytes([1]) + xref_pos.to_bytes(4, "big") + bytes([0])
+    out += (b"8 0 obj\n<< /Type /XRef /Size 9 /W [1 4 1] /Root 1 0 R "
             b"/Length " + str(len(rows)).encode("ascii") + b" >>\nstream\n"
             + bytes(rows) + b"\nendstream\nendobj\n")
     out += (b"startxref\n" + str(xref_pos).encode("ascii") + b"\n%%EOF\n")
@@ -634,6 +636,23 @@ def gradient_image(doc_id: int) -> tuple[str, bytes, int, int]:
     return fmt, payload, w, h
 
 
+def _jpeg_dc_table() -> tuple[list[int], bytes, dict[int, tuple[int, int]]]:
+    """The shared Annex-K-shaped DC Huffman table (categories 0..11)
+    used by every synthetic JPEG encoder here: (bits, vals,
+    {category: (code, length)}) built canonically."""
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = bytes(range(12))
+    dc_codes = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(dc_bits[length - 1]):
+            dc_codes[dc_vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return dc_bits, dc_vals, dc_codes
+
+
 def encode_jpeg_gray_dc(blocks) -> bytes:
     """(by, bx) uint8 BLOCK values -> baseline grayscale JPEG whose 8x8
     blocks are constant (DC-only, quant table all ones, Annex-K DC
@@ -653,20 +672,10 @@ def encode_jpeg_gray_dc(blocks) -> bytes:
     dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
     sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
               + bytes([1, 1, 0x11, 0]))
-    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
-    dc_vals = bytes(range(12))
+    dc_bits, dc_vals, dc_codes = _jpeg_dc_table()
     dht_dc = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
     dht_ac = seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-
-    dc_codes = {}
-    code = k = 0
-    for length in range(1, 17):
-        for _ in range(dc_bits[length - 1]):
-            dc_codes[dc_vals[k]] = (code, length)
-            code += 1
-            k += 1
-        code <<= 1
 
     out = bytearray()
     acc = nb = 0
@@ -743,20 +752,10 @@ def encode_jpeg_color_dc(y_blocks, cb_blocks, cr_blocks,
                        1, (hy << 4) | vy, 0,
                        2, 0x11, 0,
                        3, 0x11, 0]))
-    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
-    dc_vals = bytes(range(12))
+    dc_bits, dc_vals, dc_codes = _jpeg_dc_table()
     dht_dc = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
     dht_ac = seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-
-    dc_codes = {}
-    code = k = 0
-    for length in range(1, 17):
-        for _ in range(dc_bits[length - 1]):
-            dc_codes[dc_vals[k]] = (code, length)
-            code += 1
-            k += 1
-        code <<= 1
 
     out = bytearray()
     acc = nb = 0
@@ -889,16 +888,7 @@ def _jpeg_prog_tables():
         return (bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big")
                 + body)
 
-    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
-    dc_vals = bytes(range(12))
-    dc_codes = {}
-    code = k = 0
-    for length in range(1, 17):
-        for _ in range(dc_bits[length - 1]):
-            dc_codes[dc_vals[k]] = (code, length)
-            code += 1
-            k += 1
-        code <<= 1
+    dc_bits, dc_vals, dc_codes = _jpeg_dc_table()
     ac_syms = [(r << 4) | s for r in range(16) for s in range(11)]
     ac_codes = {sym: (i, 8) for i, sym in enumerate(ac_syms)}
     ac_bits = [0] * 16
@@ -1325,7 +1315,7 @@ def encode_webp_lossless(px, cache_bits: int = 0, rle: bool = False,
                 pred = pixels[i - w]
             else:
                 left, top, tl = pixels[i - 1], pixels[i - w], pixels[i - w - 1]
-                tr = pixels[i - w + 1] if x + 1 < w else top
+                tr = pixels[i - w + 1]  # x=w-1: current row's first px
                 pred = predict_pixel(2, left, top, tr, tl)
             res[i] = tuple((p - q) & 0xFF for p, q in zip(pixels[i], pred))
         pixels = res

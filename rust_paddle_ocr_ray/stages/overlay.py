@@ -36,12 +36,14 @@ def render_overlay(spans: pd.DataFrame) -> tuple[bytes, int, int, int]:
 
     White canvas sized to the page's line span (clamped to
     ``MAX_W``×``MAX_H``); each real span (block_id >= 0) draws a
-    1-px rectangle border colored (255, 255-s, 255-s) with
-    ``s = round(255 * score)`` — deterministic, so tests assert exact
-    pixels after a PNG round-trip.  Sentinel-only pages (the
-    zero-span block_id = -1 row) render a blank canvas, mirroring the
-    reference's no-boxes output for blank inputs (src/main.rs:141-145).
-    """
+    1-px rectangle border colored (255, 255-s, 255-s) where ``s`` is
+    the span's score normalized to [0, 255] — detect emits BYTE
+    scores (functions/html.block_score, [0, 255]) so those pass
+    through; a [0, 1] float normalizes up — deterministic either way,
+    so tests assert exact pixels after a PNG round-trip.
+    Sentinel-only pages (the zero-span block_id = -1 row) render a
+    blank canvas, mirroring the reference's no-boxes output for blank
+    inputs (src/main.rs:141-145)."""
     from ..sources.synth import encode_png_rgb
 
     real = spans[spans["block_id"] >= 0]
@@ -56,7 +58,10 @@ def render_overlay(spans: pd.DataFrame) -> tuple[bytes, int, int, int]:
         y0 = min(h - 1, LINE_HEIGHT * int(s["line_start"]))
         y1 = min(h, LINE_HEIGHT * (int(s["line_end"]) + 1))
         x1 = min(w, max(2, CHAR_PX * int(s["end"] - s["start"])))
-        shade = 255 - int(round(255 * float(s["score"])))
+        sc = float(s["score"])
+        if sc <= 1.0:  # [0,1] float convention -> byte
+            sc *= 255.0
+        shade = 255 - min(255, max(0, int(round(sc))))
         color = np.array([255, shade, shade], dtype=np.uint8)
         canvas[y0, 0:x1] = color
         canvas[y1 - 1, 0:x1] = color

@@ -29,8 +29,8 @@ def _span(url, block_id, start, end, line_start, line_end, score):
 
 def test_render_overlay_exact_pixels():
     df = pd.DataFrame([
-        _span("u", 0, 0, 40, 0, 1, 1.0),     # full-red box, lines 0-1
-        _span("u", 1, 100, 120, 3, 3, 0.5),  # half-red box, line 3
+        _span("u", 0, 0, 40, 0, 1, 255.0),   # full-red box (BYTE score)
+        _span("u", 1, 100, 120, 3, 3, 0.5),  # half-red box ([0,1] float)
     ])
     png, w, h, n = render_overlay(df)
     assert n == 2
@@ -77,8 +77,12 @@ def test_overlay_pages_end_to_end(ray_session, tmp_path):
     some = df[df["n_spans"] > 0].iloc[0]
     px = decode_png(some["overlay_png"])
     assert px.shape[0] == some["height"] and px.shape[1] == some["width"]
-    # at least one non-white (border) pixel on a spanful page
-    assert (np.asarray(px) != 255).any()
+    # real detect scores are bytes (threshold 200): the border must be
+    # strongly red, not wrapped-to-near-white (the score-domain bug)
+    arr = np.asarray(px)
+    assert (arr != 255).any()
+    reds = arr[(arr[:, :, 0] == 255) & (arr[:, :, 1] < 255)]
+    assert len(reds) and (reds[:, 1] < 64).any()
     blank = df[df["n_spans"] == 0]
     if len(blank):
         bpx = decode_png(blank.iloc[0]["overlay_png"])
