@@ -674,3 +674,21 @@ def test_objstm_spans_follow_detect_contract():
     a = extract_pdf_spans(make_pdf_objstm(_OBJSTM_PARAS), CLI_CONFIG)
     b = extract_pdf_spans(make_pdf(_OBJSTM_PARAS), CLI_CONFIG)
     assert a == b and len(a) >= 1
+
+
+def test_objstm_large_corpus_offsets():
+    """Regression (r5 review): 2-byte xref-stream offset fields
+    overflowed once content passed 64 KiB; W [1 4 1] must carry a
+    low-redundancy corpus well past that, and the text must still
+    round-trip vs the plain layout."""
+    import numpy as np
+
+    from rust_paddle_ocr_ray.sources.synth import make_pdf_objstm
+
+    rng = np.random.RandomState(7)
+    words = ["".join(chr(97 + c) for c in rng.randint(0, 26, 8))
+             for _ in range(12_000)]
+    paras = [" ".join(words[i:i + 60]) for i in range(0, len(words), 60)]
+    payload = make_pdf_objstm(paras)
+    assert len(payload) > 65_535  # the old 2-byte fields cannot hold this
+    assert (pdf_text_blocks(payload) == pdf_text_blocks(make_pdf(paras)))
