@@ -1256,7 +1256,9 @@ def _vp8l_prefix_value(v: int) -> tuple[int, int, int]:
 
 def encode_webp_lossless(px, cache_bits: int = 0, rle: bool = False,
                          transform: str | None = None,
-                         size_bits: int = 2, palette=None) -> bytes:
+                         size_bits: int = 2, palette=None,
+                         meta_bits: int | None = None,
+                         simple: bool = False) -> bytes:
     """(h, w, 3|4) uint8 -> lossless WebP (RIFF + VP8L), the synthetic
     twin of functions/vp8l.decode_webp.  Balanced complete prefix
     codes emitted through the full code-length-code machinery; LZ77
@@ -1266,7 +1268,10 @@ def encode_webp_lossless(px, cache_bits: int = 0, rle: bool = False,
     'predictor' (mode-2/top residuals with a literal-coded mode
     subimage) | 'color' (fixed transform elements per block) |
     'palette' (color-indexing; pass ``palette`` as a list of (a,r,g,b)
-    tuples; indices bundle sub-byte when <= 16 entries)."""
+    tuples; indices bundle sub-byte when <= 16 entries).
+    ``meta_bits``: emit a two-group META PREFIX (checkerboard entropy
+    image; literal-only).  ``simple=True``: channels with <= 2
+    distinct values use the spec's short simple-code header."""
     import numpy as np
 
     px = np.asarray(px, dtype=np.uint8)
@@ -1370,7 +1375,8 @@ def encode_webp_lossless(px, cache_bits: int = 0, rle: bool = False,
         raise ValueError(f"unknown transform {transform!r}")
     b.emit(0, 1)  # end of transforms
 
-    _vp8l_emit_spatial(b, pixels, cache_bits=cache_bits, rle=rle)
+    _vp8l_emit_spatial(b, pixels, cache_bits=cache_bits, rle=rle,
+                       w=cur_w, h=h, meta_bits=meta_bits, simple=simple)
 
     payload = bytes(b.out)
     if len(payload) & 1:
@@ -1389,33 +1395,115 @@ def _vp8l_emit_subimage(b: "_Vp8lBits", pixels):
     _vp8l_emit_groups_and_pixels(b, pixels, cache_bits=0, rle=False)
 
 
+def _vp8l_emit_simple_code(b: "_Vp8lBits",
+                           syms: list[int]) -> dict[int, tuple[int, int]]:
+    """Emit a SIMPLE prefix code (1 or 2 symbols, the spec's short
+    header) and return the symbol->(code, length) map: one symbol
+    reads ZERO bits, two symbols one bit each (canonical: smaller
+    symbol = code 0)."""
+    syms = sorted(set(syms))
+    b.emit(1, 1)  # simple
+    b.emit(len(syms) - 1, 1)
+    first_is_8bit = syms[0] > 1
+    b.emit(1 if first_is_8bit else 0, 1)
+    b.emit(syms[0], 8 if first_is_8bit else 1)
+    if len(syms) == 1:
+        return {syms[0]: (0, 0)}
+    b.emit(syms[1], 8)
+    return {syms[0]: (0, 1), syms[1]: (1, 1)}
+
+
+def _vp8l_channel_code(b: "_Vp8lBits", used: set[int], alphabet_size: int,
+                       allow_simple: bool) -> dict[int, tuple[int, int]]:
+    """One channel's prefix code: a SIMPLE code when <= 2 symbols are
+    used (and the first fits the 8-bit field), else the balanced
+    complete table through the code-length-code machinery."""
+    if allow_simple and 1 <= len(used) <= 2 and max(used) <= 255:
+        return _vp8l_emit_simple_code(b, sorted(used))
+    lengths = _vp8l_balanced_lengths(alphabet_size)
+    _vp8l_emit_code_table(b, lengths, alphabet_size)
+    return _vp8l_canon_codes(lengths)
+
+
 def _vp8l_emit_spatial(b: "_Vp8lBits", pixels, cache_bits: int,
-                       rle: bool):
-    """Emit the main spatially-coded image: optional color cache, no
-    meta prefix, one prefix-code group."""
+                       rle: bool, w: int | None = None,
+                       h: int | None = None,
+                       meta_bits: int | None = None,
+                       simple: bool = False):
+    """Emit the main spatially-coded image: optional color cache;
+    ``meta_bits`` adds a META PREFIX — a checkerboard entropy image
+    assigning each (1<<meta_bits)-sized block to one of TWO prefix
+    code groups (literal-only; exercises the decoder's group
+    selection); ``simple=True`` lets channels with <= 2 distinct
+    values use the spec's short simple-code header."""
     if cache_bits:
         b.emit(1, 1)
         b.emit(cache_bits, 4)
     else:
         b.emit(0, 1)
-    b.emit(0, 1)  # no meta prefix
-    _vp8l_emit_groups_and_pixels(b, pixels, cache_bits, rle)
+    if meta_bits is None:
+        b.emit(0, 1)  # no meta prefix
+        _vp8l_emit_groups_and_pixels(b, pixels, cache_bits, rle,
+                                     simple=simple)
+        return
+    if rle or cache_bits or w is None or h is None:
+        raise ValueError("meta-prefix emission is literal-only")
+    b.emit(1, 1)
+    b.emit(meta_bits - 2, 3)
+    mb = meta_bits
+    mw = -(-w // (1 << mb))
+    mh = -(-h // (1 << mb))
+    meta_px = [(255, 0, (bx + by) % 2, 0)
+               for by in range(mh) for bx in range(mw)]
+    _vp8l_emit_subimage(b, meta_px)
+    tabs = []
+    for _ in range(2):  # two groups, balanced shapes
+        gl = _vp8l_balanced_lengths(256 + 24)
+        cl = _vp8l_balanced_lengths(256)
+        dl = _vp8l_balanced_lengths(40)
+        _vp8l_emit_code_table(b, gl, 256 + 24)
+        for _ in range(3):
+            _vp8l_emit_code_table(b, cl, 256)
+        _vp8l_emit_code_table(b, dl, 40)
+        tabs.append((_vp8l_canon_codes(gl), _vp8l_canon_codes(cl)))
+    for i, p in enumerate(pixels):
+        x, y = i % w, i // w
+        g_codes, c_codes = tabs[((x >> mb) + (y >> mb)) % 2]
+        a, r, g, bl = p
+        for sym, cm in ((g, g_codes), (r, c_codes), (bl, c_codes),
+                        (a, c_codes)):
+            c, ln = cm[sym]
+            b.emit_code(c, ln)
 
 
 def _vp8l_emit_groups_and_pixels(b: "_Vp8lBits", pixels,
-                                 cache_bits: int, rle: bool):
+                                 cache_bits: int, rle: bool,
+                                 simple: bool = False):
     cache_size = (1 << cache_bits) if cache_bits else 0
     green_n = 256 + 24 + cache_size
-    gl = _vp8l_balanced_lengths(green_n)
-    cl = _vp8l_balanced_lengths(256)
-    dl = _vp8l_balanced_lengths(40)
-    _vp8l_emit_code_table(b, gl, green_n)
-    for _ in range(3):  # red, blue, alpha share the 256-symbol shape
-        _vp8l_emit_code_table(b, cl, 256)
-    _vp8l_emit_code_table(b, dl, 40)
-    g_codes = _vp8l_canon_codes(gl)
-    c_codes = _vp8l_canon_codes(cl)
-    d_codes = _vp8l_canon_codes(dl)
+    if simple and not rle and not cache_bits:
+        g_codes = _vp8l_channel_code(b, {p[2] for p in pixels}, green_n,
+                                     True)
+        used = ({p[1] for p in pixels} | {p[3] for p in pixels}
+                | {p[0] for p in pixels})
+        c_codes = _vp8l_channel_code(b, used, 256, True)
+        c_codes = {**c_codes}
+        # red/blue/alpha are three separate trees in the stream
+        for _ in range(2):
+            again = _vp8l_channel_code(b, used, 256, True)
+            assert again == c_codes
+        d_codes = _vp8l_emit_simple_code(b, [0])  # unused distance tree
+    else:
+        gl = _vp8l_balanced_lengths(green_n)
+        cl = _vp8l_balanced_lengths(256)
+        dl = _vp8l_balanced_lengths(40)
+        _vp8l_emit_code_table(b, gl, green_n)
+        for _ in range(3):  # red, blue, alpha share the 256-symbol shape
+            _vp8l_emit_code_table(b, cl, 256)
+        _vp8l_emit_code_table(b, dl, 40)
+        g_codes = _vp8l_canon_codes(gl)
+        c_codes = _vp8l_canon_codes(cl)
+        d_codes = _vp8l_canon_codes(dl)
     cache = [(0, 0, 0, 0)] * cache_size
 
     def cache_key(p):

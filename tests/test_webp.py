@@ -119,3 +119,26 @@ def test_featurizer_dispatch_decodes_vp8l():
     px = _img(9, 6, 8)
     got = decode_payload(encode_webp_lossless(px))
     np.testing.assert_array_equal(got, px)
+
+
+def test_meta_prefix_groups_roundtrip():
+    """Two prefix-code groups selected per 4-px block by a
+    checkerboard entropy image — the decoder's meta-prefix path."""
+    px = _img(11, 13, 18)
+    got = decode_webp(encode_webp_lossless(px, meta_bits=2))
+    np.testing.assert_array_equal(got, px)
+
+
+def test_simple_prefix_codes_roundtrip():
+    """The spec's short simple-code header: a constant image reads
+    ZERO bits per channel symbol; a two-tone image one bit."""
+    px = np.zeros((9, 7, 3), dtype=np.uint8)
+    px[:, :, 0], px[:, :, 1], px[:, :, 2] = 200, 3, 77
+    got = decode_webp(encode_webp_lossless(px, simple=True))
+    np.testing.assert_array_equal(got, px)
+    rng = np.random.default_rng(12)
+    two = np.where(rng.random((8, 8, 1)) < 0.5,
+                   np.array([10, 20, 30], dtype=np.uint8),
+                   np.array([200, 210, 220], dtype=np.uint8)).astype(np.uint8)
+    got = decode_webp(encode_webp_lossless(two, simple=True))
+    np.testing.assert_array_equal(got, two)
