@@ -1456,8 +1456,11 @@ def _vp8l_emit_spatial(b: "_Vp8lBits", pixels, cache_bits: int,
     meta_px = [(255, 0, (bx + by) % 2, 0)
                for by in range(mh) for bx in range(mw)]
     _vp8l_emit_subimage(b, meta_px)
+    # the decoder reads max(group)+1 tables — a 1-block meta image
+    # only ever names group 0, so emitting two would desync the stream
+    n_groups = max(p[2] for p in meta_px) + 1
     tabs = []
-    for _ in range(2):  # two groups, balanced shapes
+    for _ in range(n_groups):  # balanced shapes per group
         gl = _vp8l_balanced_lengths(256 + 24)
         cl = _vp8l_balanced_lengths(256)
         dl = _vp8l_balanced_lengths(40)
@@ -1468,7 +1471,7 @@ def _vp8l_emit_spatial(b: "_Vp8lBits", pixels, cache_bits: int,
         tabs.append((_vp8l_canon_codes(gl), _vp8l_canon_codes(cl)))
     for i, p in enumerate(pixels):
         x, y = i % w, i // w
-        g_codes, c_codes = tabs[((x >> mb) + (y >> mb)) % 2]
+        g_codes, c_codes = tabs[((x >> mb) + (y >> mb)) % 2 % n_groups]
         a, r, g, bl = p
         for sym, cm in ((g, g_codes), (r, c_codes), (bl, c_codes),
                         (a, c_codes)):

@@ -129,6 +129,15 @@ def test_meta_prefix_groups_roundtrip():
     np.testing.assert_array_equal(got, px)
 
 
+def test_meta_prefix_single_block_regression():
+    """Stress-found: an image small enough that the meta entropy
+    image has ONE block names only group 0, so the encoder must emit
+    exactly max(group)+1 code-table sets or the stream desyncs."""
+    px = _img(14, 4, 7, 4)
+    got = decode_webp(encode_webp_lossless(px, meta_bits=3))
+    np.testing.assert_array_equal(got, px)
+
+
 def test_simple_prefix_codes_roundtrip():
     """The spec's short simple-code header: a constant image reads
     ZERO bits per channel symbol; a two-tone image one bit."""
