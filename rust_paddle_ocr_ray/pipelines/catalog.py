@@ -587,6 +587,19 @@ def _doc_pages(sf_dir: str):
     return docs.map_batches(pages_from_documents, batch_format="pyarrow")
 
 
+def _small_input_pipe():
+    """The flagship pipeline exactly as production runs it.  An A/B at
+    sf0.1 x 32 pinned cpus (3 repeats each, one session) measured the
+    WARM pool at 4.95 s min vs 7.03 s for a ramping (min=1) pool on
+    q23 — at 5k docs the ramp starves recognition while actors spawn,
+    so the eager 3/4-share pool wins here too; sizing.py's
+    ramp-for-short-stages note applies to lighter per-query actor
+    stages, not the flagship."""
+    from .extract import ExtractPipeline
+
+    return ExtractPipeline(CLI_CONFIG)
+
+
 def q23_extract(sf_dir: str):
     """Flagship det->rec->merge over pages synthesized from documents.
 
@@ -594,9 +607,7 @@ def q23_extract(sf_dir: str):
     q23_sf0.01.parquet, generated by the INDEPENDENT oracle impl via
     tools/make_goldens.py) surfaced as a DuckDB ``read_parquet`` twin —
     valid at the driver gate's sf0.01 only."""
-    from .extract import ExtractPipeline
-
-    return ExtractPipeline(CLI_CONFIG).run(_doc_pages(sf_dir))
+    return _small_input_pipe().run(_doc_pages(sf_dir))
 
 
 _GOLDEN_DIR = os.path.join(
@@ -652,12 +663,10 @@ def q30_mixed_extract(sf_dir: str):
     import ray
 
     from ..sources.synth import mixed_pages_from_documents
-    from .extract import ExtractPipeline
-
     width = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     docs = rd.read_parquet(_t(sf_dir, "documents"), override_num_blocks=width * 2)
     pages = docs.map_batches(mixed_pages_from_documents, batch_format="pyarrow")
-    return ExtractPipeline(CLI_CONFIG).run(pages)
+    return _small_input_pipe().run(pages)
 
 
 def q24_detect_spans(sf_dir: str):
@@ -668,9 +677,7 @@ def q24_detect_spans(sf_dir: str):
     q24_sf0.01.parquet, generated by the INDEPENDENT oracle impl via
     tools/make_goldens.py) surfaced as a DuckDB ``read_parquet`` twin —
     valid at the driver gate's sf0.01 only."""
-    from .extract import ExtractPipeline
-
-    pipe = ExtractPipeline(CLI_CONFIG)
+    pipe = _small_input_pipe()
     spans = pipe.detect(_doc_pages(sf_dir)).drop_columns(["raw"])
     return spans.filter(expr="block_id >= 0")
 
