@@ -135,13 +135,16 @@ def make_driver_gate_goldens() -> None:
           f"q30 {q30.num_rows} rows")
 
 
-def make_approx_goldens() -> None:
+def make_approx_goldens(sf_dir: str = GATE_SF_DIR) -> None:
     """Oracle goldens for the deterministic approximate family (q17
-    MinHash, q18 SimHash, q21 LSH ANN, q35 IVF ANN) over the sf0.01
-    gate tables — computed by the independent straight-line oracles
-    (tests/oracle_impl.py), never by the engine under test, and
-    surfaced through oracle_sql() as DuckDB ``read_parquet`` twins
-    (VERDICT r3 item 1; the same mechanism as q23/q24/q30)."""
+    MinHash, q18 SimHash, q21 LSH ANN, q35 IVF ANN) — computed by the
+    independent straight-line oracles (tests/oracle_impl.py), never by
+    the engine under test, and surfaced through oracle_sql() as DuckDB
+    ``read_parquet`` twins (VERDICT r3 item 1; the same mechanism as
+    q23/q24/q30).  Default = the driver gate's sf0.01; pass another
+    sf_dir (``python tools/make_goldens.py --approx-sf <dir>``) to
+    emit goldens suffixed with that directory's basename so
+    tools/check_queries.py can verify the family at other scales."""
     from tests.oracle_impl import (
         oracle_knn_ivf,
         oracle_knn_lsh,
@@ -151,7 +154,8 @@ def make_approx_goldens() -> None:
 
     import numpy as np
 
-    docs = pq.read_table(os.path.join(GATE_SF_DIR, "documents.parquet"),
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
     ids = docs["doc_id"].to_pylist()
     texts = docs["text"].to_pylist()
@@ -160,16 +164,16 @@ def make_approx_goldens() -> None:
     q17 = pa.Table.from_pydict(
         {"a": pa.array([p[0] for p in mh], pa.int64()),
          "b": pa.array([p[1] for p in mh], pa.int64())})
-    pq.write_table(q17, os.path.join(OUT, "q17_sf0.01.parquet"))
+    pq.write_table(q17, os.path.join(OUT, f"q17_{sf_tag}.parquet"))
 
     sh = oracle_simhash_pairs(ids, texts, max_hamming=3)
     q18 = pa.Table.from_pydict(
         {"a": pa.array([p[0] for p in sh], pa.int64()),
          "b": pa.array([p[1] for p in sh], pa.int64()),
          "hamming": pa.array([p[2] for p in sh], pa.int64())})
-    pq.write_table(q18, os.path.join(OUT, "q18_sf0.01.parquet"))
+    pq.write_table(q18, os.path.join(OUT, f"q18_{sf_tag}.parquet"))
 
-    emb = pq.read_table(os.path.join(GATE_SF_DIR, "embeddings.parquet"),
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                         columns=["vec_id", "embedding"])
     vec_ids = emb["vec_id"].to_pylist()
     mat = np.stack(emb["embedding"].to_pandas().to_numpy())
@@ -184,9 +188,9 @@ def make_approx_goldens() -> None:
              "rank": pa.array([r[2] for r in rows], pa.int64())})
 
     lsh = oracle_knn_lsh(vec_ids, mat, q_ids, q_mat, k=5, dim=64, bits=8)
-    pq.write_table(topk_table(lsh), os.path.join(OUT, "q21_sf0.01.parquet"))
+    pq.write_table(topk_table(lsh), os.path.join(OUT, f"q21_{sf_tag}.parquet"))
     ivf = oracle_knn_ivf(vec_ids, mat, q_ids, q_mat, k=5, nlist=16, nprobe=4)
-    pq.write_table(topk_table(ivf), os.path.join(OUT, "q35_sf0.01.parquet"))
+    pq.write_table(topk_table(ivf), os.path.join(OUT, f"q35_{sf_tag}.parquet"))
     print(f"wrote approx goldens: q17 {q17.num_rows} pairs, q18 {q18.num_rows} "
           f"pairs, q21 {len(lsh)} rows, q35 {len(ivf)} rows")
 
@@ -235,4 +239,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--approx-sf":
+        # extra-scale approximate-family goldens only (e.g. sf0.1 for
+        # tools/check_queries.py parity runs beyond the driver gate)
+        make_approx_goldens(sys.argv[2])
+    else:
+        main()
+        make_driver_gate_goldens()
+        make_approx_goldens()
