@@ -104,6 +104,30 @@ def test_progressive_color_subsampled(hy, vy):
         got, _ref_reconstruct([yz, cbz, crz], samp, w, h))
 
 
+@pytest.mark.parametrize("samp", [
+    [(2, 2), (2, 1), (1, 1)],   # chroma wider than 1x1: its AC scans
+    [(2, 2), (1, 2), (2, 2)],   # walk a non-trivial per-component grid
+    [(2, 1), (2, 1), (1, 1)],
+    [(1, 2), (1, 1), (1, 2)],
+])
+def test_progressive_mixed_samplings(samp):
+    """Per-component mixed samplings: every component's non-interleaved
+    AC-scan grid differs (T.81 G.1 scans address each component's own
+    block array, not the MCU grid)."""
+    rng = np.random.default_rng(sum(h * 10 + v for h, v in samp))
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mx, my = 3, 2
+    coefs = [_sparse_coefs(rng, my * v, mx * h, density=0.1)
+             for h, v in samp]
+    w = mx * hmax * 8 - 5
+    h_ = my * vmax * 8 - 3
+    data = encode_jpeg_progressive(coefs, samp, w=w, h=h_)
+    got = decode_jpeg(data)
+    np.testing.assert_array_equal(
+        got, _ref_reconstruct(coefs, samp, w, h_))
+
+
 def test_progressive_restart_intervals():
     rng = np.random.default_rng(11)
     yz = _sparse_coefs(rng, 4, 6)
