@@ -28,6 +28,16 @@ import argparse
 import sys
 
 
+def _resolve_address(arg_address: str | None) -> str:
+    """CLI flag > $RAY_ADDRESS > 'local'.  'local' starts an in-process
+    session sized by --num-cpus; anything else ('auto', 'ray://…') is a
+    cluster attach — the form a `ray job submit` entrypoint runs under,
+    where the cluster owns its resources."""
+    import os
+
+    return arg_address or os.environ.get("RAY_ADDRESS") or "local"
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="rust_paddle_ocr_ray")
     ap.add_argument("--input", required=True, help="parquet pages file/dir")
@@ -37,14 +47,25 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint", type=int, default=0,
                     help="N>0: resumable run with N partitions (parquet mode)")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--address", default=None,
+                    help="Ray address: 'local' (default) starts an in-process "
+                         "session; 'auto' attaches to a running cluster — the "
+                         "form `ray job submit` entrypoints use.  Defaults to "
+                         "$RAY_ADDRESS when set.")
     ap.add_argument("--limit", type=int, default=20, help="rows to print in text mode")
     args = ap.parse_args(argv)
 
     import ray
 
+    address = _resolve_address(args.address)
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        if address == "local":
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        else:
+            # cluster attach (ray job submit / ray start --head): the
+            # cluster owns its resources — num_cpus must not be passed.
+            ray.init(address=address, logging_level="ERROR")
     try:
         return _run(args)
     finally:

@@ -59,3 +59,14 @@ def test_cli_text_mode(corpus_file):
     r = _cli("--input", corpus_file, "--mode", "text", "--limit", "2", "--num-cpus", "4")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "== https://" in r.stdout
+
+
+def test_address_resolution(monkeypatch):
+    from rust_paddle_ocr_ray.cli import _resolve_address
+
+    monkeypatch.delenv("RAY_ADDRESS", raising=False)
+    assert _resolve_address(None) == "local"
+    assert _resolve_address("auto") == "auto"
+    monkeypatch.setenv("RAY_ADDRESS", "ray://head:10001")
+    assert _resolve_address(None) == "ray://head:10001"  # job-submit env
+    assert _resolve_address("local") == "local"          # flag wins
