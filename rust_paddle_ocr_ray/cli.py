@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
         else:
             # cluster attach (ray job submit / ray start --head): the
             # cluster owns its resources — num_cpus must not be passed.
+            if args.num_cpus is not None:
+                print(f"warning: --num-cpus {args.num_cpus} ignored when "
+                      f"attaching to a cluster (address={address!r}); the "
+                      "cluster owns its resources", file=sys.stderr)
             ray.init(address=address, logging_level="ERROR")
     try:
         return _run(args)

@@ -1460,8 +1460,16 @@ def _vp8l_emit_spatial(b: "_Vp8lBits", pixels, cache_bits: int,
     # only ever names group 0, so emitting two would desync the stream
     n_groups = max(p[2] for p in meta_px) + 1
     tabs = []
-    for _ in range(n_groups):  # balanced shapes per group
+    for gi in range(n_groups):
         gl = _vp8l_balanced_lengths(256 + 24)
+        if gi % 2 == 1:
+            # odd groups get a ROTATED green length assignment (same
+            # multiset, so Kraft stays 1) — the groups' canonical codes
+            # genuinely differ, so a decoder that picks the wrong group
+            # (ignores the entropy image, swaps block x/y, always reads
+            # group 0) desyncs instead of silently round-tripping
+            n = 256 + 24
+            gl = {s: gl[(s + n // 2) % n] for s in range(n)}
         cl = _vp8l_balanced_lengths(256)
         dl = _vp8l_balanced_lengths(40)
         _vp8l_emit_code_table(b, gl, 256 + 24)
@@ -1485,16 +1493,14 @@ def _vp8l_emit_groups_and_pixels(b: "_Vp8lBits", pixels,
     cache_size = (1 << cache_bits) if cache_bits else 0
     green_n = 256 + 24 + cache_size
     if simple and not rle and not cache_bits:
+        # each channel gets its own simple code over ITS used symbols
+        # (stream tree order: green, red, blue, alpha, distance) — a
+        # constant channel reads ZERO bits, a two-tone channel one bit
         g_codes = _vp8l_channel_code(b, {p[2] for p in pixels}, green_n,
                                      True)
-        used = ({p[1] for p in pixels} | {p[3] for p in pixels}
-                | {p[0] for p in pixels})
-        c_codes = _vp8l_channel_code(b, used, 256, True)
-        c_codes = {**c_codes}
-        # red/blue/alpha are three separate trees in the stream
-        for _ in range(2):
-            again = _vp8l_channel_code(b, used, 256, True)
-            assert again == c_codes
+        r_codes = _vp8l_channel_code(b, {p[1] for p in pixels}, 256, True)
+        bl_codes = _vp8l_channel_code(b, {p[3] for p in pixels}, 256, True)
+        a_codes = _vp8l_channel_code(b, {p[0] for p in pixels}, 256, True)
         d_codes = _vp8l_emit_simple_code(b, [0])  # unused distance tree
     else:
         gl = _vp8l_balanced_lengths(green_n)
@@ -1505,7 +1511,7 @@ def _vp8l_emit_groups_and_pixels(b: "_Vp8lBits", pixels,
             _vp8l_emit_code_table(b, cl, 256)
         _vp8l_emit_code_table(b, dl, 40)
         g_codes = _vp8l_canon_codes(gl)
-        c_codes = _vp8l_canon_codes(cl)
+        r_codes = bl_codes = a_codes = _vp8l_canon_codes(cl)
         d_codes = _vp8l_canon_codes(dl)
     cache = [(0, 0, 0, 0)] * cache_size
 
@@ -1545,10 +1551,10 @@ def _vp8l_emit_groups_and_pixels(b: "_Vp8lBits", pixels,
         a, r, g, bl = p
         c, ln = g_codes[g]
         b.emit_code(c, ln)
-        c, ln = c_codes[r]
+        c, ln = r_codes[r]
         b.emit_code(c, ln)
-        c, ln = c_codes[bl]
+        c, ln = bl_codes[bl]
         b.emit_code(c, ln)
-        c, ln = c_codes[a]
+        c, ln = a_codes[a]
         b.emit_code(c, ln)
         i += 1

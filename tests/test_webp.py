@@ -123,8 +123,15 @@ def test_featurizer_dispatch_decodes_vp8l():
 
 def test_meta_prefix_groups_roundtrip():
     """Two prefix-code groups selected per 4-px block by a
-    checkerboard entropy image — the decoder's meta-prefix path."""
+    checkerboard entropy image — the decoder's meta-prefix path.
+    The encoder gives odd groups a ROTATED green code (same length
+    multiset, different per-symbol codes), and greens are pinned to
+    the symbol range where the two groups' codes genuinely differ
+    (>= 92 for the 280-symbol alphabet) — so a decoder that ignores
+    the entropy image, swaps block x/y, or always uses group 0
+    desyncs instead of silently round-tripping."""
     px = _img(11, 13, 18)
+    px[:, :, 1] = 92 + (px[:, :, 1].astype(np.int32) * 164) // 256
     got = decode_webp(encode_webp_lossless(px, meta_bits=2))
     np.testing.assert_array_equal(got, px)
 
@@ -139,12 +146,18 @@ def test_meta_prefix_single_block_regression():
 
 
 def test_simple_prefix_codes_roundtrip():
-    """The spec's short simple-code header: a constant image reads
-    ZERO bits per channel symbol; a two-tone image one bit."""
+    """The spec's short simple-code header, exercised on EVERY
+    channel tree (each channel gets its own simple code over its
+    used symbols): a constant image reads ZERO bits per channel
+    symbol; a two-tone image one bit."""
     px = np.zeros((9, 7, 3), dtype=np.uint8)
     px[:, :, 0], px[:, :, 1], px[:, :, 2] = 200, 3, 77
-    got = decode_webp(encode_webp_lossless(px, simple=True))
+    data = encode_webp_lossless(px, simple=True)
+    got = decode_webp(data)
     np.testing.assert_array_equal(got, px)
+    # all five trees simple (1 symbol each): header + tables dominate,
+    # pixels are free — the stream must stay tiny
+    assert len(data) < 64
     rng = np.random.default_rng(12)
     two = np.where(rng.random((8, 8, 1)) < 0.5,
                    np.array([10, 20, 30], dtype=np.uint8),

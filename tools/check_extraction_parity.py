@@ -29,6 +29,12 @@ def _sorted(df: pd.DataFrame, by: list[str]) -> pd.DataFrame:
 
 def _diff(name: str, got: pd.DataFrame, want: pd.DataFrame,
           keys: list[str]) -> bool:
+    missing = set(want.columns) - set(got.columns)
+    extra = set(got.columns) - set(want.columns)
+    if missing or extra:
+        print(f"{name:8s} SCHEMA MISMATCH missing={sorted(missing)} "
+              f"extra={sorted(extra)}")
+        return False
     got = _sorted(got[want.columns.tolist()], keys)
     want = _sorted(want, keys)
     if len(got) != len(want):
@@ -37,14 +43,14 @@ def _diff(name: str, got: pd.DataFrame, want: pd.DataFrame,
     for c in want.columns:
         a, b = got[c], want[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
-            eq = np.allclose(a.to_numpy(dtype="float64"),
-                             b.to_numpy(dtype="float64"),
-                             rtol=0, atol=1e-9, equal_nan=True)
+            av = a.to_numpy(dtype="float64")
+            bv = b.to_numpy(dtype="float64")
+            bad = ~(np.isclose(av, bv, rtol=0, atol=1e-9)
+                    | (np.isnan(av) & np.isnan(bv)))
         else:
-            eq = a.astype(str).equals(b.astype(str))
-        if not eq:
-            i = next(j for j in range(len(a))
-                     if str(a.iloc[j]) != str(b.iloc[j]))
+            bad = (a.astype(str) != b.astype(str)).to_numpy()
+        if bad.any():
+            i = int(np.flatnonzero(bad)[0])
             print(f"{name:8s} VALUE MISMATCH col={c} row={i}: "
                   f"engine={a.iloc[i]!r} oracle={b.iloc[i]!r}")
             return False

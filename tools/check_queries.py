@@ -136,9 +136,13 @@ def main() -> None:
         if name in oracles:
             sql = _retarget_golden(oracles[name], sf_dir)
             if sql is None:
+                hint = ("check via tools/check_extraction_parity.py "
+                        f"{sf_dir}"
+                        if name.split("_")[0] in ("q23", "q24", "q30")
+                        else "regenerate via tools/make_goldens.py "
+                             f"--approx-sf {sf_dir}")
                 print(f"{name:24s} {dt:6.1f}s  golden-pinned to sf0.01 "
-                      "(no golden at this sf; regenerate via "
-                      "tools/make_goldens.py --approx-sf)")
+                      f"(no golden at this sf; {hint})")
                 continue
             try:
                 sql_df = con.execute(sql).fetchdf()

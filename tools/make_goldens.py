@@ -239,9 +239,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--approx-sf":
+    if sys.argv[1:2] == ["--approx-sf"]:
         # extra-scale approximate-family goldens only (e.g. sf0.1 for
         # tools/check_queries.py parity runs beyond the driver gate)
+        if len(sys.argv) < 3:
+            # a missing sf dir must NOT fall through to the full
+            # regeneration below — goldens are independent-oracle
+            # output, regenerated only on a deliberate spec change
+            sys.exit("usage: make_goldens.py --approx-sf <sf_dir>")
         make_approx_goldens(sys.argv[2])
     else:
         main()
