@@ -179,14 +179,19 @@ def melt_sql(part: str, sql: str, spec: list[tuple[str, str]]) -> str:
 
 
 def _k_py(s: pd.Series, kind: str) -> pd.Series:
+    # .astype(object): .map on an EMPTY series yields float64, which
+    # would break the later `k + "|" + ...` string concatenation when
+    # a member legitimately returns zero rows
     if kind == "s":
-        return s.map(lambda x: "" if pd.isna(x) else str(x))
+        return s.map(lambda x: "" if pd.isna(x) else str(x)).astype(object)
     if kind == "i":
-        return s.map(lambda x: "" if pd.isna(x) else str(int(x)))
+        return s.map(lambda x: "" if pd.isna(x) else str(int(x))).astype(object)
     if kind == "b":
-        return s.map(lambda x: "" if pd.isna(x) else str(int(bool(x))))
+        return s.map(lambda x: "" if pd.isna(x) else str(int(bool(x)))).astype(object)
     if kind == "ts":
-        return s.map(lambda x: "" if pd.isna(x) else str(pd.Timestamp(x).value // 1000))
+        return s.map(
+            lambda x: "" if pd.isna(x) else str(pd.Timestamp(x).value // 1000)
+        ).astype(object)
     raise ValueError(f"not a key kind: {kind}")
 
 
