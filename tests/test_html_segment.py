@@ -175,3 +175,29 @@ def test_skew_split_rows_spreads_heavy_page(ray_session):
     b = split.run(rd.from_arrow(tbl)).to_pandas()
     assert a["extracted_text"].iloc[0] == b["extracted_text"].iloc[0]
     assert int(b["n_spans"].iloc[0]) == 2000
+
+
+def test_pathological_pages_never_crash_or_hang():
+    """Crawl-shaped adversarial inputs: the iterative tokenizer must
+    stay linear and exception-free at any nesting depth or tag soup
+    (100 TB of real crawl WILL contain all of these)."""
+    import time
+
+    long_text = "deep text content here long enough to pass the span gate " * 3
+    cases = {
+        "deep_nesting": "<div>" * 50_000 + long_text + "</div>" * 50_000,
+        "huge_attr": "<p " + "a" * 1_000_000 + ">" + long_text + "</p>",
+        "unterminated_attr": "<p onclick='" + "y" * 100_000,
+        "comment_bomb": "<!--" * 50_000 + long_text,
+        "unclosed_script": "<script>var a='" + "z" * 500_000,
+        "null_and_invalid_utf8_markers": "<p>" + long_text + "\x00�</p>",
+        "open_tag_flood": "<div" * 10_000 + ">" + long_text,
+    }
+    for name, page in cases.items():
+        t0 = time.time()
+        blocks = segment_page(page, CLI_CONFIG)
+        assert time.time() - t0 < 10, name
+        assert isinstance(blocks, list), name
+    # deep nesting must still EXTRACT the content, not just survive
+    deep = segment_page("<div>" * 500 + long_text + "</div>" * 500, CLI_CONFIG)
+    assert len(deep) == 1 and deep[0]["depth"] == 500

@@ -692,3 +692,31 @@ def test_objstm_large_corpus_offsets():
     payload = make_pdf_objstm(paras)
     assert len(payload) > 65_535  # the old 2-byte fields cannot hold this
     assert (pdf_text_blocks(payload) == pdf_text_blocks(make_pdf(paras)))
+
+
+def test_flate_bomb_and_garbage_pdfs_degrade():
+    """A high-expansion Flate stream with no text operators and pure
+    garbage bytes must degrade to empty/ValueError quickly, never hang
+    or leak a foreign exception."""
+    import time
+    import zlib
+
+    from rust_paddle_ocr_ray.functions.pdf import pdf_text_blocks
+
+    bomb = zlib.compress(b"A" * 50_000_000, 9)
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+           + str(len(bomb)).encode() + b" >>\nstream\n" + bomb
+           + b"\nendstream\nendobj\ntrailer\n%%EOF")
+    t0 = time.time()
+    try:
+        out = pdf_text_blocks(pdf)
+        assert out == []
+    except ValueError:
+        pass
+    assert time.time() - t0 < 10
+
+    for junk in (b"", b"%PDF-", b"\x00" * 4096, b"%PDF-1.4" + b"\xff" * 10_000):
+        try:
+            pdf_text_blocks(junk)
+        except ValueError:
+            pass
