@@ -68,9 +68,54 @@ _PUNCT_LUT = np.zeros(0x10000, dtype=bool)
 for _ch in PUNCTUATIONS:
     _PUNCT_LUT[ord(_ch)] = True
 
-_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
-_TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
+
+
+def _strip_comments(s: str) -> str:
+    """Exact semantics of ``re.sub(r"<!--.*?-->", " ", s, flags=re.S)``
+    in guaranteed-linear time: the regex rescans to EOF at every
+    failing ``<!--`` start, so adversarial spans like ``"<!--x " * 30k``
+    (no closers) took ~28 s; str.find makes the same walk O(n).
+    Unterminated comments stay in the text, exactly like the regex
+    (and tests/oracle_impl.py:336, which keeps the regex form — the
+    two must stay output-identical)."""
+    a = s.find("<!--")
+    if a < 0:
+        return s
+    parts = []
+    i = 0
+    while a >= 0:
+        b = s.find("-->", a + 4)
+        if b < 0:
+            break  # unterminated: keep the rest verbatim
+        parts.append(s[i:a])
+        parts.append(" ")
+        i = b + 3
+        a = s.find("<!--", i)
+    parts.append(s[i:])
+    return "".join(parts)
+
+
+def _strip_tags(s: str) -> str:
+    """Exact semantics of ``re.sub(r"<[^>]*>", " ", s)`` in linear
+    time (the regex is quadratic on many ``<`` with no ``>``): each
+    match runs from a ``<`` to the FIRST following ``>``; once no
+    ``>`` remains, no later ``<`` can match either."""
+    a = s.find("<")
+    if a < 0:
+        return s
+    parts = []
+    i = 0
+    while a >= 0:
+        b = s.find(">", a + 1)
+        if b < 0:
+            break  # no closing '>' anywhere -> no further matches
+        parts.append(s[i:a])
+        parts.append(" ")
+        i = b + 1
+        a = s.find("<", i)
+    parts.append(s[i:])
+    return "".join(parts)
 
 # decode timestep categories
 _B, _R, _P, _S, _D = 0, 1, 2, 3, 4
@@ -90,8 +135,8 @@ def canonicalize(raw: str, route: str) -> str:
     if j_lt != -1 and (j_gt == -1 or j_gt < j_lt):
         s = s[:j_lt]
     if "<" in s:  # no "<" -> no comments and no tags (pure fast path)
-        s = _COMMENT_RE.sub(" ", s)
-        s = _TAG_RE.sub(" ", s)
+        s = _strip_comments(s)
+        s = _strip_tags(s)
     s = _htmlmod.unescape(s)  # stdlib fast-paths the no-"&" case itself
     if route in ("zh", "ja"):
         s = unicodedata.normalize("NFKC", s)

@@ -157,3 +157,33 @@ def test_decode_spans_batch_independence():
         alone, conf_a = decode_spans([t], "en")
         assert together[i] == alone[0]
         assert conf_t[i] == pytest.approx(conf_a[0])
+
+
+def test_canonicalize_linear_on_adversarial_spans():
+    """Bare-'<' floods and unterminated comment openers made the old
+    regex subs quadratic (7-28 s per 200 KB span in the recognizer hot
+    path); the find-loop rewrite must stay linear AND output-identical
+    to the regex semantics the oracle keeps."""
+    import re
+    import time
+
+    from rust_paddle_ocr_ray.functions.decode import (
+        _strip_comments,
+        _strip_tags,
+        canonicalize,
+    )
+
+    for s in ("< x " * 50_000, "<!--x " * 30_000):
+        t0 = time.time()
+        canonicalize(s, "en")
+        assert time.time() - t0 < 2.0
+
+    cre = re.compile(r"<!--.*?-->", re.S)
+    tre = re.compile(r"<[^>]*>")
+    import random
+
+    rng = random.Random(7)
+    for _ in range(5000):
+        s = "".join(rng.choice("<>!-a \n") for _ in range(rng.randrange(0, 24)))
+        assert _strip_comments(s) == cre.sub(" ", s), repr(s)
+        assert _strip_tags(s) == tre.sub(" ", s), repr(s)
