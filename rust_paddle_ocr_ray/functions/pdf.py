@@ -150,8 +150,48 @@ def _pdf_text(raw: bytes) -> str:
 _STREAM_RE = re.compile(rb"stream\r?\n")
 _FILTER_RE = re.compile(rb"/Filter\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
-_BT_RE = re.compile(rb"\bBT\b(.*?)\bET\b", re.S)
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _is_word_byte(c: int) -> bool:
+    return (48 <= c <= 57) or (65 <= c <= 90) or (97 <= c <= 122) or c == 95
+
+
+def _find_word(data: bytes, word: bytes, start: int) -> int:
+    """Leftmost ``\\bword\\b`` at or after ``start`` (bytes \\b)."""
+    i = data.find(word, start)
+    while i != -1:
+        if ((i == 0 or not _is_word_byte(data[i - 1]))
+                and (i + len(word) >= len(data)
+                     or not _is_word_byte(data[i + len(word)]))):
+            return i
+        i = data.find(word, i + 1)
+    return -1
+
+
+def _iter_delimited(data: bytes, start: bytes, end: bytes,
+                    word: bool = False):
+    """Exact semantics of ``finditer(rb"START(.*?)END", re.S)`` in
+    guaranteed-linear time, yielding each inner group.  The lazy
+    regex form rescans to EOF at every START with no following END —
+    adversarial PDFs like ``b"BT " * 60k`` (no ET) stalled the parse
+    65 s; str.find makes the same walk O(n).  Leftmost-match
+    equivalence: if the earliest remaining START has no END after it,
+    no later START can have one either, so stopping is exact."""
+    find_s = (lambda i: _find_word(data, start, i)) if word \
+        else (lambda i: data.find(start, i))
+    find_e = (lambda i: _find_word(data, end, i)) if word \
+        else (lambda i: data.find(end, i))
+    i = 0
+    while True:
+        a = find_s(i)
+        if a < 0:
+            return
+        b = find_e(a + len(start))
+        if b < 0:
+            return
+        yield data[a + len(start):b]
+        i = b + len(end)
 _SHOW_OPS = (b"Tj", b"TJ")
 _NEWLINE_SHOW_OPS = (b"'", b'"')
 _NEWLINE_OPS = (b"Td", b"TD", b"T*", b"Tm")
@@ -448,13 +488,33 @@ def iter_content_streams(data: bytes):
 # --------------------------------------------------------------------------
 
 _OBJ_RE_TMPL = rb"(?<![0-9])%d\s+\d+\s+obj\b"
-_FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONTREF_RE = re.compile(rb"/([A-Za-z0-9]+)\s+(\d+)\s+\d+\s+R")
 _TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _HEX_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
-_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
-_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
-_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_PDF_WS = b" \t\r\n\f\x0b"
+
+
+def _iter_font_dicts(data: bytes):
+    """Exact semantics of ``finditer(rb"/Font\\s*<<(.*?)>>", re.S)``
+    in linear time (same stall class as _iter_delimited: b"/Font<< "
+    floods with no ">>" rescanned to EOF per occurrence — 64 s on
+    200 KB)."""
+    i = 0
+    while True:
+        a = data.find(b"/Font", i)
+        if a < 0:
+            return
+        j = a + 5
+        while j < len(data) and data[j] in _PDF_WS:
+            j += 1
+        if data[j:j + 2] != b"<<":
+            i = a + 1
+            continue
+        b = data.find(b">>", j + 2)
+        if b < 0:
+            return
+        yield data[j + 2:b]
+        i = b + 2
 _BFRANGE_ITEM_RE = re.compile(
     rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)", re.S)
 _CMAP_MAX_ENTRIES = 1 << 16  # bound per-font mapping memory
@@ -509,22 +569,24 @@ def _parse_cmap(cm: bytes) -> tuple[int, dict[int, str]] | None:
     Only widths 1 and 2 are supported; anything else degrades to None
     (callers fall back to the plain byte decode)."""
     width = None
-    m = _CODESPACE_RE.search(cm)
-    if m is not None:
-        h = _HEX_TOK_RE.search(m.group(1))
+    cs = next(_iter_delimited(
+        cm, b"begincodespacerange", b"endcodespacerange"), None)
+    if cs is not None:
+        h = _HEX_TOK_RE.search(cs)
         if h is not None:
             width = len(h.group(1)) // 2
     mapping: dict[int, str] = {}
-    for m in _BFCHAR_RE.finditer(cm):
-        toks = _HEX_TOK_RE.findall(m.group(1))
+    for body in _iter_delimited(cm, b"beginbfchar", b"endbfchar"):
+        toks = _HEX_TOK_RE.findall(body)
         for s, d in zip(toks[0::2], toks[1::2]):
             if width is None:
                 width = len(s) // 2
             if len(mapping) >= _CMAP_MAX_ENTRIES:
                 break
             mapping[int(s, 16)] = _utf16be(d)
-    for lo, hi, dst in (item for rng in _BFRANGE_RE.finditer(cm)
-                        for item in _BFRANGE_ITEM_RE.findall(rng.group(1))):
+    for lo, hi, dst in (item for rng in _iter_delimited(
+                            cm, b"beginbfrange", b"endbfrange")
+                        for item in _BFRANGE_ITEM_RE.findall(rng)):
         lo_i, hi_i = int(lo, 16), int(hi, 16)
         if width is None:
             width = len(lo) // 2
@@ -563,8 +625,8 @@ def _font_cmaps(data: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
     are not resolved — their shows fall back to the byte decode)."""
     out: dict[bytes, tuple[int, dict[int, str]]] = {}
     cmap_cache: dict[int, tuple[int, dict[int, str]] | None] = {}
-    for fd in _FONTDICT_RE.finditer(data):
-        for name, objnum in _FONTREF_RE.findall(fd.group(1)):
+    for fd in _iter_font_dicts(data):
+        for name, objnum in _FONTREF_RE.findall(fd):
             if name in out:
                 continue
             body = _object_body(data, int(objnum))
@@ -688,8 +750,8 @@ def pdf_text_blocks(data: bytes) -> list[str]:
     fonts = _font_cmaps(data)
     blocks: list[str] = []
     for content in iter_content_streams(data):
-        for m in _BT_RE.finditer(content):
-            t = _block_text(m.group(1), fonts or None).strip()
+        for body in _iter_delimited(content, b"BT", b"ET", word=True):
+            t = _block_text(body, fonts or None).strip()
             if t:
                 blocks.append(t)
     return blocks

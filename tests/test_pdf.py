@@ -620,8 +620,8 @@ def test_objstm_expansion_is_load_bearing():
     fonts_noexp = P._font_cmaps(data)  # no expansion: font unresolvable
     blocks_noexp = [
         t for content in P.iter_content_streams(data)
-        for m in P._BT_RE.finditer(content)
-        if (t := P._block_text(m.group(1), fonts_noexp or None).strip())
+        for body in P._iter_delimited(content, b"BT", b"ET", word=True)
+        if (t := P._block_text(body, fonts_noexp or None).strip())
     ]
     assert blocks_noexp != pdf_text_blocks(data)
     assert "\x00" in blocks_noexp[0]  # Latin-1 over UTF-16BE-ish codes
@@ -720,3 +720,23 @@ def test_flate_bomb_and_garbage_pdfs_degrade():
             pdf_text_blocks(junk)
         except ValueError:
             pass
+
+
+def test_closer_free_floods_parse_in_linear_time():
+    """Adversarial stream content full of BT / '/Font<<' / beginbfchar
+    openers with NO closers made the lazy-dotall regexes quadratic
+    (65 s per 200 KB); the find-loop rewrites must stay linear."""
+    import time
+
+    from rust_paddle_ocr_ray.functions.pdf import pdf_text_blocks
+
+    def make_pdf(content: bytes) -> bytes:
+        return (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+                + b" >>\nstream\n" + content
+                + b"\nendstream\nendobj\ntrailer\n%%EOF")
+
+    for content in (b"BT " * 60_000, b"/Font<< " * 40_000,
+                    b"beginbfchar " * 40_000, b"BT ET" + b"XBTX " * 50_000):
+        t0 = time.time()
+        pdf_text_blocks(make_pdf(content))
+        assert time.time() - t0 < 5
