@@ -515,9 +515,69 @@ def _iter_font_dicts(data: bytes):
             return
         yield data[j + 2:b]
         i = b + 2
-_BFRANGE_ITEM_RE = re.compile(
-    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)", re.S)
 _CMAP_MAX_ENTRIES = 1 << 16  # bound per-font mapping memory
+_HEX_DIGITS = frozenset(b"0123456789ABCDEFabcdef")
+
+
+def _bfrange_items(s: bytes) -> list[tuple[bytes, bytes, bytes]]:
+    """Exact semantics of ``findall(rb"<(hex)>\\s*<(hex)>\\s*"
+    rb"(\\[[^\\]]*\\]|<hex>)")`` in linear time: the ``\\[[^\\]]*\\]``
+    branch rescanned to EOF at every item whose ``[`` has no closer
+    (6.7 s on a 360 KB adversarial CMap).  A single no-more-``]`` memo
+    makes that failure O(1) after the first scan; matched arrays
+    consume to their ``]``, so total scan work stays O(n)."""
+    def hex_tok(i: int) -> tuple[bytes, int] | None:
+        if i >= len(s) or s[i] != 0x3C:  # '<'
+            return None
+        j = i + 1
+        while j < len(s) and s[j] in _HEX_DIGITS:
+            j += 1
+        if j == i + 1 or j >= len(s) or s[j] != 0x3E:  # '>'
+            return None
+        return s[i + 1:j], j + 1
+
+    def skip_ws(i: int) -> int:
+        while i < len(s) and s[i] in _PDF_WS:
+            i += 1
+        return i
+
+    items: list[tuple[bytes, bytes, bytes]] = []
+    no_bracket_after = len(s)  # positions >= this have no ']'
+    i = 0
+    while True:
+        a = s.find(b"<", i)
+        if a < 0:
+            return items
+        t1 = hex_tok(a)
+        if t1 is None:
+            i = a + 1
+            continue
+        lo, p = t1
+        t2 = hex_tok(skip_ws(p))
+        if t2 is None:
+            i = a + 1
+            continue
+        hi, p = t2
+        p = skip_ws(p)
+        if p < len(s) and s[p] == 0x5B:  # '['
+            if p >= no_bracket_after:
+                i = a + 1
+                continue
+            b = s.find(b"]", p + 1)
+            if b < 0:
+                no_bracket_after = min(no_bracket_after, p)
+                i = a + 1
+                continue
+            items.append((lo, hi, s[p:b + 1]))
+            i = b + 1
+        else:
+            t3 = hex_tok(p)
+            if t3 is None:
+                i = a + 1
+                continue
+            dst, p2 = t3
+            items.append((lo, hi, b"<" + dst + b">"))
+            i = p2
 
 
 def _object_body(data: bytes, num: int) -> bytes | None:
@@ -586,7 +646,7 @@ def _parse_cmap(cm: bytes) -> tuple[int, dict[int, str]] | None:
             mapping[int(s, 16)] = _utf16be(d)
     for lo, hi, dst in (item for rng in _iter_delimited(
                             cm, b"beginbfrange", b"endbfrange")
-                        for item in _BFRANGE_ITEM_RE.findall(rng)):
+                        for item in _bfrange_items(rng)):
         lo_i, hi_i = int(lo, 16), int(hi, 16)
         if width is None:
             width = len(lo) // 2

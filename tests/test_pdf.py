@@ -740,3 +740,22 @@ def test_closer_free_floods_parse_in_linear_time():
         t0 = time.time()
         pdf_text_blocks(make_pdf(content))
         assert time.time() - t0 < 5
+
+    # bfrange items with unclosed '[' arrays inside a real ToUnicode
+    # object (the _bfrange_items no-more-bracket memo)
+    import zlib
+
+    cm = (b"begincodespacerange <00> <FF> endcodespacerange\n"
+          b"beginbfrange\n" + b"<00> <01> [" * 30_000 + b"\nendbfrange")
+    z = zlib.compress(cm)
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Font << /F1 2 0 R >> >>\nendobj\n"
+           b"2 0 obj\n<< /ToUnicode 3 0 R >>\nendobj\n"
+           b"3 0 obj\n<< /Filter /FlateDecode /Length "
+           + str(len(z)).encode() + b" >>\nstream\n" + z
+           + b"\nendstream\nendobj\n"
+           b"4 0 obj\n<< /Length 20 >>\nstream\nBT /F1 Tf (hi) Tj ET\n"
+           b"endstream\nendobj\ntrailer\n%%EOF")
+    t0 = time.time()
+    assert pdf_text_blocks(pdf) == ["hi"]
+    assert time.time() - t0 < 5
