@@ -580,13 +580,37 @@ def _bfrange_items(s: bytes) -> list[tuple[bytes, bytes, bytes]]:
             i = p2
 
 
-def _object_body(data: bytes, num: int) -> bytes | None:
+_OBJ_HDR_RE = re.compile(rb"(?<![0-9])(\d+)\s+\d+\s+obj\b")
+
+
+def _object_index(data: bytes) -> dict[int, int]:
+    """objnum -> body-start offset of its LEFTMOST ``num gen obj``
+    header, built in ONE pass.  Equivalent to per-num ``re.search``
+    (every per-num match starts at a generic-header start: the gen
+    field alone cannot re-match the two-number template, and the
+    digit lookbehind blocks suffix starts), but O(n) total instead of
+    O(refs × n) — a 20k-font-ref flood in a 560 KB PDF took 181 s
+    through per-ref searches, 0.1 s through the index."""
+    idx: dict[int, int] = {}
+    for m in _OBJ_HDR_RE.finditer(data):
+        idx.setdefault(int(m.group(1)), m.end())
+    return idx
+
+
+def _object_body(data: bytes, num: int,
+                 index: dict[int, int] | None = None) -> bytes | None:
     """Bytes between ``<num> <gen> obj`` and its ``endobj``, or None."""
-    m = re.search(_OBJ_RE_TMPL % num, data)
-    if m is None:
-        return None
-    end = data.find(b"endobj", m.end())
-    return data[m.end():end if end != -1 else len(data)]
+    if index is not None:
+        start = index.get(num)
+        if start is None:
+            return None
+    else:
+        m = re.search(_OBJ_RE_TMPL % num, data)
+        if m is None:
+            return None
+        start = m.end()
+    end = data.find(b"endobj", start)
+    return data[start:end if end != -1 else len(data)]
 
 
 def _decode_stream_in(body: bytes) -> bytes | None:
@@ -685,11 +709,14 @@ def _font_cmaps(data: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
     are not resolved — their shows fall back to the byte decode)."""
     out: dict[bytes, tuple[int, dict[int, str]]] = {}
     cmap_cache: dict[int, tuple[int, dict[int, str]] | None] = {}
+    obj_idx: dict[int, int] | None = None
     for fd in _iter_font_dicts(data):
         for name, objnum in _FONTREF_RE.findall(fd):
             if name in out:
                 continue
-            body = _object_body(data, int(objnum))
+            if obj_idx is None:  # one O(n) pass, amortized over all refs
+                obj_idx = _object_index(data)
+            body = _object_body(data, int(objnum), obj_idx)
             if body is None:
                 continue
             tu = _TOUNI_RE.search(body)
@@ -697,7 +724,7 @@ def _font_cmaps(data: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
                 continue
             tu_num = int(tu.group(1))
             if tu_num not in cmap_cache:
-                tu_body = _object_body(data, tu_num)
+                tu_body = _object_body(data, tu_num, obj_idx)
                 cm = _decode_stream_in(tu_body) if tu_body is not None else None
                 cmap_cache[tu_num] = _parse_cmap(cm) if cm is not None else None
             if cmap_cache[tu_num] is not None:

@@ -759,3 +759,14 @@ def test_closer_free_floods_parse_in_linear_time():
     t0 = time.time()
     assert pdf_text_blocks(pdf) == ["hi"]
     assert time.time() - t0 < 5
+
+    # 20k distinct font refs: object resolution must amortize through
+    # the one-pass object index, not re.search per ref (was 181 s)
+    fonts = b"".join(b"/Font<< /F%d %d 0 R >>\n" % (i, i + 100)
+                     for i in range(20_000))
+    flood = (b"%PDF-1.4\n" + fonts
+             + b"4 0 obj\n<< /Length 20 >>\nstream\nBT (hi) Tj ET\n"
+               b"endstream\nendobj\ntrailer\n%%EOF")
+    t0 = time.time()
+    assert pdf_text_blocks(flood) == ["hi"]
+    assert time.time() - t0 < 5
