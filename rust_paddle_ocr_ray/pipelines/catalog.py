@@ -2939,7 +2939,16 @@ FROM documents
 # (emails / phones / ids); the corpus-frequent stand-in terms keep the
 # gate non-trivial while the email pattern exercises the real PII shape.
 _REDACT_TERMS = r"\b(?:spark|query|table)\b"
-_REDACT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# local part bounded to RFC 5321's 64 chars: with an unbounded `+`,
+# Python re retries the local part from EVERY position inside a long
+# local-class run with no '@' (minified JS / base64 blobs: 52 s per
+# 200 KB run, quadratic); {1,64} caps per-position work at 64 chars,
+# making the scan linear.  The bound is applied to BOTH engines (the
+# SQL twin uses the identical pattern — RE2 supports it), so the two
+# automata stay in lockstep; a lookbehind-anchor variant was tried
+# and REJECTED by the randomized sweep (it mis-blocks a match that
+# starts immediately after a consumed adjacent match).
+_REDACT_EMAIL = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
 def q80_pii_scrub(sf_dir: str):
@@ -2967,7 +2976,7 @@ SELECT doc_id,
        len(regexp_extract_all(text, '\b(?:spark|query|table)\b'))::BIGINT
          AS n_terms,
        len(regexp_extract_all(
-         text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+         text, '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
          AS n_emails,
        regexp_replace(text, '\b(?:spark|query|table)\b', '<TERM>', 'g')
          AS redacted
