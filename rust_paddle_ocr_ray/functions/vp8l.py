@@ -3,8 +3,9 @@ declared media stub for the LOSSLESS half of WEBP.  Same charter as
 functions/{png,raster,jpeg}.py: decode for REAL what the public spec
 ("WebP Lossless Bitstream Specification") allows without codec
 libraries, raise ``ValueError`` outside the subset so the featurizer
-degrades to its deterministic fake.  LOSSY WebP (VP8 chunks) still
-genuinely needs a video codec and stays a declared stub.
+degrades to its deterministic fake.  LOSSY WebP (VP8 chunks) decodes
+for real too, via functions/vp8.py (RFC 6386 key frames, bit-exact
+vs libwebp) — ``decode_webp`` below dispatches both halves.
 
 Implemented: the full prefix-code machinery (simple 1/2-symbol codes,
 code-length-coded tables with repeats 16/17/18 and the max_symbol
@@ -417,9 +418,11 @@ def decode_vp8l(data: bytes) -> np.ndarray:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF WebP container -> pixels via the VP8L path.  Lossy VP8
-    chunks raise NotImplementedError (a real video codec), anything
-    malformed raises ValueError."""
+    """RIFF WebP container -> pixels.  VP8L chunks decode through the
+    lossless path here; lossy VP8 key frames decode through
+    functions/vp8.py (bit-exact reconstruction incl. the in-loop
+    filter, then the pinned YUV->RGB rule).  Anything malformed
+    raises ValueError."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP container")
     pos = 12
@@ -430,7 +433,7 @@ def decode_webp(data: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return decode_vp8l(body)
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) requires a video codec library")
+            from .vp8 import decode_vp8_rgb
+            return decode_vp8_rgb(body)
         pos += 8 + size + (size & 1)
     raise ValueError("WebP container without an image chunk")

@@ -5,12 +5,12 @@ PNG, BMP, GIF and baseline JPEG payloads decode for REAL — pure-Python
 public-spec pixel decoders (functions/png.py: RFC 2083 incl. 1/2/4-bit
 grey/palette; functions/raster.py: BITMAPINFOHEADER + GIF89a LZW incl.
 interlace; functions/jpeg.py: ITU-T T.81 baseline + progressive, grayscale +
-YCbCr; functions/vp8l.py: lossless WebP), emitting true width/height
-and pixel-statistics features.  Only LOSSY WebP remains a STUB (VP8
-entropy coding genuinely needs a codec library this environment
-lacks) and takes the deterministic fake path; everything
-Ray-side is real and tested: schema, actor-pool signature, small batch
-sizes for large payloads.
+YCbCr; functions/vp8l.py: lossless WebP; functions/vp8.py: lossy WebP
+VP8 key frames per RFC 6386, bit-exact incl. the in-loop filter),
+emitting true width/height and pixel-statistics features.  No media
+stubs remain — unknown formats and corrupt payloads take the
+deterministic fake path; everything Ray-side is real and tested:
+schema, actor-pool signature, small batch sizes for large payloads.
 """
 
 from __future__ import annotations
@@ -41,10 +41,9 @@ def decode_payload(payload: bytes) -> np.ndarray:
     (h, w, c) uint8 pixels.  ValueError outside a decoder's subset OR
     for any malformed payload (internal Index/struct/zlib errors are
     converted here — a 100 TB crawl WILL contain corrupt files, and a
-    task must degrade, not die), NotImplementedError for formats with
-    no decoder here (LOSSY WebP/VP8 only; JPEG — baseline AND
-    progressive, including subsampled chroma — and LOSSLESS WebP
-    (VP8L, functions/vp8l.py) decode for real)."""
+    task must degrade, not die), NotImplementedError only for formats
+    with no decoder at all (PNG/BMP/GIF/JPEG-baseline+progressive/
+    WebP-lossless+lossy all decode for real)."""
     import struct
 
     from ..functions.jpeg import decode_jpeg
@@ -62,7 +61,7 @@ def decode_payload(payload: bytes) -> np.ndarray:
             px = decode_jpeg(payload)
             return px[:, :, None] if px.ndim == 2 else px
         if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-            return decode_webp(payload)  # VP8L real; VP8 lossy raises
+            return decode_webp(payload)  # VP8L and lossy VP8 both real
     except (IndexError, KeyError, OverflowError, struct.error,
             zlib.error) as exc:
         raise ValueError(f"malformed payload: {exc!r}") from exc
@@ -172,13 +171,12 @@ def real_decode(payload: bytes, feat_dim: int = 64) -> tuple[int, int, np.ndarra
     depths 1/2/4/8), BMP (BITMAPINFOHEADER BI_RGB 8/24-bit), GIF
     (variable-width LZW per the GIF89a spec, first frame, interlaced
     or not), JPEG (functions/jpeg.py — T.81 Huffman + IDCT, baseline
-    and progressive, grayscale and YCbCr) and LOSSLESS WebP
-    (functions/vp8l.py — VP8L prefix codes, color cache, LZ77,
-    all four transforms) decode for REAL.  Only lossy WebP still
-    requires a codec library (VP8) not present in this environment:
-    wire Pillow/ffmpeg here when present — until then it raises
-    NotImplementedError and the featurizer degrades to the
-    deterministic fake decoder."""
+    and progressive, grayscale and YCbCr) and WebP — BOTH halves
+    (functions/vp8l.py — VP8L prefix codes, color cache, LZ77, all
+    four transforms; functions/vp8.py — lossy VP8 key frames per RFC
+    6386 incl. the in-loop filter, bit-exact vs libwebp) — decode for
+    REAL.  Unrecognized formats raise NotImplementedError and the
+    featurizer degrades to the deterministic fake decoder."""
     px = decode_payload(payload)
     h, w = px.shape[0], px.shape[1]
     return w, h, pixel_feature(px, feat_dim)

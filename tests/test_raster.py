@@ -149,9 +149,13 @@ def test_real_decode_dispatch():
     # a JPEG the T.81-subset decoder can't parse degrades via ValueError
     with pytest.raises(ValueError):
         real_decode(b"\xff\xd8\xff\xe0JFIF-not-decodable")
+    # a WebP container with a corrupt VP8 body degrades via ValueError
+    # (lossy VP8 decodes for real now — functions/vp8.py)
+    with pytest.raises(ValueError):
+        real_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 not-decodable")
     # formats with no pure-Python decoder stay the declared stub
     with pytest.raises(NotImplementedError):
-        real_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 not-decodable")
+        real_decode(b"II*\x00\x08\x00\x00\x00tiff-has-no-decoder")
 
 
 def test_gif_interlaced_deinterlaces():

@@ -1,0 +1,237 @@
+"""Lossy WebP (VP8 key frame, functions/vp8.py) differential suite.
+
+Two layers, per the repo's independent-oracle convention (FIXTURES.md):
+
+1. **Committed goldens** (tests/golden/vp8_goldens.parquet, regenerated
+   only via ``python tools/make_goldens.py --vp8``): real libwebp
+   encodes at varied settings plus libwebp's OWN post-loop-filter YUV
+   reconstruction.  Our pure-Python decoder must match bit-exactly.
+   Runs everywhere, no codec library needed at test time.
+2. **Live oracle sweep** (skipped when libwebp.so.7 is absent): encode
+   fresh seeded images across sizes / qualities / filter profiles /
+   segment counts / token-partition counts and compare ``decode_vp8``
+   against ``WebPDecodeYUV`` plane-for-plane.
+
+Plus the container dispatch (vp8l.decode_webp now routes VP8 chunks
+here) and the malformed-input ValueError contract the featurizer's
+degrade path relies on.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rust_paddle_ocr_ray.functions.vp8 import (
+    decode_vp8,
+    decode_vp8_rgb,
+    yuv420_to_rgb,
+)
+from rust_paddle_ocr_ray.functions.vp8l import decode_webp
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "vp8_goldens.parquet")
+
+
+def _vp8_chunk(data: bytes) -> bytes:
+    """Extract the raw VP8 chunk body from a RIFF WebP container."""
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        if fourcc == b"VP8 ":
+            return data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def _golden_rows():
+    tbl = pq.read_table(GOLDEN)
+    for i in range(tbl.num_rows):
+        r = {c: tbl[c][i].as_py() for c in tbl.column_names}
+        h, w = r["height"], r["width"]
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        yield (
+            r["name"], r["payload"],
+            np.frombuffer(r["y"], np.uint8).reshape(h, w),
+            np.frombuffer(r["u"], np.uint8).reshape(ch, cw),
+            np.frombuffer(r["v"], np.uint8).reshape(ch, cw),
+        )
+
+
+@pytest.mark.parametrize("name,payload,y,u,v", list(_golden_rows()),
+                         ids=lambda p: p if isinstance(p, str) else "")
+def test_golden_bit_exact(name, payload, y, u, v):
+    gy, gu, gv = decode_vp8(_vp8_chunk(payload))
+    np.testing.assert_array_equal(gy, y)
+    np.testing.assert_array_equal(gu, u)
+    np.testing.assert_array_equal(gv, v)
+
+
+def test_golden_container_dispatch():
+    """decode_webp routes lossy VP8 chunks through functions/vp8.py and
+    returns the pinned RGB conversion of the bit-exact planes."""
+    name, payload, y, u, v = next(_golden_rows())
+    rgb = decode_webp(payload)
+    np.testing.assert_array_equal(rgb, yuv420_to_rgb(y, u, v))
+    assert rgb.shape == (y.shape[0], y.shape[1], 3)
+
+
+def test_featurizer_dispatch_decodes_lossy_webp():
+    from rust_paddle_ocr_ray.stages.multimodal import decode_payload
+
+    name, payload, y, u, v = next(_golden_rows())
+    px = decode_payload(payload)
+    assert px.shape == (y.shape[0], y.shape[1], 3)
+
+
+# --- malformed-input contract (the degrade path at 100 TB) -----------
+
+def test_too_short_raises():
+    with pytest.raises(ValueError):
+        decode_vp8(b"\x00\x01")
+
+
+def test_bad_start_code_raises():
+    with pytest.raises(ValueError):
+        decode_vp8(bytes([0x00, 0x00, 0x00, 0xAA, 0xBB, 0xCC,
+                          16, 0, 16, 0]) + b"\x00" * 20)
+
+
+def test_inter_frame_raises():
+    # frame tag bit 0 = 1 -> inter frame; never valid in a WebP file
+    with pytest.raises(ValueError):
+        decode_vp8(bytes([0x01, 0x00, 0x00]) + b"\x9d\x01\x2a"
+                   + bytes([16, 0, 16, 0]) + b"\x00" * 20)
+
+
+def test_partition_overrun_raises():
+    # declared first-partition size larger than the remaining bytes
+    tag = (1000 << 5) | 0
+    with pytest.raises(ValueError):
+        decode_vp8(bytes([tag & 0xFF, (tag >> 8) & 0xFF, tag >> 16])
+                   + b"\x9d\x01\x2a" + bytes([16, 0, 16, 0]) + b"\x00" * 8)
+
+
+def test_truncated_golden_raises():
+    """Truncation INTO the first partition (or the token-partition size
+    table) raises; truncation of the token data itself decodes to
+    deterministic garbage by design — the bool decoder's spec-permitted
+    zero-fill past the partition end, same as libwebp's bitstream
+    layer."""
+    _, payload, *_ = next(_golden_rows())
+    body = _vp8_chunk(payload)
+    part0 = (body[0] | (body[1] << 8) | (body[2] << 16)) >> 5
+    with pytest.raises(ValueError):
+        decode_vp8(body[: 10 + part0 - 1])
+
+
+def test_garbage_degrades_in_dispatch():
+    """A corrupt VP8 chunk inside a well-formed container must surface
+    as ValueError (featurizer fake path), never a crash."""
+    body = bytes([0x00, 0x12, 0x00]) + b"\x9d\x01\x2a" + os.urandom(64)
+    riff = (b"RIFF" + (len(body) + 12).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + len(body).to_bytes(4, "little") + body)
+    with pytest.raises(ValueError):
+        decode_webp(riff)
+
+
+# --- live libwebp differential sweep ---------------------------------
+
+def _oracle():
+    try:
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import webp_oracle as wo
+        if wo.available():
+            return wo
+    except Exception:
+        pass
+    return None
+
+
+_WO = _oracle()
+needs_libwebp = pytest.mark.skipif(
+    _WO is None, reason="system libwebp oracle unavailable")
+
+
+def _smooth(seed, h, w):
+    r = np.random.default_rng(seed)
+    base = r.integers(0, 256, size=((h + 7) // 8, (w + 7) // 8, 3),
+                      dtype=np.uint8)
+    img = np.kron(base, np.ones((8, 8, 1), dtype=np.uint8))[:h, :w, :]
+    return np.clip(img.astype(np.int16)
+                   + r.integers(-12, 13, size=(h, w, 3)),
+                   0, 255).astype(np.uint8)
+
+
+def _noise(seed, h, w):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _check(img, **cfg):
+    data = _WO.encode_rgb(img, **cfg)
+    y, u, v = decode_vp8(_vp8_chunk(data))
+    Y, U, V = _WO.decode_yuv(data)
+    np.testing.assert_array_equal(y, Y)
+    np.testing.assert_array_equal(u, U)
+    np.testing.assert_array_equal(v, V)
+
+
+@needs_libwebp
+@pytest.mark.parametrize("h,w", [(16, 16), (24, 40), (33, 17), (64, 48),
+                                 (7, 5), (80, 80), (1, 1), (15, 31)])
+@pytest.mark.parametrize("q", [10, 50, 75, 95])
+def test_sweep_sizes_qualities(h, w, q):
+    _check(_smooth(h * 131 + w, h, w), quality=q)
+
+
+@needs_libwebp
+@pytest.mark.parametrize("q", [25, 60, 90])
+def test_sweep_noise_bpred_heavy(q):
+    """Noise forces B_PRED 4x4 modes and dense coefficients."""
+    _check(_noise(q, 48, 32), quality=q)
+
+
+@needs_libwebp
+@pytest.mark.parametrize("cfg", [
+    dict(quality=60, filter_type=0, filter_strength=50),   # simple filter
+    dict(quality=60, filter_type=1, filter_strength=60),   # normal filter
+    dict(quality=60, filter_strength=0),                   # filter off
+    dict(quality=60, autofilter=1),
+    dict(quality=60, filter_sharpness=7),
+    dict(quality=40, segments=4, sns_strength=90),         # segmentation
+    dict(quality=40, segments=2, sns_strength=50),
+    dict(quality=80, partitions=1),                        # 2 partitions
+    dict(quality=80, partitions=2),                        # 4 partitions
+    dict(quality=80, partitions=3),                        # 8 partitions
+], ids=lambda c: "-".join(f"{k}{v}" for k, v in c.items()))
+def test_sweep_encoder_profiles(cfg):
+    _check(_smooth(99, 53, 61), **cfg)
+    _check(_noise(7, 37, 29), **cfg)
+
+
+@needs_libwebp
+def test_simple_api_encode():
+    data = _WO.encode_rgb_simple(_smooth(11, 45, 45), quality=66)
+    y, u, v = decode_vp8(_vp8_chunk(data))
+    Y, U, V = _WO.decode_yuv(data)
+    np.testing.assert_array_equal(y, Y)
+    np.testing.assert_array_equal(u, U)
+    np.testing.assert_array_equal(v, V)
+
+
+@needs_libwebp
+def test_rgb_path_shape_and_determinism():
+    data = _WO.encode_rgb(_smooth(13, 30, 20), quality=70)
+    a = decode_vp8_rgb(_vp8_chunk(data))
+    b = decode_vp8_rgb(_vp8_chunk(data))
+    assert a.shape == (30, 20, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)

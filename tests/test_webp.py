@@ -2,7 +2,8 @@
 synthetic encoder (sources/synth.encode_webp_lossless): the full
 prefix-code machinery, color cache, LZ77 plain-distance references,
 and all four transforms must reconstruct pixels bit-exactly.  Lossy
-VP8 stays a declared stub (NotImplementedError); malformed payloads
+VP8 chunks now dispatch to the real functions/vp8.py decoder (see
+tests/test_vp8.py for its differential suite); malformed payloads
 degrade with ValueError."""
 
 from __future__ import annotations
@@ -73,10 +74,13 @@ def test_palette_roundtrip(ncolors):
     np.testing.assert_array_equal(got, px)
 
 
-def test_lossy_vp8_declared_stub():
+def test_lossy_vp8_dispatches_to_real_decoder():
+    """A VP8 chunk routes to functions/vp8.py — a malformed body now
+    raises ValueError from the real decoder (the old declared-stub
+    NotImplementedError is gone)."""
     riff = (b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
             + b"VP8 " + (2).to_bytes(4, "little") + b"\x00\x00")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_webp(riff)
 
 

@@ -195,6 +195,76 @@ def make_approx_goldens(sf_dir: str = GATE_SF_DIR) -> None:
           f"pairs, q21 {len(lsh)} rows, q35 {len(ivf)} rows")
 
 
+def make_vp8_goldens() -> None:
+    """Golden lossy-WebP (VP8) payloads + the INDEPENDENT ORACLE's own
+    reconstruction (system libwebp via tools/webp_oracle.py — the
+    decoder the bitstreams were encoded for, not our code).  Committed
+    once so tests/test_vp8.py can differential-check functions/vp8.py
+    bit-exactly WITHOUT libwebp at test time; the broader oracle-gated
+    sweep in that file re-proves the same property live when libwebp
+    is present.  Deterministic images (seeded), varied encoder
+    settings: quality sweep, segmentation on/off, simple+normal loop
+    filter, filter disabled, multiple token partitions, odd /
+    non-multiple-of-16 dims."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import webp_oracle as wo
+
+    if not wo.available():
+        raise SystemExit("libwebp oracle unavailable; cannot regenerate "
+                         "VP8 goldens on this host")
+
+    def smooth(seed, h, w):
+        r = np.random.default_rng(seed)
+        base = r.integers(0, 256, size=((h + 7) // 8, (w + 7) // 8, 3),
+                          dtype=np.uint8)
+        img = np.kron(base, np.ones((8, 8, 1), dtype=np.uint8))[:h, :w, :]
+        return np.clip(img.astype(np.int16)
+                       + r.integers(-12, 13, size=(h, w, 3)),
+                       0, 255).astype(np.uint8)
+
+    def noise(seed, h, w):
+        return np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    cases = [
+        ("q75_default_48x37", smooth(1, 37, 48), dict(quality=75)),
+        ("q30_segments_noise_32x32", noise(2, 32, 32),
+         dict(quality=30, segments=4, sns_strength=80)),
+        ("q90_parts8_nofilter_65x33", smooth(3, 33, 65),
+         dict(quality=90, partitions=3, filter_strength=0)),
+        ("q50_simplefilter_17x13", smooth(4, 13, 17),
+         dict(quality=50, filter_type=0, filter_strength=40)),
+        ("q10_autofilter_40x56", smooth(5, 56, 40),
+         dict(quality=10, autofilter=1)),
+        ("q95_sharp_noise_16x16", noise(6, 16, 16),
+         dict(quality=95, filter_sharpness=5)),
+    ]
+    names, payloads, ys, us, vs, ws, hs = [], [], [], [], [], [], []
+    for name, img, cfg in cases:
+        data = wo.encode_rgb(img, **cfg)
+        y, u, v = wo.decode_yuv(data)
+        names.append(name)
+        payloads.append(data)
+        ys.append(y.tobytes())
+        us.append(u.tobytes())
+        vs.append(v.tobytes())
+        hs.append(y.shape[0])
+        ws.append(y.shape[1])
+    tbl = pa.Table.from_pydict({
+        "name": pa.array(names, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "y": pa.array(ys, pa.binary()),
+        "u": pa.array(us, pa.binary()),
+        "v": pa.array(vs, pa.binary()),
+    })
+    pq.write_table(tbl, os.path.join(OUT, "vp8_goldens.parquet"))
+    print(f"wrote {tbl.num_rows} VP8 goldens (libwebp oracle)")
+
+
 def main() -> None:
     pages = generate_pages(N_PAGES, seed=SEED)
     rows = pages.to_pylist()
@@ -248,7 +318,11 @@ if __name__ == "__main__":
             # output, regenerated only on a deliberate spec change
             sys.exit("usage: make_goldens.py --approx-sf <sf_dir>")
         make_approx_goldens(sys.argv[2])
+    elif sys.argv[1:2] == ["--vp8"]:
+        # VP8 goldens only (needs libwebp on the regeneration host)
+        make_vp8_goldens()
     else:
         main()
         make_driver_gate_goldens()
         make_approx_goldens()
+        make_vp8_goldens()
