@@ -2994,13 +2994,19 @@ def q81_pixel_roundtrip(sf_dir: str):
     mean (ppm) are hash-checked against a closed-form SQL twin that
     derives the same stats from the formula — no image library on
     either side, so a decoder bug (bit unpacking, row order, palette,
-    LZW width growth) breaks the gate.  Per-payload Python loop is the
+    LZW width growth) breaks the gate.  Docs with doc_id % 7 == 0
+    emit a SECOND row (fmt='webp-lossy'): a flat-value LOSSY VP8 key
+    frame (sources/synth.encode_webp_lossy_flat — bool-encoded RFC
+    6386 header, one Y2-DC token, skipped MBs, loop filter live) is
+    decoded through functions/vp8.py; the flat reconstruction keeps
+    the mean closed-form ((298*(v-16)+128)>>8 gray via the pinned
+    YUV->RGB rule).  Per-payload Python loop is the
     media pattern (each payload is an opaque byte blob), actor-scale
     parallel via map_batches."""
     from ..functions.png import decode_png
     from ..functions.raster import decode_bmp, decode_gif
     from ..functions.vp8l import decode_webp
-    from ..sources.synth import gradient_image
+    from ..sources.synth import encode_webp_lossy_flat, gradient_image
 
     ds = _rp(sf_dir, "documents", columns=["doc_id"])
 
@@ -3020,6 +3026,20 @@ def q81_pixel_roundtrip(sf_dir: str):
             rows["width"].append(w)
             rows["height"].append(h)
             rows["mean_ppm"].append(s * 1_000_000 // (w * h * 3))
+            if d % 7 == 0:
+                lw, lh = 16 + int(d) % 17, 16 + int(d) % 13
+                lossy = encode_webp_lossy_flat(
+                    int(d) % 256, lw, lh,
+                    filter_level=(int(d) >> 1) % 64,
+                    filter_type=(int(d) >> 2) & 1)
+                px = decode_webp(lossy)
+                h2, w2 = px.shape[0], px.shape[1]
+                s2 = int(px.astype(np.int64).sum())
+                rows["doc_id"].append(int(d))
+                rows["fmt"].append("webp-lossy")
+                rows["width"].append(w2)
+                rows["height"].append(h2)
+                rows["mean_ppm"].append(s2 * 1_000_000 // (w2 * h2 * 3))
         out = pd.DataFrame(rows)
         for c in ("width", "height", "mean_ppm"):
             out[c] = out[c].astype("int64")
@@ -3042,6 +3062,14 @@ SELECT doc_id,
        w AS width, h AS height,
        ((SUM(v) * 3 * 1000000) // (w * h * 3))::BIGINT AS mean_ppm
 FROM px GROUP BY doc_id, w, h
+UNION ALL
+SELECT doc_id, 'webp-lossy' AS fmt,
+       (16 + doc_id % 17)::BIGINT AS width,
+       (16 + doc_id % 13)::BIGINT AS height,
+       (LEAST(255, GREATEST(0,
+           (298 * ((doc_id % 256) - 16) + 128) // 256))
+        * 1000000)::BIGINT AS mean_ppm
+FROM documents WHERE doc_id % 7 = 0
 """
 
 

@@ -1558,3 +1558,207 @@ def _vp8l_emit_groups_and_pixels(b: "_Vp8lBits", pixels,
         c, ln = a_codes[a]
         b.emit_code(c, ln)
         i += 1
+
+
+# --- lossy WebP (VP8 key frame) synthetic encoder --------------------
+#
+# The synthetic twin of functions/vp8.decode_vp8 for the DRIVER GATE:
+# emits a spec-valid RFC 6386 key frame whose reconstruction is
+# CLOSED-FORM — flat luma `value`, flat chroma 128 — so a SQL twin can
+# derive the decoded pixel stats exactly.  Only macroblock (0,0)
+# carries coefficients (one Y2 DC token whose WHT+IDCT residual lifts
+# the 128 DC prediction to `value`); every other MB is skipped and
+# inherits the value through DC_PRED.  The in-loop filter runs (both
+# profiles reachable) but is a no-op on flat planes, which keeps the
+# closed form while still driving the filter code path.  Validated
+# two independent ways in tests/test_vp8.py: our decoder AND the
+# system libwebp both reconstruct the exact flat planes.
+
+
+class _Vp8BoolEnc:
+    """RFC 6386 §7.3 boolean encoder (the spec's reference algorithm)
+    — the arithmetic inverse of functions/vp8._Bool."""
+
+    def __init__(self):
+        self.range = 255
+        self.bottom = 0
+        self.bit_count = 24
+        self.out = bytearray()
+
+    def _carry(self):
+        i = len(self.out) - 1
+        while i >= 0 and self.out[i] == 255:
+            self.out[i] = 0
+            i -= 1
+        if i < 0:
+            raise AssertionError("carry out of stream start")
+        self.out[i] += 1
+
+    def put(self, prob: int, val: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if val:
+            self.bottom += split
+            self.range -= split
+            if self.bottom > 0xFFFFFFFF:  # carry past the 32-bit window
+                self.bottom &= 0xFFFFFFFF
+                self._carry()
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.bit_count = 8
+
+    def literal(self, v: int, nbits: int) -> None:
+        for k in range(nbits - 1, -1, -1):
+            self.put(128, (v >> k) & 1)
+
+    def flush(self) -> bytes:
+        for _ in range(32):
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.bit_count = 8
+        return bytes(self.out)
+
+
+def _vp8_put_token(e: _Vp8BoolEnc, p, value: int) -> None:
+    """Encode one nonzero DCT coefficient token + sign through the
+    RFC 6386 §13.2 tree with probabilities ``p`` (the exact inverse of
+    the magnitude branches in functions/vp8._get_coeffs)."""
+    from ..functions.vp8_tables import PCAT
+
+    m = abs(value)
+    assert 1 <= m <= 67 + 2047
+    e.put(p[0], 1)          # not EOB
+    e.put(p[1], 1)          # not zero
+    if m == 1:
+        e.put(p[2], 0)
+    else:
+        e.put(p[2], 1)
+        if m <= 4:
+            e.put(p[3], 0)
+            if m == 2:
+                e.put(p[4], 0)
+            else:
+                e.put(p[4], 1)
+                e.put(p[5], m - 3)
+        elif m <= 10:
+            e.put(p[3], 1)
+            e.put(p[6], 0)
+            if m <= 6:
+                e.put(p[7], 0)
+                e.put(159, m - 5)
+            else:
+                e.put(p[7], 1)
+                x = m - 7
+                e.put(165, x >> 1)
+                e.put(145, x & 1)
+        else:
+            e.put(p[3], 1)
+            e.put(p[6], 1)
+            if m <= 18:
+                e.put(p[8], 0)
+                e.put(p[9], 0)
+                cat, base = PCAT[2], 11
+            elif m <= 34:
+                e.put(p[8], 0)
+                e.put(p[9], 1)
+                cat, base = PCAT[3], 19
+            elif m <= 66:
+                e.put(p[8], 1)
+                e.put(p[10], 0)
+                cat, base = PCAT[4], 35
+            else:
+                e.put(p[8], 1)
+                e.put(p[10], 1)
+                cat, base = PCAT[5], 67
+            add = m - base
+            for k in range(len(cat) - 1, -1, -1):
+                e.put(cat[len(cat) - 1 - k], (add >> k) & 1)
+    e.put(128, 1 if value < 0 else 0)  # sign
+
+
+def encode_webp_lossy_flat(value: int, w: int, h: int,
+                           filter_level: int = 20,
+                           filter_type: int = 0) -> bytes:
+    """Flat-``value`` lossy WebP: RIFF container around a VP8 key
+    frame that reconstructs luma == ``value`` and chroma == 128 at
+    every pixel (see module comment above).  ``filter_type`` 0=normal
+    1=simple per the frame-header bit; the filter is a no-op on the
+    flat output either way.  Quantizer index 0 (y2_dc factor 8), so
+    the single Y2 DC token is ``8 * (value - 128)`` — exact through
+    the WHT ``(d+3)>>3`` and IDCT ``(e+4)>>3`` integer paths."""
+    from ..functions.vp8_tables import BANDS, COEFF_PROBS, COEFF_UPDATE_PROBS
+
+    if not (0 <= value <= 255):
+        raise ValueError("flat value must be a byte")
+    mb_w, mb_h = (w + 15) >> 4, (h + 15) >> 4
+    r = value - 128
+    coeff = 8 * r  # y2_dc = DC_QLOOKUP[0] * 2 = 8; see docstring
+
+    # --- partition 1: compressed header + per-MB modes ---
+    e = _Vp8BoolEnc()
+    e.put(128, 0)                 # color_space
+    e.put(128, 0)                 # clamping_type
+    e.put(128, 0)                 # segmentation disabled
+    e.put(128, filter_type)
+    e.literal(filter_level, 6)
+    e.literal(0, 3)               # sharpness
+    e.put(128, 0)                 # no loop-filter adjustments
+    e.literal(0, 2)               # log2(token partitions) = 0
+    e.literal(0, 7)               # y_ac quantizer index
+    for _ in range(5):
+        e.put(128, 0)             # no quantizer deltas
+    e.put(128, 0)                 # refresh_entropy_probs
+    for t in range(4):            # no coefficient prob updates
+        for b in range(8):
+            for c in range(3):
+                upd = COEFF_UPDATE_PROBS[t][b][c]
+                for pi in range(11):
+                    e.put(upd[pi], 0)
+    e.put(128, 1)                 # mb_no_coeff_skip on
+    e.literal(128, 8)             # skip probability
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            carries = (my == 0 and mx == 0 and coeff != 0)
+            e.put(128, 0 if carries else 1)   # skip flag
+            e.put(145, 1)                     # kf ymode tree -> DC_PRED
+            e.put(156, 0)
+            e.put(163, 0)
+            e.put(142, 0)                     # uv mode tree -> DC_PRED
+    part1 = e.flush()
+
+    # --- token partition: MB(0,0) only ---
+    t = _Vp8BoolEnc()
+    if coeff != 0:
+        _vp8_put_token(t, COEFF_PROBS[1][0][0], coeff)        # Y2 DC
+        nctx = 1 if abs(coeff) == 1 else 2
+        t.put(COEFF_PROBS[1][BANDS[1]][nctx][0], 0)           # Y2 EOB
+        py = COEFF_PROBS[0][BANDS[1]][0]
+        for _ in range(16):                                   # Y blocks
+            t.put(py[0], 0)
+        pc = COEFF_PROBS[2][0][0]
+        for _ in range(8):                                    # U+V blocks
+            t.put(pc[0], 0)
+    tokens = t.flush()
+
+    tag = (len(part1) << 5) | (1 << 4)  # key frame, version 0, shown
+    frame = (bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+             + b"\x9d\x01\x2a"
+             + bytes([w & 0xFF, (w >> 8) & 0x3F, h & 0xFF, (h >> 8) & 0x3F])
+             + part1 + tokens)
+    chunk = frame + (b"\x00" if len(frame) & 1 else b"")
+    riff = b"VP8 " + len(frame).to_bytes(4, "little") + chunk
+    return (b"RIFF" + (4 + len(riff)).to_bytes(4, "little") + b"WEBP"
+            + riff)

@@ -235,3 +235,51 @@ def test_rgb_path_shape_and_determinism():
     b = decode_vp8_rgb(_vp8_chunk(data))
     assert a.shape == (30, 20, 3) and a.dtype == np.uint8
     np.testing.assert_array_equal(a, b)
+
+
+# --- synthetic flat lossy encoder (the q81 gate leg) ------------------
+
+def _flat_cases():
+    return [(200, 16, 16, 20, 0), (5, 32, 28, 0, 0), (128, 17, 9, 63, 1),
+            (77, 48, 48, 30, 1), (255, 20, 24, 10, 0), (0, 16, 16, 40, 0),
+            (1, 31, 18, 55, 0), (254, 16, 32, 7, 1)]
+
+
+def test_synth_lossy_flat_roundtrip():
+    """sources/synth.encode_webp_lossy_flat -> functions/vp8.py: flat
+    luma `value`, flat chroma 128, exact dims — the closed form the
+    q81 'webp-lossy' SQL twin relies on."""
+    from rust_paddle_ocr_ray.sources.synth import encode_webp_lossy_flat
+
+    for v, w, h, fl, ft in _flat_cases():
+        data = encode_webp_lossy_flat(v, w, h, filter_level=fl,
+                                      filter_type=ft)
+        y, u, vv = decode_vp8(_vp8_chunk(data))
+        assert y.shape == (h, w)
+        assert (y == v).all() and (u == 128).all() and (vv == 128).all()
+
+
+@needs_libwebp
+def test_synth_lossy_flat_vs_libwebp():
+    """Independence: the system libwebp decodes our synthetic
+    bitstreams to the same flat planes — the bool encoder, token
+    writer and header are spec-valid, not merely self-consistent."""
+    from rust_paddle_ocr_ray.sources.synth import encode_webp_lossy_flat
+
+    for v, w, h, fl, ft in _flat_cases():
+        data = encode_webp_lossy_flat(v, w, h, filter_level=fl,
+                                      filter_type=ft)
+        Y, U, V = _WO.decode_yuv(data)
+        assert Y.shape == (h, w)
+        assert (Y == v).all() and (U == 128).all() and (V == 128).all()
+
+
+def test_synth_lossy_flat_value_sweep():
+    """Every byte value round-trips (token categories 1-6, both signs,
+    zero-residual skip-only frames, clip edges)."""
+    from rust_paddle_ocr_ray.sources.synth import encode_webp_lossy_flat
+
+    for v in range(0, 256, 7):
+        data = encode_webp_lossy_flat(v, 16, 16)
+        y, u, vv = decode_vp8(_vp8_chunk(data))
+        assert (y == v).all() and (u == 128).all() and (vv == 128).all()
