@@ -187,6 +187,20 @@ def _parse_header(data: bytes):
         raise ValueError(f"VP8 frame dims {width}x{height} out of range")
     if 10 + part0_size > len(data):
         raise ValueError("VP8 first partition overruns the frame")
+    # Anti-DoS plausibility bound (same spirit as MAX_PIXELS): every
+    # keyframe MB costs >= ~2 bits of partition-1 mode data — the
+    # ymode/uvmode trees use FIXED mid-range probabilities (145/156/
+    # 163/128 and 142/114/183), so even an all-skip stream cannot
+    # encode more than ~4 MBs per partition byte; 12x (plus flush
+    # slack) is a 3x margin.  Without this, a corrupt 60-byte header
+    # claiming 2048x2048 makes a worker burn ~25 s of pure-Python
+    # decode on zero-filled bits (measured) — at crawl scale that is
+    # a stall, not a corner case.
+    mb_count = ((width + 15) >> 4) * ((height + 15) >> 4)
+    if mb_count > 12 * (part0_size + 16):
+        raise ValueError(
+            f"VP8 dims {width}x{height} implausible for a "
+            f"{part0_size}-byte first partition")
     bd = _Bool(data[10:10 + part0_size])
 
     hdr = _Header()

@@ -283,3 +283,22 @@ def test_synth_lossy_flat_value_sweep():
         data = encode_webp_lossy_flat(v, 16, 16)
         y, u, vv = decode_vp8(_vp8_chunk(data))
         assert (y == v).all() and (u == 128).all() and (vv == 128).all()
+
+
+def test_implausible_dims_rejected_fast():
+    """Anti-DoS: a tiny first partition cannot legally carry the mode
+    records for a huge MB grid (keyframe mode trees use fixed
+    mid-range probs, >= ~2 bits/MB) — reject instead of burning ~25 s
+    of zero-fill decode on a 60-byte bomb."""
+    import time
+
+    from rust_paddle_ocr_ray.sources.synth import encode_webp_lossy_flat
+
+    data = bytearray(encode_webp_lossy_flat(90, 16, 16))
+    body = bytearray(_vp8_chunk(bytes(data)))
+    body[6:8] = (2048).to_bytes(2, "little")   # claim 2048x2048
+    body[8:10] = (2048).to_bytes(2, "little")
+    t0 = time.time()
+    with pytest.raises(ValueError, match="implausible"):
+        decode_vp8(bytes(body))
+    assert time.time() - t0 < 0.1
