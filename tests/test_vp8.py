@@ -24,6 +24,8 @@ import os
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from rust_paddle_ocr_ray.functions.vp8 import (
     decode_vp8,
@@ -302,3 +304,18 @@ def test_implausible_dims_rejected_fast():
     with pytest.raises(ValueError, match="implausible"):
         decode_vp8(bytes(body))
     assert time.time() - t0 < 0.1
+
+
+@settings(max_examples=40, deadline=None)
+@given(v=st.integers(0, 255), w=st.integers(1, 64), h=st.integers(1, 64),
+       fl=st.integers(0, 63), ft=st.integers(0, 1))
+def test_synth_lossy_flat_property(v, w, h, fl, ft):
+    """Any (value, dims, filter profile) round-trips to the exact flat
+    planes — the closed form the q81 twin assumes holds everywhere,
+    not just on the enumerated cases."""
+    from rust_paddle_ocr_ray.sources.synth import encode_webp_lossy_flat
+
+    data = encode_webp_lossy_flat(v, w, h, filter_level=fl, filter_type=ft)
+    y, u, vv = decode_vp8(_vp8_chunk(data))
+    assert y.shape == (h, w)
+    assert (y == v).all() and (u == 128).all() and (vv == 128).all()
