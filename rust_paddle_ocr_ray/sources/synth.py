@@ -1691,18 +1691,35 @@ def _vp8_put_token(e: _Vp8BoolEnc, p, value: int) -> None:
 
 def encode_webp_lossy_flat(value: int, w: int, h: int,
                            filter_level: int = 20,
-                           filter_type: int = 0) -> bytes:
+                           filter_type: int = 0,
+                           nparts: int = 1,
+                           lf_delta: int | None = None) -> bytes:
     """Flat-``value`` lossy WebP: RIFF container around a VP8 key
     frame that reconstructs luma == ``value`` and chroma == 128 at
     every pixel (see module comment above).  ``filter_type`` 0=normal
     1=simple per the frame-header bit; the filter is a no-op on the
     flat output either way.  Quantizer index 0 (y2_dc factor 8), so
     the single Y2 DC token is ``8 * (value - 128)`` — exact through
-    the WHT ``(d+3)>>3`` and IDCT ``(e+4)>>3`` integer paths."""
+    the WHT ``(d+3)>>3`` and IDCT ``(e+4)>>3`` integer paths.
+
+    Two decoder branches NO real encoder output reaches (measured:
+    libwebp keyframes are always 1-partition / no lf deltas) are
+    reachable here and stay closed-form:
+
+    - ``nparts`` in {1,2,4,8}: token partitions with the 3-byte size
+      table; the FIRST MB of every row is coded non-skip (rows > 0
+      carry all-EOB token blocks), so each partition that owns a row
+      is genuinely READ, not just parsed.
+    - ``lf_delta``: enables loop-filter adjustments and writes
+      ref_lf_delta[0] (the keyframe intra-frame delta) — shifts the
+      per-MB filter level, still a no-op on flat planes.
+    """
     from ..functions.vp8_tables import BANDS, COEFF_PROBS, COEFF_UPDATE_PROBS
 
     if not (0 <= value <= 255):
         raise ValueError("flat value must be a byte")
+    if nparts not in (1, 2, 4, 8):
+        raise ValueError("nparts must be 1, 2, 4 or 8")
     mb_w, mb_h = (w + 15) >> 4, (h + 15) >> 4
     r = value - 128
     coeff = 8 * r  # y2_dc = DC_QLOOKUP[0] * 2 = 8; see docstring
@@ -1715,8 +1732,19 @@ def encode_webp_lossy_flat(value: int, w: int, h: int,
     e.put(128, filter_type)
     e.literal(filter_level, 6)
     e.literal(0, 3)               # sharpness
-    e.put(128, 0)                 # no loop-filter adjustments
-    e.literal(0, 2)               # log2(token partitions) = 0
+    if lf_delta is None:
+        e.put(128, 0)             # no loop-filter adjustments
+    else:
+        e.put(128, 1)             # lf adjustments enabled
+        e.put(128, 1)             # mode_ref_lf_delta_update
+        e.put(128, 1)             # ref_lf_delta[0] (intra frame) present
+        e.literal(abs(lf_delta), 6)
+        e.put(128, 1 if lf_delta < 0 else 0)
+        for _ in range(3):        # ref deltas 1-3 absent
+            e.put(128, 0)
+        for _ in range(4):        # mode deltas absent (no B_PRED MBs)
+            e.put(128, 0)
+    e.literal({1: 0, 2: 1, 4: 2, 8: 3}[nparts], 2)
     e.literal(0, 7)               # y_ac quantizer index
     for _ in range(5):
         e.put(128, 0)             # no quantizer deltas
@@ -1731,27 +1759,41 @@ def encode_webp_lossy_flat(value: int, w: int, h: int,
     e.literal(128, 8)             # skip probability
     for my in range(mb_h):
         for mx in range(mb_w):
-            carries = (my == 0 and mx == 0 and coeff != 0)
-            e.put(128, 0 if carries else 1)   # skip flag
+            coded = mx == 0 and (my == 0 and coeff != 0 or
+                                 my > 0 and nparts > 1)
+            e.put(128, 0 if coded else 1)     # skip flag
             e.put(145, 1)                     # kf ymode tree -> DC_PRED
             e.put(156, 0)
             e.put(163, 0)
             e.put(142, 0)                     # uv mode tree -> DC_PRED
     part1 = e.flush()
 
-    # --- token partition: MB(0,0) only ---
-    t = _Vp8BoolEnc()
-    if coeff != 0:
-        _vp8_put_token(t, COEFF_PROBS[1][0][0], coeff)        # Y2 DC
-        nctx = 1 if abs(coeff) == 1 else 2
-        t.put(COEFF_PROBS[1][BANDS[1]][nctx][0], 0)           # Y2 EOB
+    # --- token partitions (MB rows round-robin, RFC §9.5) ---
+    def eob_blocks(enc, with_y2_coeff):
+        if with_y2_coeff:
+            _vp8_put_token(enc, COEFF_PROBS[1][0][0], coeff)  # Y2 DC
+            nctx = 1 if abs(coeff) == 1 else 2
+            enc.put(COEFF_PROBS[1][BANDS[1]][nctx][0], 0)     # Y2 EOB
+        else:
+            enc.put(COEFF_PROBS[1][0][0][0], 0)               # Y2 EOB only
         py = COEFF_PROBS[0][BANDS[1]][0]
         for _ in range(16):                                   # Y blocks
-            t.put(py[0], 0)
+            enc.put(py[0], 0)
         pc = COEFF_PROBS[2][0][0]
         for _ in range(8):                                    # U+V blocks
-            t.put(pc[0], 0)
-    tokens = t.flush()
+            enc.put(pc[0], 0)
+
+    encs = [_Vp8BoolEnc() for _ in range(nparts)]
+    for my in range(mb_h):
+        enc = encs[my % nparts]
+        if my == 0:
+            if coeff != 0:
+                eob_blocks(enc, True)
+        elif nparts > 1:
+            eob_blocks(enc, False)
+    parts = [enc.flush() for enc in encs]
+    sizes = b"".join(len(p).to_bytes(3, "little") for p in parts[:-1])
+    tokens = sizes + b"".join(parts)
 
     tag = (len(part1) << 5) | (1 << 4)  # key frame, version 0, shown
     frame = (bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])

@@ -319,3 +319,66 @@ def test_synth_lossy_flat_property(v, w, h, fl, ft):
     y, u, vv = decode_vp8(_vp8_chunk(data))
     assert y.shape == (h, w)
     assert (y == v).all() and (u == 128).all() and (vv == 128).all()
+
+
+# --- multi-partition / loop-filter-delta branches ----------------------
+#
+# Measured on this box: libwebp keyframes are always single-partition
+# and never emit loop-filter adjustments, so the goldens and the live
+# sweep leave the decoder's partition row-dispatch and lf-delta header
+# path unexercised.  The synthetic encoder reaches both (synth.py
+# encode_webp_lossy_flat nparts/lf_delta), with the first MB of every
+# row coded non-skip so each partition that owns a row is genuinely
+# READ (all-EOB token blocks), not just parsed from the size table.
+
+def _branch_cases():
+    return [(200, 48, 33, 0, 2, None), (57, 64, 128, 1, 4, None),
+            (128, 31, 17, 0, 8, None), (255, 16, 16, 1, 8, None),
+            (90, 48, 48, 0, 1, 5), (90, 48, 48, 1, 1, -9),
+            (14, 33, 50, 0, 4, 63), (201, 130, 70, 1, 8, -63)]
+
+
+def test_synth_multipartition_lf_delta_roundtrip():
+    """Token partitions 2/4/8 (3-byte size table, MB-row round-robin
+    per RFC 6386 §9.5) and ref_lf_delta[0] decode to the same flat
+    planes as the single-partition/no-delta form."""
+    from rust_paddle_ocr_ray.sources.synth import encode_webp_lossy_flat
+
+    for v, w, h, ft, nparts, lfd in _branch_cases():
+        data = encode_webp_lossy_flat(v, w, h, filter_type=ft,
+                                      nparts=nparts, lf_delta=lfd)
+        y, u, vv = decode_vp8(_vp8_chunk(data))
+        assert y.shape == (h, w)
+        assert (y == v).all() and (u == 128).all() and (vv == 128).all()
+
+
+@needs_libwebp
+def test_synth_multipartition_lf_delta_vs_libwebp():
+    """Independence: libwebp decodes the multi-partition / lf-delta
+    synthetic bitstreams to the same flat planes — the size table and
+    the lf-adjustment header bits are spec-valid."""
+    from rust_paddle_ocr_ray.sources.synth import encode_webp_lossy_flat
+
+    for v, w, h, ft, nparts, lfd in _branch_cases():
+        data = encode_webp_lossy_flat(v, w, h, filter_type=ft,
+                                      nparts=nparts, lf_delta=lfd)
+        Y, U, V = _WO.decode_yuv(data)
+        assert Y.shape == (h, w)
+        assert (Y == v).all() and (U == 128).all() and (V == 128).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(v=st.integers(0, 255), w=st.integers(1, 80), h=st.integers(1, 80),
+       ft=st.integers(0, 1), nparts=st.sampled_from([1, 2, 4, 8]),
+       lfd=st.one_of(st.none(), st.integers(-63, 63)))
+def test_synth_multipartition_lf_delta_property(v, w, h, ft, nparts, lfd):
+    """Any (value, dims, partition count, lf delta) combination
+    round-trips exactly — including heights where some partitions own
+    zero MB rows (empty partition bodies in the size table)."""
+    from rust_paddle_ocr_ray.sources.synth import encode_webp_lossy_flat
+
+    data = encode_webp_lossy_flat(v, w, h, filter_type=ft,
+                                  nparts=nparts, lf_delta=lfd)
+    y, u, vv = decode_vp8(_vp8_chunk(data))
+    assert y.shape == (h, w)
+    assert (y == v).all() and (u == 128).all() and (vv == 128).all()
