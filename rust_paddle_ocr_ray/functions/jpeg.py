@@ -5,12 +5,21 @@ public specs allow without image libraries, raise ``ValueError``
 outside the subset so the featurizer degrades to its deterministic
 fake.
 
-Supported subset: baseline sequential DCT (SOF0) AND progressive DCT
-(SOF2, Huffman), 8-bit precision, grayscale (1-component) and YCbCr
+Supported subset: baseline sequential DCT (SOF0), progressive DCT
+(SOF2, Huffman) AND lossless sequential (SOF3, Huffman — T.81
+Annex H), 8-bit precision, grayscale (1-component) and YCbCr
 color (3-component) scans including SUBSAMPLED chroma (4:2:0 / 4:2:2
 / 4:4:0 and any integer-ratio Hi×Vi ≤ 4×4) — interleaved MCUs per
 T.81 §A.2.3, restart intervals (DRI/RSTn: byte-align + predictor
-reset), no arithmetic coding / hierarchical / lossless modes.
+reset; DCT modes only), no arithmetic coding / hierarchical modes.
+Lossless subset: predictors 1-7, point transform Pt, 1×1 sampling
+(the overwhelmingly common lossless layout), interleaved or one
+scan per component, no restarts (the spec's restart-reset
+interaction with line context is where implementations diverge, so
+it stays out rather than guessed); 3-component output goes through
+the SAME pinned BT.601 YCbCr rule as the DCT paths (module-wide
+convention, documented — raw-CFA/RGB lossless consumers should read
+the planes via the 1-component path per scan instead).
 Progressive decode per T.81 Annex G: spectral-selection bands +
 successive approximation, per-scan coefficient accumulation
 (DC first/refine with floor-shift + bit-OR semantics, AC first with
@@ -172,7 +181,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # (cid, h_i, v_i, quant id)
     restart_interval = 0
     progressive = False
+    lossless = False
     store: list[np.ndarray] | None = None  # per-comp zigzag coefficients
+    ll_planes: dict[int, np.ndarray] = {}  # lossless: comp idx -> plane
+    ll_pt = 0
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -205,8 +217,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = bytes(body[i + 17:i + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC3):  # SOF0 / SOF2 / SOF3 lossless
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h = (body[1] << 8) | body[2]
@@ -228,12 +241,47 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(
                         "non-integer sampling ratio (replication "
                         "upsampling undefined)")
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                if lossless and (hi != 1 or vi != 1):
+                    raise ValueError(
+                        "subsampled lossless JPEG not supported")
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG mode (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             restart_interval = (body[0] << 8) | body[1]
         elif marker == 0xDA:  # SOS
+            if lossless:
+                if not comps:
+                    raise ValueError("JPEG scan before SOF3")
+                if restart_interval:
+                    raise ValueError(
+                        "restart intervals in lossless JPEG not supported")
+                ns = body[0]
+                scomp = []
+                for ci in range(ns):
+                    cid = body[1 + 2 * ci]
+                    td = body[2 + 2 * ci] >> 4
+                    idxs = [i for i, c in enumerate(comps) if c[0] == cid]
+                    if not idxs:
+                        raise ValueError("scan names a non-frame component")
+                    if td not in dc_tabs:
+                        raise ValueError("lossless scan without its table")
+                    scomp.append((idxs[0], dc_tabs[td]))
+                sel = body[1 + 2 * ns]           # Ss = predictor selector
+                ll_pt = body[3 + 2 * ns] & 0x0F  # Al = point transform
+                if not (1 <= sel <= 7):
+                    raise ValueError(f"illegal lossless predictor {sel}")
+                if ll_pt > 7:
+                    raise ValueError("point transform >= precision")
+                planes, pos = _decode_lossless_scan(
+                    data, pos + seg_len, w, h, [s[1] for s in scomp],
+                    sel, ll_pt)
+                for (idx, _td), p in zip(scomp, planes):
+                    ll_planes[idx] = p
+                if len(ll_planes) == len(comps):
+                    return _finish_lossless(
+                        [ll_planes[i] for i in range(len(comps))])
+                continue  # pos sits at the next 0xFF marker
             if progressive:
                 if not comps:
                     raise ValueError("JPEG scan before SOF2")
@@ -362,6 +410,79 @@ def _decode_scan(data: bytes, pos: int, w: int, h: int,
         o[: -(-h * vi // vmax), : -(-w * hi // hmax)]
         for o, (_q, _d, _a, hi, vi) in zip(outs, plan)
     ]
+
+
+def _decode_lossless_scan(data: bytes, pos: int, w: int, h: int,
+                          tabs: list[_Huff], sel: int,
+                          pt: int) -> tuple[list[np.ndarray], int]:
+    """One lossless scan per T.81 Annex H (1×1 sampling): each sample
+    codes a Huffman category SSSS (16 means diff=32768, no extra
+    bits) + EXTEND bits for the prediction difference; interleaved
+    scans (Ns>1, all 1×1) carry one sample per component per MCU in
+    raster order.  Prediction (§H.1.2.1): the scan's first sample
+    uses the default ``1 << (P-1-Pt)``; the rest of the FIRST line
+    uses Ra (left); the first sample of later lines uses Rb (above);
+    elsewhere the scan-selected predictor 1-7 over Ra/Rb/Rc.
+    Reconstruction is modulo 2^16.  Returns per-component int32
+    planes ALREADY shifted left by the point transform, plus the
+    offset of the next marker."""
+    rd = _BitReader(data, pos)
+    ncs = len(tabs)
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in range(ncs)]
+    default = 1 << (7 - pt)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncs):
+                t = rd.decode(tabs[ci])
+                if t == 16:
+                    diff = 32768
+                elif t:
+                    diff = _extend(rd.read_bits(t), t)
+                else:
+                    diff = 0
+                p = planes[ci]
+                if y == 0:
+                    px = default if x == 0 else int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    a = int(p[y, x - 1])
+                    b = int(p[y - 1, x])
+                    if sel == 1:
+                        px = a
+                    elif sel == 2:
+                        px = b
+                    elif sel == 3:
+                        px = int(p[y - 1, x - 1])
+                    elif sel == 4:
+                        px = a + b - int(p[y - 1, x - 1])
+                    elif sel == 5:
+                        px = a + ((b - int(p[y - 1, x - 1])) >> 1)
+                    elif sel == 6:
+                        px = b + ((a - int(p[y - 1, x - 1])) >> 1)
+                    else:  # 7
+                        px = (a + b) >> 1
+                p[y, x] = (px + diff) & 0xFFFF
+    shifted = [p << pt for p in planes]
+    q = rd.pos  # skip pad bits / stuffing to the next true marker
+    n = len(data)
+    while q + 1 < n:
+        if data[q] == 0xFF and data[q + 1] != 0x00:
+            return shifted, q
+        q += 1
+    raise ValueError("JPEG truncated after a lossless scan")
+
+
+def _finish_lossless(planes: list[np.ndarray]) -> np.ndarray:
+    """Compose decoded lossless planes: clip to the 8-bit output
+    domain; 3 components go through the module's pinned BT.601 rule
+    (see module doc)."""
+    out = [np.clip(p, 0, 255).astype(np.uint8) for p in planes]
+    if len(out) == 1:
+        return out[0]
+    if len(out) != 3:
+        raise ValueError(f"{len(out)}-component lossless JPEG")
+    return _ycbcr_to_rgb(out)
 
 
 def _dc_unit(rd: _BitReader, blk: np.ndarray, dc: _Huff | None,

@@ -3080,7 +3080,11 @@ def q82_jpeg_roundtrip(sf_dir: str):
     — BASELINE (sources/synth.encode_jpeg_gray_dc) when id % 4 == 0,
     PROGRESSIVE (SOF2, the full Annex-G scan script through
     sources/synth.encode_jpeg_progressive with the same DC-only
-    coefficients, so pixels stay closed-form) when id % 4 == 2; odd
+    coefficients, so pixels stay closed-form) when id % 4 == 2, and
+    LOSSLESS (SOF3 per T.81 Annex H, a PER-PIXEL gradient — the one
+    mode where arbitrary pixels round-trip exactly — with predictor
+    1-7 and point transform cycling by id,
+    sources/synth.encode_jpeg_lossless) when id % 8 == 4; odd
     docs encode a DC-only
     YCbCr JPEG at 4:2:0 (id % 4 == 1) or 4:2:2 (id % 4 == 3) chroma
     sampling with CROPPED frame dims (partial-MCU path,
@@ -3097,6 +3101,7 @@ def q82_jpeg_roundtrip(sf_dir: str):
     from ..sources.synth import (
         encode_jpeg_color_dc,
         encode_jpeg_gray_dc,
+        encode_jpeg_lossless,
         encode_jpeg_progressive,
     )
 
@@ -3107,7 +3112,23 @@ def q82_jpeg_roundtrip(sf_dir: str):
                 "mean_ppm": []}
         for d in b["doc_id"].to_numpy(dtype="int64"):
             d = int(d)
-            if d % 2 == 0:
+            if d % 8 == 4:
+                # LOSSLESS (SOF3): a PER-PIXEL gradient — lossless is
+                # the one mode that round-trips arbitrary pixels, so
+                # the gate pattern needs no block structure.  Predictor
+                # and point transform cycle with the id.
+                w, h = 8 + d % 9, 8 + (d // 2) % 7
+                i = np.arange(h, dtype=np.int64)[:, None]
+                j = np.arange(w, dtype=np.int64)[None, :]
+                img = ((i + 3 * j + d) % 256).astype(np.uint8)
+                pt = (d // 8) % 2
+                payload = encode_jpeg_lossless(
+                    img, predictor=1 + d % 7, pt=pt)
+                px = decode_jpeg_gray(payload)
+                assert px.shape == (h, w)
+                kind = "gray_lossless"
+                nch = 1
+            elif d % 2 == 0:
                 bx, by = 1 + d % 3, 1 + (d // 2) % 2
                 i = np.arange(by, dtype=np.int64)[:, None]
                 j = np.arange(bx, dtype=np.int64)[None, :]
@@ -3172,7 +3193,22 @@ def _sql_chan(pre: str) -> str:
 
 SQL_Q82 = f"""
 WITH g AS (SELECT doc_id, 1 + doc_id % 3 AS bx, 1 + (doc_id // 2) % 2 AS by
-           FROM documents WHERE doc_id % 2 = 0),
+           FROM documents WHERE doc_id % 2 = 0 AND doc_id % 8 <> 4),
+ll AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 2) % 7 AS h,
+              (doc_id // 8) % 2 AS pt
+       FROM documents WHERE doc_id % 8 = 4),
+llpx AS (
+  SELECT doc_id, w, h, pt,
+         ((i.i + 3 * j.j + doc_id) % 256)::BIGINT AS v
+  FROM ll,
+       unnest(generate_series(0, h - 1)) AS i(i),
+       unnest(generate_series(0, w - 1)) AS j(j)),
+llrows AS (
+  SELECT doc_id, 'gray_lossless' AS kind,
+         w::BIGINT AS width, h::BIGINT AS height,
+         ((SUM(v - CASE WHEN pt = 1 THEN v % 2 ELSE 0 END) * 1000000)
+          // (w * h))::BIGINT AS mean_ppm
+  FROM llpx GROUP BY doc_id, w, h),
 bl AS (
   SELECT g.doc_id, g.bx, g.by, ((i.i + j.j + g.doc_id) % 256)::BIGINT AS v
   FROM g,
@@ -3219,6 +3255,7 @@ crows AS (
            * 1000000) // (w * h * 3))::BIGINT AS mean_ppm
   FROM pre GROUP BY d, w, h)
 SELECT * FROM grows UNION ALL SELECT * FROM crows
+UNION ALL SELECT * FROM llrows
 """
 
 

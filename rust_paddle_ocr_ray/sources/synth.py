@@ -798,6 +798,112 @@ def encode_jpeg_color_dc(y_blocks, cb_blocks, cr_blocks,
             + b"\xff\xd9")
 
 
+def _lossless_preds(v, sel: int, pt: int):
+    """Prediction matrix for a coded-value plane ``v`` (already >>pt)
+    under T.81 §H.1.2.1 — the exact rules functions/jpeg.py's
+    _decode_lossless_scan applies: default for the corner, Ra across
+    the first line, Rb down the first column, the selected predictor
+    elsewhere.  Vectorized (the decoder is bit-serial; the encoder
+    need not be)."""
+    import numpy as np
+
+    h, w = v.shape
+    p = np.zeros((h, w), dtype=np.int64)
+    p[0, 0] = 1 << (7 - pt)
+    p[0, 1:] = v[0, :-1]
+    p[1:, 0] = v[:-1, 0]
+    a, b, c = v[1:, :-1], v[:-1, 1:], v[:-1, :-1]
+    if sel == 1:
+        p[1:, 1:] = a
+    elif sel == 2:
+        p[1:, 1:] = b
+    elif sel == 3:
+        p[1:, 1:] = c
+    elif sel == 4:
+        p[1:, 1:] = a + b - c
+    elif sel == 5:
+        p[1:, 1:] = a + ((b - c) >> 1)
+    elif sel == 6:
+        p[1:, 1:] = b + ((a - c) >> 1)
+    elif sel == 7:
+        p[1:, 1:] = (a + b) >> 1
+    else:
+        raise ValueError(f"illegal predictor {sel}")
+    return p
+
+
+def encode_jpeg_lossless(px, predictor: int = 1, pt: int = 0,
+                         interleaved: bool = True) -> bytes:
+    """(h, w) or (h, w, 3) uint8 -> lossless JPEG (SOF3, T.81 Annex
+    H): Huffman-coded prediction differences, predictor 1-7, point
+    transform ``pt`` (samples code as ``px >> pt``; the decoder
+    reconstructs ``(px >> pt) << pt`` — bit-exact when ``pt == 0``).
+    Color emits one interleaved 3-component scan (1×1 sampling) or,
+    with ``interleaved=False``, three single-component scans — both
+    layouts functions/jpeg.py decodes.  The Annex-K DC table covers
+    the diff categories (|diff| <= 510 -> SSSS <= 10 <= 11)."""
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8)
+    if arr.ndim == 2:
+        planes = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        planes = [arr[:, :, i] for i in range(3)]
+    else:
+        raise ValueError("expected (h, w) or (h, w, 3) uint8")
+    if not (0 <= pt <= 7):
+        raise ValueError("point transform out of range")
+    h, w = planes[0].shape
+    nc = len(planes)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big")
+                + body)
+
+    dc_bits, dc_vals, dc_codes = _jpeg_dc_table()
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    sof_body = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof_body += bytes([nc])
+    for ci in range(nc):
+        sof_body += bytes([ci + 1, 0x11, 0])   # 1x1 sampling, Tq unused
+    sof = seg(0xC3, bytes(sof_body))
+
+    diffs = []
+    for plane in planes:
+        v = plane.astype(np.int64) >> pt
+        diffs.append(v - _lossless_preds(v, predictor, pt))
+
+    def emit_scan(b: _JpegBits, order):
+        for d in order:
+            di = int(d)
+            t = abs(di).bit_length()
+            code, ln = dc_codes[t]
+            b.emit(code, ln)
+            if t:
+                b.emit(di if di >= 0 else di + (1 << t) - 1, t)
+
+    out = b"\xff\xd8" + dht + sof
+    if interleaved or nc == 1:
+        sos_body = bytes([nc]) + b"".join(
+            bytes([ci + 1, 0x00]) for ci in range(nc))
+        sos_body += bytes([predictor, 0, pt])
+        b = _JpegBits()
+        # MCU order with all-1x1 sampling: one sample per component
+        # per (y, x), raster order — matches the decoder's loop.
+        stack = np.stack([d.ravel() for d in diffs], axis=1).ravel()
+        emit_scan(b, stack)
+        b.pad()
+        out += seg(0xDA, sos_body) + bytes(b.out)
+    else:
+        for ci, d in enumerate(diffs):
+            sos_body = bytes([1, ci + 1, 0x00, predictor, 0, pt])
+            b = _JpegBits()
+            emit_scan(b, d.ravel())
+            b.pad()
+            out += seg(0xDA, sos_body) + bytes(b.out)
+    return out + b"\xff\xd9"
+
+
 def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
     """(n,) or (n, ch) int16 samples -> RIFF/WAVE PCM bytes (the audio
     analog of the image encoders above; decoded by functions/audio.py

@@ -4,7 +4,8 @@ with typed metadata.
 PNG, BMP, GIF and baseline JPEG payloads decode for REAL — pure-Python
 public-spec pixel decoders (functions/png.py: RFC 2083 incl. 1/2/4-bit
 grey/palette; functions/raster.py: BITMAPINFOHEADER + GIF89a LZW incl.
-interlace; functions/jpeg.py: ITU-T T.81 baseline + progressive, grayscale +
+interlace; functions/jpeg.py: ITU-T T.81 baseline + progressive + lossless
+(SOF3), grayscale +
 YCbCr; functions/vp8l.py: lossless WebP; functions/vp8.py: lossy WebP
 VP8 key frames per RFC 6386, bit-exact incl. the in-loop filter),
 emitting true width/height and pixel-statistics features.  No media
@@ -42,7 +43,7 @@ def decode_payload(payload: bytes) -> np.ndarray:
     for any malformed payload (internal Index/struct/zlib errors are
     converted here — a 100 TB crawl WILL contain corrupt files, and a
     task must degrade, not die), NotImplementedError only for formats
-    with no decoder at all (PNG/BMP/GIF/JPEG-baseline+progressive/
+    with no decoder at all (PNG/BMP/GIF/JPEG-baseline+progressive+lossless/
     WebP-lossless+lossy all decode for real)."""
     import struct
 
@@ -171,7 +172,7 @@ def real_decode(payload: bytes, feat_dim: int = 64) -> tuple[int, int, np.ndarra
     depths 1/2/4/8), BMP (BITMAPINFOHEADER BI_RGB 8/24-bit), GIF
     (variable-width LZW per the GIF89a spec, first frame, interlaced
     or not), JPEG (functions/jpeg.py — T.81 Huffman + IDCT, baseline
-    and progressive, grayscale and YCbCr) and WebP — BOTH halves
+    progressive and lossless, grayscale and YCbCr) and WebP — BOTH halves
     (functions/vp8l.py — VP8L prefix codes, color cache, LZ77, all
     four transforms; functions/vp8.py — lossy VP8 key frames per RFC
     6386 incl. the in-loop filter, bit-exact vs libwebp) — decode for

@@ -235,3 +235,104 @@ def test_restart_intervals():
     want = np.repeat(np.repeat(np.array([blocks], dtype=np.uint8),
                                8, axis=0), 8, axis=1)
     np.testing.assert_array_equal(px, want)
+
+
+# --- lossless (SOF3, T.81 Annex H) -------------------------------------
+
+def test_lossless_roundtrip_all_predictors():
+    """Every predictor 1-7 reconstructs an arbitrary-pixel image
+    EXACTLY (the mode's defining property; lossless needs no block
+    structure, unlike the DC-only gates above)."""
+    from rust_paddle_ocr_ray.functions.jpeg import decode_jpeg
+    from rust_paddle_ocr_ray.sources.synth import encode_jpeg_lossless
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (13, 21)).astype(np.uint8)
+    for sel in range(1, 8):
+        got = decode_jpeg(encode_jpeg_lossless(img, predictor=sel))
+        np.testing.assert_array_equal(got, img)
+
+
+def test_lossless_point_transform():
+    """Pt > 0 codes px >> Pt; the decoder outputs (px >> Pt) << Pt."""
+    from rust_paddle_ocr_ray.functions.jpeg import decode_jpeg
+    from rust_paddle_ocr_ray.sources.synth import encode_jpeg_lossless
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (9, 9)).astype(np.uint8)
+    for pt in (1, 2, 5):
+        got = decode_jpeg(encode_jpeg_lossless(img, predictor=4, pt=pt))
+        np.testing.assert_array_equal(
+            got, ((img.astype(np.int64) >> pt) << pt).astype(np.uint8))
+
+
+def test_lossless_edge_geometries():
+    """1×1, single-row and single-column images exercise the
+    corner-default / first-line-Ra / first-column-Rb rules alone."""
+    from rust_paddle_ocr_ray.functions.jpeg import decode_jpeg
+    from rust_paddle_ocr_ray.sources.synth import encode_jpeg_lossless
+
+    rng = np.random.RandomState(5)
+    for shape in [(1, 1), (1, 17), (17, 1), (2, 2)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for sel in (1, 2, 4, 7):
+            got = decode_jpeg(encode_jpeg_lossless(img, predictor=sel))
+            np.testing.assert_array_equal(got, img)
+
+
+def test_lossless_color_both_scan_layouts():
+    """3-component lossless (interleaved single scan AND one scan per
+    component) matches the module's pinned BT.601 conversion applied
+    to the exact reconstructed planes."""
+    from rust_paddle_ocr_ray.functions.jpeg import _ycbcr_to_rgb, decode_jpeg
+    from rust_paddle_ocr_ray.sources.synth import encode_jpeg_lossless
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (7, 11, 3)).astype(np.uint8)
+    want = _ycbcr_to_rgb([img[:, :, i] for i in range(3)])
+    for il in (True, False):
+        got = decode_jpeg(
+            encode_jpeg_lossless(img, predictor=5, interleaved=il))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_lossless_subset_rejections():
+    """Declared subset edges raise ValueError: restart intervals,
+    subsampled lossless frames, illegal predictor selectors."""
+    from rust_paddle_ocr_ray.functions.jpeg import decode_jpeg
+    from rust_paddle_ocr_ray.sources.synth import encode_jpeg_lossless
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = bytearray(encode_jpeg_lossless(img, predictor=1))
+    # splice a DRI segment right before the SOS
+    i = data.index(b"\xff\xda")
+    with_dri = data[:i] + b"\xff\xdd\x00\x04\x00\x08" + data[i:]
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(with_dri))
+    # subsampled lossless: rewrite the SOF3 sampling byte
+    sub = data.copy()
+    j = sub.index(b"\xff\xc3")
+    sub[j + 11] = 0x22  # Hi=Vi=2 (offset: marker2+len2+P1+h2+w2+nc1+cid1)
+    with pytest.raises(ValueError, match="subsampled lossless"):
+        decode_jpeg(bytes(sub))
+    # predictor 0 in SOS (Ss byte sits 3rd-from-last of the header)
+    bad = data.copy()
+    k = bad.index(b"\xff\xda")
+    bad[k + 2 + 2 + 1 + 2] = 0  # len2 + ns1 + (cid, tab)*1 -> Ss
+    with pytest.raises(ValueError, match="predictor"):
+        decode_jpeg(bytes(bad))
+
+
+def test_lossless_truncation_degrades():
+    """Truncated lossless payloads degrade to ValueError at the
+    production boundary (stages/multimodal.decode_payload converts
+    internal Index/Key errors per its documented contract)."""
+    from rust_paddle_ocr_ray.sources.synth import encode_jpeg_lossless
+    from rust_paddle_ocr_ray.stages.multimodal import decode_payload
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (6, 6)).astype(np.uint8)
+    data = encode_jpeg_lossless(img, predictor=2)
+    for cut in (len(data) - 3, len(data) // 2, 20):
+        with pytest.raises(ValueError):
+            decode_payload(data[:cut])

@@ -227,3 +227,40 @@ def test_jpeg_progressive_roundtrip(case):
                                    restart_interval=ri)
     got = decode_jpeg(data)
     np.testing.assert_array_equal(got, _ref_reconstruct(coefs, samp, w, h))
+
+
+@st.composite
+def lossless_jpeg_case(draw):
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    color = draw(st.booleans())
+    n = h * w * (3 if color else 1)
+    flat = np.array(draw(st.lists(st.integers(0, 255), min_size=n,
+                                  max_size=n)), dtype=np.uint8)
+    img = flat.reshape((h, w, 3) if color else (h, w))
+    sel = draw(st.integers(1, 7))
+    pt = draw(st.integers(0, 3))
+    il = draw(st.booleans())
+    return img, sel, pt, il
+
+
+@settings(max_examples=40, deadline=None)
+@given(lossless_jpeg_case())
+def test_jpeg_lossless_roundtrip(case):
+    """SOF3 round-trips ARBITRARY pixels exactly: (px >> pt) << pt per
+    plane, any predictor 1-7, interleaved or per-component scans;
+    color goes through the module's pinned BT.601 rule applied to the
+    exactly-reconstructed planes."""
+    from rust_paddle_ocr_ray.functions.jpeg import _ycbcr_to_rgb
+    from rust_paddle_ocr_ray.sources.synth import encode_jpeg_lossless
+
+    img, sel, pt, il = case
+    got = decode_jpeg(encode_jpeg_lossless(img, predictor=sel, pt=pt,
+                                           interleaved=il))
+    if img.ndim == 2:
+        want = ((img.astype(np.int64) >> pt) << pt).astype(np.uint8)
+    else:
+        planes = [((img[:, :, i].astype(np.int64) >> pt) << pt
+                   ).astype(np.uint8) for i in range(3)]
+        want = _ycbcr_to_rgb(planes)
+    np.testing.assert_array_equal(got, want)
