@@ -44,6 +44,9 @@ from __future__ import annotations
 
 import numpy as np
 
+#: corrupt-header guard, same budget as vp8/vp8l/png/raster
+MAX_PIXELS = 1 << 22
+
 #: zigzag index -> (row, col) of the 8x8 block, per T.81 Figure 5
 ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -224,6 +227,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit precision supported")
             h = (body[1] << 8) | body[2]
             w = (body[3] << 8) | body[4]
+            if not w or not h or w * h > MAX_PIXELS:
+                # corrupt-header guard: a crafted DHT can make the
+                # post-EOI 1-bit padding decode as a valid symbol, so
+                # a tiny bomb claiming huge dims would otherwise walk
+                # h*w sample/MCU iterations (or MemoryError on the
+                # plane allocation, which escapes the ValueError
+                # degrade contract)
+                raise ValueError(
+                    f"JPEG dims {w}x{h} out of range")
             ncomp = body[5]
             if ncomp not in (1, 3):
                 raise ValueError(f"{ncomp}-component JPEG not supported")

@@ -27,6 +27,10 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: corrupt-header guard, same budget as vp8/vp8l.py: a tiny payload
+#: claiming huge dims must fail fast, not allocate or loop for it
+MAX_PIXELS = 1 << 22
+
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
@@ -115,11 +119,23 @@ def decode_png(data: bytes) -> np.ndarray:
             idat += body
     if width is None or not width or not height:
         raise ValueError("missing or empty IHDR")
+    if width * height > MAX_PIXELS:
+        raise ValueError(
+            f"PNG dims {width}x{height} out of range (corrupt-header "
+            "guard)")
     if interlace != 0:
         raise ValueError("interlaced PNG not supported")
     if color not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    # Bound the inflate output by what the declared geometry can use:
+    # a zlib bomb behind a small-dims IHDR otherwise expands ~1000x
+    # (1 MB payload -> 1 GB heap) before any length check runs.
+    max_raw = height * (1 + width * 4) + 1
+    dec = zlib.decompressobj()
+    raw_b = dec.decompress(bytes(idat), max_raw)
+    if dec.unconsumed_tail:
+        raise ValueError("PNG IDAT inflates past the declared dims")
+    raw = np.frombuffer(raw_b, dtype=np.uint8)
     if bitdepth in (1, 2, 4) and color in (0, 3):
         # sub-byte depths (grey / palette): filtering is byte-wise with
         # bpp=1 per RFC 2083 §6.2, then rows unpack MSB-first

@@ -25,6 +25,10 @@ import struct
 import numpy as np
 
 
+#: corrupt-header guard, same budget as vp8/vp8l/png/jpeg
+MAX_PIXELS = 1 << 22
+
+
 def _u16le(b: bytes, i: int) -> int:
     return b[i] | (b[i + 1] << 8)
 
@@ -158,6 +162,12 @@ def decode_gif(data: bytes) -> np.ndarray:
             pos += 1
         elif b0 == 0x2C:  # image descriptor
             iw, ih = _u16le(data, pos + 5), _u16le(data, pos + 7)
+            if iw * ih > MAX_PIXELS:
+                # corrupt-header guard: LZW expands up to
+                # quadratically, so a ~100 KB bomb could otherwise
+                # emit 4G pixels into a Python list
+                raise ValueError(
+                    f"GIF frame {iw}x{ih} out of range")
             ip = data[pos + 9]
             pos += 10
             lct = None
