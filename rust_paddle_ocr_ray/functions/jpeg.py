@@ -44,6 +44,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .jpeg_arith import decode_arith_scan
+
 #: corrupt-header guard, same budget as vp8/vp8l/png/raster
 MAX_PIXELS = 1 << 22
 
@@ -185,6 +187,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     progressive = False
     lossless = False
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     store: list[np.ndarray] | None = None  # per-comp zigzag coefficients
     ll_planes: dict[int, np.ndarray] = {}  # lossless: comp idx -> plane
     ll_pt = 0
@@ -220,9 +225,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = bytes(body[i + 17:i + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC2, 0xC3):  # SOF0 / SOF2 / SOF3 lossless
+        elif marker in (0xC0, 0xC2, 0xC3, 0xC9):
+            # SOF0 / SOF2 progressive / SOF3 lossless / SOF9 arithmetic
             progressive = marker == 0xC2
             lossless = marker == 0xC3
+            arith = marker == 0xC9
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h = (body[1] << 8) | body[2]
@@ -257,8 +264,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(
                         "subsampled lossless JPEG not supported")
         elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG mode (SOF{marker - 0xC0})")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                cs = body[i + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs  # Kx
+                i += 2
         elif marker == 0xDD:  # DRI
             restart_interval = (body[0] << 8) | body[1]
         elif marker == 0xDA:  # SOS
@@ -325,6 +342,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             tabs = {body[1 + 2 * ci]: (body[2 + 2 * ci] >> 4,
                                        body[2 + 2 * ci] & 0x0F)
                     for ci in range(body[0])}
+            if arith:
+                aplan = []
+                for cid, hi, vi, tq in comps:
+                    if cid not in tabs:
+                        raise ValueError("scan missing a frame component")
+                    td, ta = tabs[cid]
+                    aplan.append((qt[tq], td, ta, hi, vi))
+                planes = decode_arith_scan(
+                    data, pos + seg_len, w, h, aplan, dc_cond, ac_cond,
+                    restart_interval)
+                up = [
+                    np.repeat(np.repeat(p, vmax // vi, axis=0),
+                              hmax // hi, axis=1)[:h, :w]
+                    for p, (_q, _td, _ta, hi, vi) in zip(planes, aplan)
+                ]
+                if len(up) == 1:
+                    return up[0]
+                return _ycbcr_to_rgb(up)
             plan = []
             for cid, hi, vi, tq in comps:
                 if cid not in tabs:

@@ -1,0 +1,488 @@
+"""Arithmetic-coded JPEG entropy layer (ITU-T T.81 Annex D QM-coder +
+Annex F.2.4 sequential DCT statistical model), pure Python.
+
+Closes the last JPEG entropy-mode stub: SOF9 (sequential DCT,
+arithmetic coding) decodes for real through the same scan geometry,
+dequantization and IDCT as the baseline path in functions/jpeg.py.
+The probability estimation state machine is the normative Table D.3,
+committed as qm_table.py (tools/extract_qm_table.py).
+
+Register conventions (Annex D software conventions):
+
+- Decoder: 32-bit C with the comparand in the high 16 bits
+  (``Chigh = C >> 16``); INITDEC loads the first TWO entropy bytes
+  into Chigh and starts ``A = 0x10000``.  Renormalization doubles A
+  and C until ``A >= 0x8000``, pulling bytes in via BYTEIN.  Entropy
+  bytes use JPEG byte-stuffing (B.1.1.5): ``FF 00`` is a data byte
+  0xFF (extra FFs are fill); ``FF`` + anything else is the
+  terminating marker, after which BYTEIN feeds zero data.
+- The MPS subinterval sits at the BOTTOM of [0, A): after
+  ``A -= Qe``, ``Chigh < A`` selects MPS (no C adjustment) and the
+  LPS path subtracts A and sets ``A = Qe`` — with conditional
+  exchange on renormalizing paths when ``A < Qe`` (the larger
+  subinterval always codes the MPS).
+- Encoder: exact mirror with an UNBOUNDED integer C (Python ints make
+  the spec's carry/byte-stacking machinery unnecessary: carries
+  propagate inside the big int, and the final interval base
+  serializes MSB-first with the same byte-stuffing).  State
+  transitions (NMPS on renormalizing MPS, NLPS + optional MPS switch
+  on LPS) fire under identical conditions on both sides, so encoder
+  and decoder adapt in lockstep.
+
+Statistical model (F.2.4, mirrored in the encoder):
+
+- DC: per-component context selected by the previous diff's
+  classification (zero / small+- / large+- via the L,U conditioning
+  bounds, default (0,1)); magnitude category via the X1.. chain at
+  offset 20 of the 64-state DC area, magnitude bits on the X+14
+  state.
+- AC: per-index EOB and zero/nonzero decisions at ``3*(k-1)``;
+  sign on the FIXED ~0.5 state (Table D.3 index 113, non-adapting);
+  magnitude categories >= 4 switch to the shared chains at offsets
+  189 (k <= Kx, default 5) / 217 of the 256-state AC area.
+
+Validated coefficient-exact against the system libjpeg in both
+directions (tools/jpeg_arith_oracle.py + committed goldens): libjpeg
+SOF9 streams decode to identical quantized coefficients, and streams
+from the mirror encoder are decoded identically by libjpeg.
+
+Reference parity note: the reference decodes JPEG via the Rust image
+crate (src/main.rs:121, src/capi.rs:274), whose decoders do NOT
+support arithmetic coding — this path EXCEEDS reference coverage.
+Remaining declared-out JPEG modes: hierarchical, and
+arithmetic-coded progressive/lossless scans (SOF10/SOF11).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .qm_table import NLPS, NMPS, QE, SWITCH
+
+#: index of the fixed (non-adapting, Qe ~0.5) state used for AC signs
+FIXED = 113
+
+#: default conditioning bounds (T.81 F.1.4.4.1.2 / F.1.4.4.2)
+DEFAULT_DC_COND = (0, 1)  # (L, U)
+DEFAULT_AC_KX = 5
+
+
+class QMDecoder:
+    """T.81 Annex D arithmetic decoder over one entropy-coded segment
+    (SOS payload up to the next marker, or between restart markers)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.n = len(data)
+        self.bp = pos           # next unread byte
+        self.marker_pos = -1    # position of the terminating 0xFF
+        self.c = self._next_byte() << 16
+        self.c += self._next_byte() << 8
+        self.c <<= 8
+        self.ct = 0
+        self.a = 0x10000
+
+    def _next_byte(self) -> int:
+        data, n = self.data, self.n
+        if self.marker_pos >= 0 or self.bp >= n:
+            if self.marker_pos < 0:
+                self.marker_pos = self.n
+            return 0
+        b = data[self.bp]
+        self.bp += 1
+        if b != 0xFF:
+            return b
+        while self.bp < n and data[self.bp] == 0xFF:
+            self.bp += 1  # fill bytes
+        if self.bp < n and data[self.bp] == 0x00:
+            self.bp += 1  # stuffed zero: the datum is 0xFF
+            return 0xFF
+        self.marker_pos = self.bp - 1
+        return 0
+
+    def decode(self, idx: bytearray, mps: bytearray, k: int) -> int:
+        """One binary decision on context k of the (idx, mps) area."""
+        i = idx[k]
+        qe = QE[i]
+        a = self.a - qe
+        if (self.c >> 16) < a:
+            if a & 0x8000:  # no renormalization: fast MPS path
+                self.a = a
+                return mps[k]
+            if a < qe:  # conditional exchange
+                d = mps[k] ^ 1
+                if SWITCH[i]:
+                    mps[k] ^= 1
+                idx[k] = NLPS[i]
+            else:
+                d = mps[k]
+                idx[k] = NMPS[i]
+        else:
+            self.c -= a << 16
+            if a < qe:  # conditional exchange
+                d = mps[k]
+                idx[k] = NMPS[i]
+            else:
+                d = mps[k] ^ 1
+                if SWITCH[i]:
+                    mps[k] ^= 1
+                idx[k] = NLPS[i]
+            a = qe
+        while True:  # RENORMD
+            if self.ct == 0:
+                self.c += self._next_byte() << 8
+                self.ct = 8
+            a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if a & 0x8000:
+                break
+        self.a = a
+        return d
+
+
+def _decode_v(dec: QMDecoder, idx: bytearray, mps: bytearray,
+              s0: int, x1: int) -> tuple[int, int, int]:
+    """Figures F.21/F.23/F.24: sign + magnitude of a nonzero value
+    whose 'significant' decision already decoded 1 at context s0.
+    Returns (magnitude >= 1, sign, m) with m the MSB of Sz (0 when
+    the magnitude is exactly 1) for DC conditioning."""
+    sign = dec.decode(idx, mps, s0 + 1)
+    st = s0 + 2 + sign
+    m = dec.decode(idx, mps, st)
+    if m:
+        st = x1
+        while dec.decode(idx, mps, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic JPEG magnitude overflow")
+            st += 1
+    v = m
+    st += 14
+    mm = m >> 1
+    while mm:
+        if dec.decode(idx, mps, st):
+            v |= mm
+        mm >>= 1
+    return v + 1, sign, m
+
+
+class _Stats:
+    """Adaptive state areas for one scan: one 64-byte DC and one
+    256-byte AC area per table id, plus the fixed sign state."""
+
+    def __init__(self):
+        self.dc_idx: dict[int, bytearray] = {}
+        self.dc_mps: dict[int, bytearray] = {}
+        self.ac_idx: dict[int, bytearray] = {}
+        self.ac_mps: dict[int, bytearray] = {}
+        self.fix_idx = bytearray([FIXED])
+        self.fix_mps = bytearray(1)
+
+    def dc(self, tb: int) -> tuple[bytearray, bytearray]:
+        if tb not in self.dc_idx:
+            self.dc_idx[tb] = bytearray(64)
+            self.dc_mps[tb] = bytearray(64)
+        return self.dc_idx[tb], self.dc_mps[tb]
+
+    def ac(self, tb: int) -> tuple[bytearray, bytearray]:
+        if tb not in self.ac_idx:
+            self.ac_idx[tb] = bytearray(256)
+            self.ac_mps[tb] = bytearray(256)
+        return self.ac_idx[tb], self.ac_mps[tb]
+
+
+def _find_restart(data: bytes, pos: int, want: int) -> int:
+    """Scan forward from pos for the next marker; it must be RSTn with
+    index ``want``.  Returns the position after the marker."""
+    n = len(data)
+    i = pos
+    while i + 1 < n:
+        if data[i] == 0xFF and data[i + 1] != 0x00:
+            j = i + 1
+            while j < n and data[j] == 0xFF:
+                j += 1
+            if j < n and data[j] == 0xD0 + want:
+                return j + 1
+            raise ValueError(
+                f"expected RST{want}, found marker {data[j]:#04x}"
+                if j < n else "JPEG truncated at restart")
+        i += 1
+    raise ValueError("JPEG truncated at restart")
+
+
+def decode_arith_scan(data: bytes, pos: int, w: int, h: int,
+                      plan: list[tuple[np.ndarray, int, int, int, int]],
+                      dc_cond: dict[int, tuple[int, int]],
+                      ac_cond: dict[int, int],
+                      restart_interval: int = 0) -> list[np.ndarray]:
+    """Interleaved sequential arithmetic scan (T.81 §F.2.4): same MCU
+    geometry/output contract as functions.jpeg._decode_scan —
+    ``plan`` rows are (quant_table, td, ta, hi, vi); returns one uint8
+    plane per component at its natural subsampled resolution."""
+    from .jpeg import ZIGZAG, idct2  # deferred: jpeg.py imports us
+
+    hmax = max(p[3] for p in plan)
+    vmax = max(p[4] for p in plan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    outs = [np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
+            for (_q, _td, _ta, hi, vi) in plan]
+    dec = QMDecoder(data, pos)
+    stats = _Stats()
+    dc_ctx = [0] * len(plan)
+    last_dc = [0] * len(plan)
+    zz = np.zeros(64, dtype=np.int64)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            nxt = _find_restart(
+                data,
+                dec.marker_pos if dec.marker_pos >= 0 else dec.bp,
+                (m // restart_interval - 1) & 7)
+            dec = QMDecoder(data, nxt)
+            stats = _Stats()
+            dc_ctx = [0] * len(plan)
+            last_dc = [0] * len(plan)
+        my, mx = m // mcux, m % mcux
+        for ci, (quant, td, ta, hi, vi) in enumerate(plan):
+            didx, dmps = stats.dc(td)
+            aidx, amps = stats.ac(ta)
+            dl, du = dc_cond.get(td, DEFAULT_DC_COND)
+            kx = ac_cond.get(ta, DEFAULT_AC_KX)
+            for bv in range(vi):
+                for bh in range(hi):
+                    zz[:] = 0
+                    # DC (F.2.4.1)
+                    if dec.decode(didx, dmps, dc_ctx[ci]) == 0:
+                        dc_ctx[ci] = 0
+                    else:
+                        v, sign, mag = _decode_v(
+                            dec, didx, dmps, dc_ctx[ci], 20)
+                        if mag < ((1 << dl) >> 1):
+                            dc_ctx[ci] = 0
+                        elif mag > ((1 << du) >> 1):
+                            dc_ctx[ci] = 12 + 4 * sign
+                        else:
+                            dc_ctx[ci] = 4 + 4 * sign
+                        last_dc[ci] += -v if sign else v
+                    zz[0] = last_dc[ci]
+                    # AC (F.2.4.2)
+                    k = 1
+                    while k <= 63:
+                        st = 3 * (k - 1)
+                        if dec.decode(aidx, amps, st):
+                            break  # EOB
+                        while dec.decode(aidx, amps, st + 1) == 0:
+                            st += 3
+                            k += 1
+                            if k > 63:
+                                raise ValueError(
+                                    "arithmetic AC run past block end")
+                        sign = dec.decode(
+                            stats.fix_idx, stats.fix_mps, 0)
+                        st += 2
+                        mag = dec.decode(aidx, amps, st)
+                        if mag:
+                            if dec.decode(aidx, amps, st):
+                                mag <<= 1
+                                st = 189 if k <= kx else 217
+                                while dec.decode(aidx, amps, st):
+                                    mag <<= 1
+                                    if mag == 0x8000:
+                                        raise ValueError(
+                                            "arithmetic JPEG magnitude"
+                                            " overflow")
+                                    st += 1
+                        v = mag
+                        st += 14
+                        mm = mag >> 1
+                        while mm:
+                            if dec.decode(aidx, amps, st):
+                                v |= mm
+                            mm >>= 1
+                        v += 1
+                        zz[k] = -v if sign else v
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[ZIGZAG] = zz * quant.reshape(-1)[ZIGZAG]
+                    px = idct2(coef.reshape(8, 8)) + 128.0
+                    r0 = (my * vi + bv) * 8
+                    c0 = (mx * hi + bh) * 8
+                    outs[ci][r0:r0 + 8, c0:c0 + 8] = np.clip(
+                        np.rint(px), 0, 255)
+    return [
+        o[: -(-h * vi // vmax), : -(-w * hi // hmax)]
+        for o, (_q, _td, _ta, hi, vi) in zip(outs, plan)
+    ]
+
+
+class QMEncoder:
+    """Mirror of QMDecoder with an unbounded C: carries resolve
+    inside the Python int, and serialization applies byte stuffing to
+    the final interval base (see module doc)."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.nshift = 0
+
+    def encode(self, idx: bytearray, mps: bytearray, k: int,
+               bit: int) -> None:
+        i = idx[k]
+        qe = QE[i]
+        a = self.a - qe
+        if bit == mps[k]:
+            if a & 0x8000:  # no renormalization
+                self.a = a
+                return
+            if a < qe:  # conditional exchange: MPS takes the top
+                self.c += a
+                a = qe
+            idx[k] = NMPS[i]
+        else:
+            if a < qe:  # conditional exchange: LPS keeps the bottom
+                pass
+            else:
+                self.c += a
+                a = qe
+            if SWITCH[i]:
+                mps[k] ^= 1
+            idx[k] = NLPS[i]
+        while a < 0x8000:  # RENORME
+            a <<= 1
+            self.c <<= 1
+            self.nshift += 1
+        self.a = a
+
+    def finish(self) -> bytes:
+        """CLEARBITS + serialize: pick the value in [C, C+A) with the
+        most trailing zero bits, emit all its bits MSB-first with
+        JPEG byte stuffing (a zero byte after every 0xFF)."""
+        t = (self.c + self.a - 1) & ~0xFFFF
+        if t < self.c:
+            t += 0x8000
+        nbits = self.nshift + 16
+        pad = (-nbits) % 8
+        t <<= pad
+        nbits += pad
+        out = bytearray()
+        for shift in range(nbits - 8, -1, -8):
+            b = (t >> shift) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def encode_v(enc: QMEncoder, idx: bytearray, mps: bytearray,
+             s0: int, x1: int, magnitude: int, sign: int) -> int:
+    """Mirror of _decode_v for magnitude >= 1 (the 'significant'
+    decision at s0 is the caller's).  Returns m (MSB of Sz) for DC
+    conditioning."""
+    enc.encode(idx, mps, s0 + 1, sign)
+    st = s0 + 2 + sign
+    sz = magnitude - 1
+    if sz == 0:
+        enc.encode(idx, mps, st, 0)
+        return 0
+    enc.encode(idx, mps, st, 1)
+    m = 1
+    st = x1
+    while (m << 1) <= sz:
+        enc.encode(idx, mps, st, 1)
+        m <<= 1
+        st += 1
+    enc.encode(idx, mps, st, 0)
+    st += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(idx, mps, st, 1 if sz & mm else 0)
+        mm >>= 1
+    return m
+
+
+def encode_arith_scan(blocks_per_comp: list[np.ndarray],
+                      plan: list[tuple[int, int, int, int]],
+                      mcux: int, mcuy: int,
+                      dc_cond: dict[int, tuple[int, int]] | None = None,
+                      ac_cond: dict[int, int] | None = None) -> bytes:
+    """Encode quantized coefficients as one interleaved sequential
+    arithmetic scan (no restarts).  ``blocks_per_comp[ci]`` is
+    (rows, cols, 64) int zigzag-order blocks; ``plan`` rows are
+    (td, ta, hi, vi) matching the frame header."""
+    dc_cond = dc_cond or {}
+    ac_cond = ac_cond or {}
+    enc = QMEncoder()
+    stats = _Stats()
+    dc_ctx = [0] * len(plan)
+    last_dc = [0] * len(plan)
+    for m in range(mcux * mcuy):
+        my, mx = m // mcux, m % mcux
+        for ci, (td, ta, hi, vi) in enumerate(plan):
+            didx, dmps = stats.dc(td)
+            aidx, amps = stats.ac(ta)
+            dl, du = dc_cond.get(td, DEFAULT_DC_COND)
+            kx = ac_cond.get(ta, DEFAULT_AC_KX)
+            for bv in range(vi):
+                for bh in range(hi):
+                    zz = blocks_per_comp[ci][my * vi + bv, mx * hi + bh]
+                    # DC
+                    diff = int(zz[0]) - last_dc[ci]
+                    last_dc[ci] = int(zz[0])
+                    if diff == 0:
+                        enc.encode(didx, dmps, dc_ctx[ci], 0)
+                        dc_ctx[ci] = 0
+                    else:
+                        enc.encode(didx, dmps, dc_ctx[ci], 1)
+                        sign = 1 if diff < 0 else 0
+                        mag = encode_v(enc, didx, dmps, dc_ctx[ci], 20,
+                                       abs(diff), sign)
+                        if mag < ((1 << dl) >> 1):
+                            dc_ctx[ci] = 0
+                        elif mag > ((1 << du) >> 1):
+                            dc_ctx[ci] = 12 + 4 * sign
+                        else:
+                            dc_ctx[ci] = 4 + 4 * sign
+                    # AC
+                    nz = [k for k in range(1, 64) if zz[k]]
+                    kend = nz[-1] if nz else 0
+                    k = 1
+                    while k <= kend:
+                        st = 3 * (k - 1)
+                        enc.encode(aidx, amps, st, 0)  # not EOB
+                        while zz[k] == 0:
+                            enc.encode(aidx, amps, st + 1, 0)
+                            st += 3
+                            k += 1
+                        enc.encode(aidx, amps, st + 1, 1)
+                        val = int(zz[k])
+                        sign = 1 if val < 0 else 0
+                        enc.encode(stats.fix_idx, stats.fix_mps, 0, sign)
+                        st += 2
+                        sz = abs(val) - 1
+                        if sz == 0:
+                            enc.encode(aidx, amps, st, 0)
+                            mtop = 0
+                        elif sz == 1:
+                            enc.encode(aidx, amps, st, 1)
+                            enc.encode(aidx, amps, st, 0)
+                            mtop = 1
+                        else:
+                            enc.encode(aidx, amps, st, 1)
+                            enc.encode(aidx, amps, st, 1)
+                            mtop = 2
+                            st = 189 if k <= kx else 217
+                            while (mtop << 1) <= sz:
+                                enc.encode(aidx, amps, st, 1)
+                                mtop <<= 1
+                                st += 1
+                            enc.encode(aidx, amps, st, 0)
+                        st += 14
+                        mm = mtop >> 1
+                        while mm:
+                            enc.encode(aidx, amps, st,
+                                       1 if sz & mm else 0)
+                            mm >>= 1
+                        k += 1
+                    if kend < 63:
+                        enc.encode(aidx, amps, 3 * (k - 1), 1)  # EOB
+    return enc.finish()

@@ -1910,3 +1910,77 @@ def encode_webp_lossy_flat(value: int, w: int, h: int,
     riff = b"VP8 " + len(frame).to_bytes(4, "little") + chunk
     return (b"RIFF" + (4 + len(riff)).to_bytes(4, "little") + b"WEBP"
             + riff)
+
+
+def encode_jpeg_arith(comp_coefs, samplings=None,
+                      w: int | None = None, h: int | None = None) -> bytes:
+    """Quantized zigzag coefficient grids -> ARITHMETIC-coded
+    sequential JPEG (SOF9), the synthetic twin of the T.81 Annex D
+    QM-coder decode path (functions/jpeg_arith.py).
+
+    Same grid conventions as :func:`encode_jpeg_progressive`:
+    ``comp_coefs`` is one ``(by_pad, bx_pad, 64)`` int array per
+    component (1 = grayscale, 3 = YCbCr), zigzag order, padded to the
+    full MCU coverage of ``samplings``.  Unit quant tables; one
+    interleaved scan, no restarts; an explicit DAC marker pins the
+    default conditioning (DC L=0/U=1, AC Kx=5).  Streams from this
+    encoder are decoded coefficient-identically by the system libjpeg
+    in the differential tests — encoder and decoder are each proven
+    against the independent implementation, not just each other."""
+    import numpy as np
+
+    from ..functions.jpeg_arith import encode_arith_scan
+
+    coefs = [np.asarray(c, dtype=np.int64) for c in comp_coefs]
+    ncomp = len(coefs)
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 components")
+    if samplings is None:
+        samplings = [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcuy = coefs[0].shape[0] // samplings[0][1]
+    mcux = coefs[0].shape[1] // samplings[0][0]
+    for c, (hi, vi) in zip(coefs, samplings):
+        if c.shape != (mcuy * vi, mcux * hi, 64):
+            raise ValueError("coefficient grid inconsistent with sampling")
+    if w is None:
+        w = mcux * hmax * 8
+    if h is None:
+        h = mcuy * vmax * 8
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big")
+                + body)
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof_body = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof_body += bytes([ncomp])
+    for ci, (hi, vi) in enumerate(samplings):
+        sof_body += bytes([ci + 1, (hi << 4) | vi, 0])
+    sof = seg(0xC9, bytes(sof_body))
+    # explicit default conditioning (decoders default to the same)
+    dac = seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+    sos_body = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos_body += bytes([ci + 1, 0x00])
+    sos_body += bytes([0, 63, 0])
+    sos = seg(0xDA, bytes(sos_body))
+    plan = [(0, 0, hi, vi) for (hi, vi) in samplings]
+    ent = encode_arith_scan(coefs, plan, mcux, mcuy)
+    return b"\xff\xd8" + dqt + sof + dac + sos + ent + b"\xff\xd9"
+
+
+def encode_jpeg_arith_gray_dc(blocks) -> bytes:
+    """(by, bx) uint8 constant BLOCK values -> arithmetic-coded
+    grayscale JPEG whose 8x8 blocks are flat (DC-only, unit quant) —
+    the SOF9 analog of :func:`encode_jpeg_gray_dc`: each block
+    decodes LOSSLESSLY, so a round-trip through the real QM decoder
+    has a closed-form twin (catalog q82 arithmetic rows)."""
+    import numpy as np
+
+    blocks = np.asarray(blocks, dtype=np.int64)
+    by, bx = blocks.shape
+    coefs = np.zeros((by, bx, 64), dtype=np.int64)
+    coefs[:, :, 0] = 8 * (blocks - 128)
+    return encode_jpeg_arith([coefs])

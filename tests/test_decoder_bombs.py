@@ -93,11 +93,11 @@ def _jpeg_sof(h: int, w: int, marker: int = 0xC0) -> bytes:
             + struct.pack(">H", len(body) + 2) + body + b"\xff\xd9")
 
 
-@pytest.mark.parametrize("marker", [0xC0, 0xC2, 0xC3])
+@pytest.mark.parametrize("marker", [0xC0, 0xC2, 0xC3, 0xC9])
 def test_jpeg_huge_dims_rejected_fast(marker):
     """A crafted DHT can make post-EOI 1-bit padding decode as a valid
-    symbol, so the guard must fire at SOF — for baseline, progressive
-    and lossless frames alike."""
+    symbol, so the guard must fire at SOF — for baseline, progressive,
+    lossless and arithmetic frames alike."""
     t0 = time.time()
     with pytest.raises(ValueError, match="out of range"):
         decode_jpeg(_jpeg_sof(65500, 65500, marker))
