@@ -6,12 +6,15 @@ outside the subset so the featurizer degrades to its deterministic
 fake.
 
 Supported subset: baseline sequential DCT (SOF0), progressive DCT
-(SOF2, Huffman) AND lossless sequential (SOF3, Huffman — T.81
-Annex H), 8-bit precision, grayscale (1-component) and YCbCr
-color (3-component) scans including SUBSAMPLED chroma (4:2:0 / 4:2:2
-/ 4:4:0 and any integer-ratio Hi×Vi ≤ 4×4) — interleaved MCUs per
-T.81 §A.2.3, restart intervals (DRI/RSTn: byte-align + predictor
-reset; DCT modes only), no arithmetic coding / hierarchical modes.
+(SOF2, Huffman), lossless sequential (SOF3, Huffman — T.81
+Annex H) AND arithmetic-coded sequential DCT (SOF9 — the Annex D
+QM-coder, functions/jpeg_arith.py), 8-bit precision, grayscale
+(1-component) and YCbCr color (3-component) scans including
+SUBSAMPLED chroma (4:2:0 / 4:2:2 / 4:4:0 and any integer-ratio
+Hi×Vi ≤ 4×4) — interleaved MCUs per T.81 §A.2.3, restart intervals
+(DRI/RSTn: byte-align + predictor/stats reset; DCT modes only).
+Declared out: hierarchical modes and arithmetic-coded
+progressive/lossless scans (SOF10/SOF11).
 Lossless subset: predictors 1-7, point transform Pt, 1×1 sampling
 (the overwhelmingly common lossless layout), interleaved or one
 scan per component, no restarts (the spec's restart-reset

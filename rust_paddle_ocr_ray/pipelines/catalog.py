@@ -3080,7 +3080,10 @@ def q82_jpeg_roundtrip(sf_dir: str):
     — BASELINE (sources/synth.encode_jpeg_gray_dc) when id % 4 == 0,
     PROGRESSIVE (SOF2, the full Annex-G scan script through
     sources/synth.encode_jpeg_progressive with the same DC-only
-    coefficients, so pixels stay closed-form) when id % 4 == 2, and
+    coefficients, so pixels stay closed-form) when id % 8 == 2,
+    ARITHMETIC (SOF9 through the T.81 Annex D QM-coder path,
+    sources/synth.encode_jpeg_arith, same DC-only coefficients) when
+    id % 8 == 6, and
     LOSSLESS (SOF3 per T.81 Annex H, a PER-PIXEL gradient — the one
     mode where arbitrary pixels round-trip exactly — with predictor
     1-7 and point transform cycling by id,
@@ -3099,6 +3102,7 @@ def q82_jpeg_roundtrip(sf_dir: str):
     upsampling anchor or IDCT breaks the gate."""
     from ..functions.jpeg import decode_jpeg, decode_jpeg_gray
     from ..sources.synth import (
+        encode_jpeg_arith,
         encode_jpeg_color_dc,
         encode_jpeg_gray_dc,
         encode_jpeg_lossless,
@@ -3133,7 +3137,12 @@ def q82_jpeg_roundtrip(sf_dir: str):
                 i = np.arange(by, dtype=np.int64)[:, None]
                 j = np.arange(bx, dtype=np.int64)[None, :]
                 blocks = ((i + j + d) % 256).astype(np.uint8)
-                if d % 4 == 2:  # same pixels, progressive scan script
+                if d % 8 == 6:  # same pixels, ARITHMETIC (SOF9) coding
+                    cz = np.zeros((by, bx, 64), dtype=np.int64)
+                    cz[..., 0] = 8 * (blocks.astype(np.int64) - 128)
+                    payload = encode_jpeg_arith([cz])
+                    kind = "gray_arith"
+                elif d % 4 == 2:  # same pixels, progressive scan script
                     cz = np.zeros((by, bx, 64), dtype=np.int64)
                     cz[..., 0] = 8 * (blocks.astype(np.int64) - 128)
                     payload = encode_jpeg_progressive([cz], [(1, 1)])
@@ -3216,7 +3225,9 @@ bl AS (
        unnest(generate_series(0, g.bx - 1)) AS j(j)),
 grows AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 4 = 2 THEN 'gray_prog' ELSE 'gray' END AS kind,
+         CASE WHEN doc_id % 8 = 6 THEN 'gray_arith'
+              WHEN doc_id % 4 = 2 THEN 'gray_prog'
+              ELSE 'gray' END AS kind,
          (bx * 8)::BIGINT AS width, (by * 8)::BIGINT AS height,
          ((SUM(v) * 64 * 1000000) // (bx * by * 64))::BIGINT AS mean_ppm
   FROM bl GROUP BY doc_id, bx, by),

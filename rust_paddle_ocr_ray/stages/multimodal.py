@@ -4,8 +4,9 @@ with typed metadata.
 PNG, BMP, GIF and baseline JPEG payloads decode for REAL — pure-Python
 public-spec pixel decoders (functions/png.py: RFC 2083 incl. 1/2/4-bit
 grey/palette; functions/raster.py: BITMAPINFOHEADER + GIF89a LZW incl.
-interlace; functions/jpeg.py: ITU-T T.81 baseline + progressive + lossless
-(SOF3), grayscale +
+interlace; functions/jpeg.py: ITU-T T.81 baseline + progressive +
+lossless (SOF3) + arithmetic-coded sequential (SOF9, the Annex D
+QM-coder in functions/jpeg_arith.py), grayscale +
 YCbCr; functions/vp8l.py: lossless WebP; functions/vp8.py: lossy WebP
 VP8 key frames per RFC 6386, bit-exact incl. the in-loop filter),
 emitting true width/height and pixel-statistics features.  No media
