@@ -7,14 +7,16 @@ fake.
 
 Supported subset: baseline sequential DCT (SOF0), progressive DCT
 (SOF2, Huffman), lossless sequential (SOF3, Huffman — T.81
-Annex H) AND arithmetic-coded sequential DCT (SOF9 — the Annex D
-QM-coder, functions/jpeg_arith.py), 8-bit precision, grayscale
-(1-component) and YCbCr color (3-component) scans including
-SUBSAMPLED chroma (4:2:0 / 4:2:2 / 4:4:0 and any integer-ratio
-Hi×Vi ≤ 4×4) — interleaved MCUs per T.81 §A.2.3, restart intervals
-(DRI/RSTn: byte-align + predictor/stats reset; DCT modes only).
-Declared out: hierarchical modes and arithmetic-coded
-progressive/lossless scans (SOF10/SOF11).
+Annex H), arithmetic-coded sequential DCT (SOF9 — the Annex D
+QM-coder, functions/jpeg_arith.py) AND arithmetic-coded progressive
+DCT (SOF10 — the Annex G scan models over the same QM-coder),
+8-bit precision, grayscale (1-component) and YCbCr color
+(3-component) scans including SUBSAMPLED chroma (4:2:0 / 4:2:2 /
+4:4:0 and any integer-ratio Hi×Vi ≤ 4×4) — interleaved MCUs per
+T.81 §A.2.3, restart intervals (DRI/RSTn: byte-align +
+predictor/stats reset; DCT modes only).
+Declared out: hierarchical modes and arithmetic-coded lossless
+scans (SOF11).
 Lossless subset: predictors 1-7, point transform Pt, 1×1 sampling
 (the overwhelmingly common lossless layout), interleaved or one
 scan per component, no restarts (the spec's restart-reset
@@ -47,7 +49,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .jpeg_arith import decode_arith_scan
+from .jpeg_arith import decode_arith_prog_scan, decode_arith_scan
 
 #: corrupt-header guard, same budget as vp8/vp8l/png/raster
 MAX_PIXELS = 1 << 22
@@ -228,11 +230,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = bytes(body[i + 17:i + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC2, 0xC3, 0xC9):
+        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0 / SOF2 progressive / SOF3 lossless / SOF9 arithmetic
-            progressive = marker == 0xC2
+            # sequential / SOF10 arithmetic progressive
+            progressive = marker in (0xC2, 0xCA)
             lossless = marker == 0xC3
-            arith = marker == 0xC9
+            arith = marker in (0xC9, 0xCA)
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h = (body[1] << 8) | body[2]
@@ -267,7 +270,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(
                         "subsampled lossless JPEG not supported")
         elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG mode (SOF{marker - 0xC0})")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             i = 0
@@ -336,9 +339,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     scomp.append((idxs[0], td, ta))
                 ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
                 ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
-                pos = _decode_prog_scan(data, pos + seg_len, w, h, comps,
-                                        store, scomp, dc_tabs, ac_tabs,
-                                        ss, se, ah, al, restart_interval)
+                if arith:  # SOF10: same store, QM-coded scans
+                    pos = decode_arith_prog_scan(
+                        data, pos + seg_len, w, h, comps, store, scomp,
+                        dc_cond, ac_cond, ss, se, ah, al,
+                        restart_interval)
+                else:
+                    pos = _decode_prog_scan(data, pos + seg_len, w, h,
+                                            comps, store, scomp, dc_tabs,
+                                            ac_tabs, ss, se, ah, al,
+                                            restart_interval)
                 continue  # pos sits at the next 0xFF marker
             if body[0] != len(comps):
                 raise ValueError("scan component count != frame's")

@@ -1,11 +1,14 @@
 """Arithmetic-coded JPEG entropy layer (ITU-T T.81 Annex D QM-coder +
-Annex F.2.4 sequential DCT statistical model), pure Python.
+the Annex F.2.4 sequential and Annex G progressive statistical
+models), pure Python.
 
-Closes the last JPEG entropy-mode stub: SOF9 (sequential DCT,
-arithmetic coding) decodes for real through the same scan geometry,
-dequantization and IDCT as the baseline path in functions/jpeg.py.
-The probability estimation state machine is the normative Table D.3,
-committed as qm_table.py (tools/extract_qm_table.py).
+SOF9 (sequential DCT, arithmetic coding) decodes for real through the
+same scan geometry, dequantization and IDCT as the baseline path in
+functions/jpeg.py; SOF10 (progressive DCT, arithmetic coding) decodes
+through the same per-scan coefficient accumulation as the Huffman
+progressive path (decode_arith_prog_scan fills the identical zigzag
+store).  The probability estimation state machine is the normative
+Table D.3, committed as qm_table.py (tools/extract_qm_table.py).
 
 Register conventions (Annex D software conventions):
 
@@ -41,16 +44,29 @@ Statistical model (F.2.4, mirrored in the encoder):
   magnitude categories >= 4 switch to the shared chains at offsets
   189 (k <= Kx, default 5) / 217 of the 256-state AC area.
 
+Progressive scan models (Annex G over the same coder, in libjpeg's
+jdarith shape — the de-facto interop standard): DC first scans run
+the sequential DC-diff model on the point-transformed values and
+store ``predictor << Al``; DC refinements code one bit per block on
+the FIXED ~0.5 state; AC first scans run the sequential AC model over
+[Ss, Se] with values ``<< Al`` (per-block EOB decisions — no EOBn
+runs); AC refinements use the G.2.3 correction model (EOB decision
+only past the previous scans' end-of-block, one correction bit per
+nonzero-history coefficient, fixed-state signs for newly-nonzero
+ones).  Per-scan statistics areas; restart markers reset coder,
+statistics and DC state.
+
 Validated coefficient-exact against the system libjpeg in both
-directions (tools/jpeg_arith_oracle.py + committed goldens): libjpeg
-SOF9 streams decode to identical quantized coefficients, and streams
-from the mirror encoder are decoded identically by libjpeg.
+directions (tools/jpeg_arith_oracle.py + committed goldens for BOTH
+modes): libjpeg SOF9/SOF10 streams decode to identical quantized
+coefficients, and streams from the mirror encoders are decoded
+identically by libjpeg.
 
 Reference parity note: the reference decodes JPEG via the Rust image
 crate (src/main.rs:121, src/capi.rs:274), whose decoders do NOT
 support arithmetic coding — this path EXCEEDS reference coverage.
 Remaining declared-out JPEG modes: hierarchical, and
-arithmetic-coded progressive/lossless scans (SOF10/SOF11).
+arithmetic-coded lossless scans (SOF11).
 """
 from __future__ import annotations
 
@@ -191,6 +207,104 @@ class _Stats:
         return self.ac_idx[tb], self.ac_mps[tb]
 
 
+def _decode_dc_block(dec: QMDecoder, didx: bytearray, dmps: bytearray,
+                     ctx: int, last: int, dl: int,
+                     du: int) -> tuple[int, int]:
+    """One block's DC difference (F.2.4.1 / Figure F.19): decode the
+    diff into the running predictor and classify the next context via
+    the (L, U) conditioning bounds.  Returns (new_ctx, new_last) — the
+    caller stores ``last << Al`` (Al = 0 in sequential scans)."""
+    if dec.decode(didx, dmps, ctx) == 0:
+        return 0, last
+    v, sign, mag = _decode_v(dec, didx, dmps, ctx, 20)
+    if mag < ((1 << dl) >> 1):
+        ctx = 0
+    elif mag > ((1 << du) >> 1):
+        ctx = 12 + 4 * sign
+    else:
+        ctx = 4 + 4 * sign
+    return ctx, last + (-v if sign else v)
+
+
+def _decode_ac_block(dec: QMDecoder, aidx: bytearray, amps: bytearray,
+                     fix_idx: bytearray, fix_mps: bytearray,
+                     blk: np.ndarray, ss: int, se: int, al: int,
+                     kx: int) -> None:
+    """AC coefficients of one block over the zigzag band [ss, se]
+    (F.2.4.2 / Figure F.20; a first progressive AC scan when al > 0):
+    per-index EOB and zero/nonzero decisions at 3*(k-1), sign on the
+    fixed state, magnitude chains at 189 (k <= Kx) / 217, decoded
+    values stored as ``v << al``."""
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(aidx, amps, st):
+            return  # EOB
+        while dec.decode(aidx, amps, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC run past band end")
+        sign = dec.decode(fix_idx, fix_mps, 0)
+        st += 2
+        mag = dec.decode(aidx, amps, st)
+        if mag:
+            if dec.decode(aidx, amps, st):
+                mag <<= 1
+                st = 189 if k <= kx else 217
+                while dec.decode(aidx, amps, st):
+                    mag <<= 1
+                    if mag == 0x8000:
+                        raise ValueError(
+                            "arithmetic JPEG magnitude overflow")
+                    st += 1
+        v = mag
+        st += 14
+        mm = mag >> 1
+        while mm:
+            if dec.decode(aidx, amps, st):
+                v |= mm
+            mm >>= 1
+        v += 1
+        blk[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _decode_ac_refine_block(dec: QMDecoder, aidx: bytearray,
+                            amps: bytearray, fix_idx: bytearray,
+                            fix_mps: bytearray, blk: np.ndarray,
+                            ss: int, se: int, al: int) -> None:
+    """AC successive-approximation refinement of one block (T.81
+    G.2.3 correction model, in libjpeg's algorithm shape): the EOB
+    decision only exists past the previous scans' end-of-block kex;
+    previously-nonzero coefficients decode one correction bit at
+    st+2; newly-nonzero ones arrive via st+1 with a fixed-state
+    sign."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = se
+    while kex >= ss and blk[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(aidx, amps, st):
+            return  # EOB
+        while True:
+            if blk[k] != 0:  # previously nonzero: correction bit
+                if dec.decode(aidx, amps, st + 2):
+                    blk[k] += m1 if blk[k] < 0 else p1
+                break
+            if dec.decode(aidx, amps, st + 1):  # newly nonzero
+                blk[k] = m1 if dec.decode(fix_idx, fix_mps, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC refine past band end")
+        k += 1
+
+
 def _find_restart(data: bytes, pos: int, want: int) -> int:
     """Scan forward from pos for the next marker; it must be RSTn with
     index ``want``.  Returns the position after the marker."""
@@ -251,57 +365,13 @@ def decode_arith_scan(data: bytes, pos: int, w: int, h: int,
             for bv in range(vi):
                 for bh in range(hi):
                     zz[:] = 0
-                    # DC (F.2.4.1)
-                    if dec.decode(didx, dmps, dc_ctx[ci]) == 0:
-                        dc_ctx[ci] = 0
-                    else:
-                        v, sign, mag = _decode_v(
-                            dec, didx, dmps, dc_ctx[ci], 20)
-                        if mag < ((1 << dl) >> 1):
-                            dc_ctx[ci] = 0
-                        elif mag > ((1 << du) >> 1):
-                            dc_ctx[ci] = 12 + 4 * sign
-                        else:
-                            dc_ctx[ci] = 4 + 4 * sign
-                        last_dc[ci] += -v if sign else v
+                    # DC (F.2.4.1) + AC (F.2.4.2), shared with the
+                    # progressive scan paths (band 1..63, Al=0)
+                    dc_ctx[ci], last_dc[ci] = _decode_dc_block(
+                        dec, didx, dmps, dc_ctx[ci], last_dc[ci], dl, du)
                     zz[0] = last_dc[ci]
-                    # AC (F.2.4.2)
-                    k = 1
-                    while k <= 63:
-                        st = 3 * (k - 1)
-                        if dec.decode(aidx, amps, st):
-                            break  # EOB
-                        while dec.decode(aidx, amps, st + 1) == 0:
-                            st += 3
-                            k += 1
-                            if k > 63:
-                                raise ValueError(
-                                    "arithmetic AC run past block end")
-                        sign = dec.decode(
-                            stats.fix_idx, stats.fix_mps, 0)
-                        st += 2
-                        mag = dec.decode(aidx, amps, st)
-                        if mag:
-                            if dec.decode(aidx, amps, st):
-                                mag <<= 1
-                                st = 189 if k <= kx else 217
-                                while dec.decode(aidx, amps, st):
-                                    mag <<= 1
-                                    if mag == 0x8000:
-                                        raise ValueError(
-                                            "arithmetic JPEG magnitude"
-                                            " overflow")
-                                    st += 1
-                        v = mag
-                        st += 14
-                        mm = mag >> 1
-                        while mm:
-                            if dec.decode(aidx, amps, st):
-                                v |= mm
-                            mm >>= 1
-                        v += 1
-                        zz[k] = -v if sign else v
-                        k += 1
+                    _decode_ac_block(dec, aidx, amps, stats.fix_idx,
+                                     stats.fix_mps, zz, 1, 63, 0, kx)
                     coef = np.zeros(64, dtype=np.float64)
                     coef[ZIGZAG] = zz * quant.reshape(-1)[ZIGZAG]
                     px = idct2(coef.reshape(8, 8)) + 128.0
@@ -313,6 +383,147 @@ def decode_arith_scan(data: bytes, pos: int, w: int, h: int,
         o[: -(-h * vi // vmax), : -(-w * hi // hmax)]
         for o, (_q, _td, _ta, hi, vi) in zip(outs, plan)
     ]
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Skip flush bytes / stuffed FF00 pairs to the next true marker
+    (the same tail walk jpeg._decode_prog_scan uses)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise ValueError("JPEG truncated after an arithmetic scan")
+
+
+def decode_arith_prog_scan(data: bytes, pos: int, w: int, h: int,
+                           comps: list[tuple[int, int, int, int]],
+                           store: list[np.ndarray],
+                           scomp: list[tuple[int, int, int]],
+                           dc_cond: dict[int, tuple[int, int]],
+                           ac_cond: dict[int, int],
+                           ss: int, se: int, ah: int, al: int,
+                           ri: int) -> int:
+    """One PROGRESSIVE arithmetic scan (SOF10, T.81 Annex G with the
+    Annex D QM-coder): decodes into the per-component zigzag
+    coefficient ``store`` (the same accumulation arrays the Huffman
+    progressive path fills) and returns the offset of the next
+    marker.  Scan/grid semantics mirror jpeg._decode_prog_scan: DC
+    scans (Ss=0) may interleave components over the padded MCU grid,
+    AC scans are single-component over the non-interleaved
+    ceil(dim/8) grid; restart markers reset the decoder, the
+    statistics areas and the DC state.  Per-scan models (libjpeg's
+    jdarith shape, the de-facto interop standard for Annex G):
+
+    - DC first (Ah=0): the sequential DC-diff model on the
+      point-transformed values; block DC = predictor << Al.
+    - DC refinement (Ah>0): one decision per block on the FIXED
+      ~0.5 state, OR-ing 1<<Al into the two's-complement value.
+    - AC first (Ah=0): the sequential AC model over [Ss, Se] with
+      values << Al (no EOBn runs — the EOB decision is per block).
+    - AC refinement: the G.2.3 correction model
+      (_decode_ac_refine_block)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    dec = QMDecoder(data, pos)
+    stats = _Stats()
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        dc_ctx = [0] * len(scomp)
+        last_dc = [0] * len(scomp)
+        if len(scomp) > 1:  # interleaved over MCUs
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for m in range(mcux * mcuy):
+                if ri and m and m % ri == 0:
+                    nxt = _find_restart(
+                        data,
+                        dec.marker_pos if dec.marker_pos >= 0 else dec.bp,
+                        (m // ri - 1) & 7)
+                    dec = QMDecoder(data, nxt)
+                    stats = _Stats()
+                    dc_ctx = [0] * len(scomp)
+                    last_dc = [0] * len(scomp)
+                my, mx = m // mcux, m % mcux
+                for si, (idx, td, _ta) in enumerate(scomp):
+                    _cid, hi, vi, _tq = comps[idx]
+                    didx, dmps = stats.dc(td)
+                    dl, du = dc_cond.get(td, DEFAULT_DC_COND)
+                    for bv in range(vi):
+                        for bh in range(hi):
+                            blk = store[idx][my * vi + bv, mx * hi + bh]
+                            if ah == 0:
+                                dc_ctx[si], last_dc[si] = _decode_dc_block(
+                                    dec, didx, dmps, dc_ctx[si],
+                                    last_dc[si], dl, du)
+                                blk[0] = last_dc[si] << al
+                            elif dec.decode(stats.fix_idx,
+                                            stats.fix_mps, 0):
+                                blk[0] |= 1 << al
+        else:
+            idx, td, _ta = scomp[0]
+            _cid, hi, vi, _tq = comps[idx]
+            by = -(-(-(-h * vi // vmax)) // 8)
+            bx = -(-(-(-w * hi // hmax)) // 8)
+            didx, dmps = stats.dc(td)
+            dl, du = dc_cond.get(td, DEFAULT_DC_COND)
+            u = 0
+            for r in range(by):
+                for c in range(bx):
+                    if ri and u and u % ri == 0:
+                        nxt = _find_restart(
+                            data,
+                            dec.marker_pos if dec.marker_pos >= 0
+                            else dec.bp,
+                            (u // ri - 1) & 7)
+                        dec = QMDecoder(data, nxt)
+                        stats = _Stats()
+                        didx, dmps = stats.dc(td)
+                        dc_ctx = [0]
+                        last_dc = [0]
+                    blk = store[idx][r, c]
+                    if ah == 0:
+                        dc_ctx[0], last_dc[0] = _decode_dc_block(
+                            dec, didx, dmps, dc_ctx[0], last_dc[0],
+                            dl, du)
+                        blk[0] = last_dc[0] << al
+                    elif dec.decode(stats.fix_idx, stats.fix_mps, 0):
+                        blk[0] |= 1 << al
+                    u += 1
+    else:
+        if len(scomp) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("illegal spectral band")
+        idx, _td, ta = scomp[0]
+        _cid, hi, vi, _tq = comps[idx]
+        by = -(-(-(-h * vi // vmax)) // 8)
+        bx = -(-(-(-w * hi // hmax)) // 8)
+        aidx, amps = stats.ac(ta)
+        kx = ac_cond.get(ta, DEFAULT_AC_KX)
+        u = 0
+        for r in range(by):
+            for c in range(bx):
+                if ri and u and u % ri == 0:
+                    nxt = _find_restart(
+                        data,
+                        dec.marker_pos if dec.marker_pos >= 0 else dec.bp,
+                        (u // ri - 1) & 7)
+                    dec = QMDecoder(data, nxt)
+                    stats = _Stats()
+                    aidx, amps = stats.ac(ta)
+                blk = store[idx][r, c]
+                if ah == 0:
+                    _decode_ac_block(dec, aidx, amps, stats.fix_idx,
+                                     stats.fix_mps, blk, ss, se, al, kx)
+                else:
+                    _decode_ac_refine_block(dec, aidx, amps,
+                                            stats.fix_idx, stats.fix_mps,
+                                            blk, ss, se, al)
+                u += 1
+    return _next_marker(
+        data, dec.marker_pos if dec.marker_pos >= 0 else dec.bp)
 
 
 class QMEncoder:
@@ -400,6 +611,116 @@ def encode_v(enc: QMEncoder, idx: bytearray, mps: bytearray,
     return m
 
 
+def _encode_dc_block(enc: QMEncoder, didx: bytearray, dmps: bytearray,
+                     ctx: int, last: int, dl: int, du: int,
+                     val: int) -> tuple[int, int]:
+    """Mirror of _decode_dc_block: encode the DC difference of one
+    block (``val`` already point-transformed) and return the new
+    (context, predictor)."""
+    diff = val - last
+    if diff == 0:
+        enc.encode(didx, dmps, ctx, 0)
+        return 0, last
+    enc.encode(didx, dmps, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    mag = encode_v(enc, didx, dmps, ctx, 20, abs(diff), sign)
+    if mag < ((1 << dl) >> 1):
+        ctx = 0
+    elif mag > ((1 << du) >> 1):
+        ctx = 12 + 4 * sign
+    else:
+        ctx = 4 + 4 * sign
+    return ctx, val
+
+
+def _encode_ac_block(enc: QMEncoder, aidx: bytearray, amps: bytearray,
+                     fix_idx: bytearray, fix_mps: bytearray,
+                     blk: np.ndarray, ss: int, se: int, al: int,
+                     kx: int) -> None:
+    """Mirror of _decode_ac_block over the zigzag band [ss, se] with
+    point transform ``al`` (values coded are ``abs >> al`` with the
+    original sign — C-style round-toward-zero)."""
+    ke = se
+    while ke >= ss and (abs(int(blk[ke])) >> al) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(aidx, amps, st, 0)  # not EOB
+        while (abs(int(blk[k])) >> al) == 0:
+            enc.encode(aidx, amps, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(aidx, amps, st + 1, 1)
+        v = abs(int(blk[k])) >> al
+        sign = 1 if int(blk[k]) < 0 else 0
+        enc.encode(fix_idx, fix_mps, 0, sign)
+        st += 2
+        sz = v - 1
+        if sz == 0:
+            enc.encode(aidx, amps, st, 0)
+            mtop = 0
+        elif sz == 1:
+            enc.encode(aidx, amps, st, 1)
+            enc.encode(aidx, amps, st, 0)
+            mtop = 1
+        else:
+            enc.encode(aidx, amps, st, 1)
+            enc.encode(aidx, amps, st, 1)
+            mtop = 2
+            st = 189 if k <= kx else 217
+            while (mtop << 1) <= sz:
+                enc.encode(aidx, amps, st, 1)
+                mtop <<= 1
+                st += 1
+            enc.encode(aidx, amps, st, 0)
+        st += 14
+        mm = mtop >> 1
+        while mm:
+            enc.encode(aidx, amps, st, 1 if sz & mm else 0)
+            mm >>= 1
+        k += 1
+    if k <= se:
+        enc.encode(aidx, amps, 3 * (k - 1), 1)  # EOB
+
+
+def _encode_ac_refine_block(enc: QMEncoder, aidx: bytearray,
+                            amps: bytearray, fix_idx: bytearray,
+                            fix_mps: bytearray, blk: np.ndarray,
+                            ss: int, se: int, ah: int,
+                            al: int) -> None:
+    """Mirror of _decode_ac_refine_block (G.2.3 correction model):
+    ``blk`` holds the FULL coefficients; history is what a decoder
+    knows after the Ah-precision scans (``abs >> ah`` nonzero)."""
+    ke = se
+    while ke >= ss and (abs(int(blk[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and (abs(int(blk[kex])) >> ah) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(aidx, amps, st, 0)  # not EOB
+        while True:
+            t = abs(int(blk[k])) >> al
+            if t:
+                if t >> 1:  # previously nonzero: one correction bit
+                    enc.encode(aidx, amps, st + 2, t & 1)
+                else:       # newly nonzero + fixed-state sign
+                    enc.encode(aidx, amps, st + 1, 1)
+                    enc.encode(fix_idx, fix_mps, 0,
+                               1 if int(blk[k]) < 0 else 0)
+                break
+            enc.encode(aidx, amps, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(aidx, amps, 3 * (k - 1), 1)  # EOB
+
+
 def encode_arith_scan(blocks_per_comp: list[np.ndarray],
                       plan: list[tuple[int, int, int, int]],
                       mcux: int, mcuy: int,
@@ -425,64 +746,9 @@ def encode_arith_scan(blocks_per_comp: list[np.ndarray],
             for bv in range(vi):
                 for bh in range(hi):
                     zz = blocks_per_comp[ci][my * vi + bv, mx * hi + bh]
-                    # DC
-                    diff = int(zz[0]) - last_dc[ci]
-                    last_dc[ci] = int(zz[0])
-                    if diff == 0:
-                        enc.encode(didx, dmps, dc_ctx[ci], 0)
-                        dc_ctx[ci] = 0
-                    else:
-                        enc.encode(didx, dmps, dc_ctx[ci], 1)
-                        sign = 1 if diff < 0 else 0
-                        mag = encode_v(enc, didx, dmps, dc_ctx[ci], 20,
-                                       abs(diff), sign)
-                        if mag < ((1 << dl) >> 1):
-                            dc_ctx[ci] = 0
-                        elif mag > ((1 << du) >> 1):
-                            dc_ctx[ci] = 12 + 4 * sign
-                        else:
-                            dc_ctx[ci] = 4 + 4 * sign
-                    # AC
-                    nz = [k for k in range(1, 64) if zz[k]]
-                    kend = nz[-1] if nz else 0
-                    k = 1
-                    while k <= kend:
-                        st = 3 * (k - 1)
-                        enc.encode(aidx, amps, st, 0)  # not EOB
-                        while zz[k] == 0:
-                            enc.encode(aidx, amps, st + 1, 0)
-                            st += 3
-                            k += 1
-                        enc.encode(aidx, amps, st + 1, 1)
-                        val = int(zz[k])
-                        sign = 1 if val < 0 else 0
-                        enc.encode(stats.fix_idx, stats.fix_mps, 0, sign)
-                        st += 2
-                        sz = abs(val) - 1
-                        if sz == 0:
-                            enc.encode(aidx, amps, st, 0)
-                            mtop = 0
-                        elif sz == 1:
-                            enc.encode(aidx, amps, st, 1)
-                            enc.encode(aidx, amps, st, 0)
-                            mtop = 1
-                        else:
-                            enc.encode(aidx, amps, st, 1)
-                            enc.encode(aidx, amps, st, 1)
-                            mtop = 2
-                            st = 189 if k <= kx else 217
-                            while (mtop << 1) <= sz:
-                                enc.encode(aidx, amps, st, 1)
-                                mtop <<= 1
-                                st += 1
-                            enc.encode(aidx, amps, st, 0)
-                        st += 14
-                        mm = mtop >> 1
-                        while mm:
-                            enc.encode(aidx, amps, st,
-                                       1 if sz & mm else 0)
-                            mm >>= 1
-                        k += 1
-                    if kend < 63:
-                        enc.encode(aidx, amps, 3 * (k - 1), 1)  # EOB
+                    dc_ctx[ci], last_dc[ci] = _encode_dc_block(
+                        enc, didx, dmps, dc_ctx[ci], last_dc[ci],
+                        dl, du, int(zz[0]))
+                    _encode_ac_block(enc, aidx, amps, stats.fix_idx,
+                                     stats.fix_mps, zz, 1, 63, 0, kx)
     return enc.finish()

@@ -3083,7 +3083,10 @@ def q82_jpeg_roundtrip(sf_dir: str):
     coefficients, so pixels stay closed-form) when id % 8 == 2,
     ARITHMETIC (SOF9 through the T.81 Annex D QM-coder path,
     sources/synth.encode_jpeg_arith, same DC-only coefficients) when
-    id % 8 == 6, and
+    id % 8 == 6, ARITHMETIC PROGRESSIVE (SOF10 — the full Annex-G
+    scan script with QM-coded DC first/refine + banded AC scans,
+    sources/synth.encode_jpeg_arith_progressive, same DC-only
+    coefficients) when id % 16 == 10, and
     LOSSLESS (SOF3 per T.81 Annex H, a PER-PIXEL gradient — the one
     mode where arbitrary pixels round-trip exactly — with predictor
     1-7 and point transform cycling by id,
@@ -3103,6 +3106,7 @@ def q82_jpeg_roundtrip(sf_dir: str):
     from ..functions.jpeg import decode_jpeg, decode_jpeg_gray
     from ..sources.synth import (
         encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
         encode_jpeg_color_dc,
         encode_jpeg_gray_dc,
         encode_jpeg_lossless,
@@ -3142,6 +3146,11 @@ def q82_jpeg_roundtrip(sf_dir: str):
                     cz[..., 0] = 8 * (blocks.astype(np.int64) - 128)
                     payload = encode_jpeg_arith([cz])
                     kind = "gray_arith"
+                elif d % 16 == 10:  # ARITHMETIC PROGRESSIVE (SOF10)
+                    cz = np.zeros((by, bx, 64), dtype=np.int64)
+                    cz[..., 0] = 8 * (blocks.astype(np.int64) - 128)
+                    payload = encode_jpeg_arith_progressive([cz])
+                    kind = "gray_arith_prog"
                 elif d % 4 == 2:  # same pixels, progressive scan script
                     cz = np.zeros((by, bx, 64), dtype=np.int64)
                     cz[..., 0] = 8 * (blocks.astype(np.int64) - 128)
@@ -3226,6 +3235,7 @@ bl AS (
 grows AS (
   SELECT doc_id,
          CASE WHEN doc_id % 8 = 6 THEN 'gray_arith'
+              WHEN doc_id % 16 = 10 THEN 'gray_arith_prog'
               WHEN doc_id % 4 = 2 THEN 'gray_prog'
               ELSE 'gray' END AS kind,
          (bx * 8)::BIGINT AS width, (by * 8)::BIGINT AS height,

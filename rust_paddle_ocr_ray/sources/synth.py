@@ -1971,6 +1971,167 @@ def encode_jpeg_arith(comp_coefs, samplings=None,
     return b"\xff\xd8" + dqt + sof + dac + sos + ent + b"\xff\xd9"
 
 
+def encode_jpeg_arith_progressive(comp_coefs, samplings=None,
+                                  w: int | None = None,
+                                  h: int | None = None,
+                                  restart_interval: int = 0) -> bytes:
+    """Quantized zigzag coefficient grids -> ARITHMETIC-coded
+    PROGRESSIVE JPEG (SOF10), the synthetic twin of the T.81 Annex G
+    × Annex D decode path (functions/jpeg_arith.decode_arith_prog_scan).
+
+    Same grid conventions and the same scan script as
+    :func:`encode_jpeg_progressive` (DC first interleaved at Al=1, DC
+    refine to Al=0, per-component AC first over bands 1..5 / 6..63 at
+    Al=1, AC refine of both bands to Al=0) — but every scan is
+    QM-coded with per-scan statistics areas, a fresh coder per scan
+    and per restart segment, and the explicit DAC default
+    conditioning.  ``restart_interval`` counts MCUs in interleaved DC
+    scans and blocks in single-component scans, like the Huffman
+    twin.  Streams from this encoder are decoded
+    coefficient-identically by the system libjpeg in the differential
+    tests."""
+    import numpy as np
+
+    from ..functions.jpeg_arith import (DEFAULT_AC_KX, DEFAULT_DC_COND,
+                                        QMEncoder, _encode_ac_block,
+                                        _encode_ac_refine_block,
+                                        _encode_dc_block, _Stats)
+
+    coefs = [np.asarray(c, dtype=np.int64) for c in comp_coefs]
+    ncomp = len(coefs)
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 components")
+    if samplings is None:
+        samplings = [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcuy = coefs[0].shape[0] // samplings[0][1]
+    mcux = coefs[0].shape[1] // samplings[0][0]
+    for c, (hi, vi) in zip(coefs, samplings):
+        if c.shape != (mcuy * vi, mcux * hi, 64):
+            raise ValueError("coefficient grid inconsistent with sampling")
+    if w is None:
+        w = mcux * hmax * 8
+    if h is None:
+        h = mcuy * vmax * 8
+    if -(-w // (8 * hmax)) != mcux or -(-h // (8 * vmax)) != mcuy:
+        raise ValueError("frame dims inconsistent with the MCU grid")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big")
+                + body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for ci, (hi, vi) in enumerate(samplings):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])
+    out += seg(0xCA, sof)
+    # explicit default conditioning (decoders default to the same)
+    out += seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int,
+            al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # DC / AC conditioning table 0
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    ri = restart_interval
+    dl, du = DEFAULT_DC_COND
+    kx = DEFAULT_AC_KX
+
+    class _Scan:
+        """One scan's QM coder + stats, restarted per RSTn segment."""
+
+        def __init__(self):
+            self.enc = QMEncoder()
+            self.stats = _Stats()
+            self.ent = bytearray()
+
+        def restart(self, idx: int):
+            self.ent += self.enc.finish()
+            self.ent += bytes([0xFF, 0xD0 + idx])
+            self.enc = QMEncoder()
+            self.stats = _Stats()
+
+        def finish(self) -> bytes:
+            return bytes(self.ent + self.enc.finish())
+
+    # --- DC first (Al=1) + DC refine (Al=0) ----------------------------
+    for ah, al in ((0, 1), (1, 0)):
+        out += sos(list(range(1, ncomp + 1)), 0, 0, ah, al)
+        sc = _Scan()
+        preds = [0] * ncomp
+        ctxs = [0] * ncomp
+
+        def dc_block(ci: int, dc: int):
+            if ah == 0:
+                didx, dmps = sc.stats.dc(0)
+                ctxs[ci], preds[ci] = _encode_dc_block(
+                    sc.enc, didx, dmps, ctxs[ci], preds[ci], dl, du,
+                    dc >> al)  # arithmetic shift, like the C
+            else:
+                sc.enc.encode(sc.stats.fix_idx, sc.stats.fix_mps, 0,
+                              (dc >> al) & 1)
+
+        if ncomp == 1:
+            by, bx = -(-h // 8), -(-w // 8)
+            u = 0
+            for br_ in range(by):
+                for bc in range(bx):
+                    if ri and u and u % ri == 0:
+                        sc.restart((u // ri - 1) & 7)
+                        preds = [0]
+                        ctxs = [0]
+                    dc_block(0, int(coefs[0][br_, bc, 0]))
+                    u += 1
+        else:
+            for m in range(mcux * mcuy):
+                if ri and m and m % ri == 0:
+                    sc.restart((m // ri - 1) & 7)
+                    preds = [0] * ncomp
+                    ctxs = [0] * ncomp
+                my, mx = m // mcux, m % mcux
+                for ci, (hi, vi) in enumerate(samplings):
+                    for bv in range(vi):
+                        for bh in range(hi):
+                            dc_block(ci, int(coefs[ci][my * vi + bv,
+                                                       mx * hi + bh, 0]))
+        out += sc.finish()
+
+    # --- AC scans (per component, non-interleaved) ---------------------
+    bands = [(1, 5), (6, 63)]
+    for ah, al in ((0, 1), (1, 0)):
+        for ci, (hi, vi) in enumerate(samplings):
+            by = -(-(-(-h * vi // vmax)) // 8)
+            bx = -(-(-(-w * hi // hmax)) // 8)
+            for ss, se in bands:
+                out += sos([ci + 1], ss, se, ah, al)
+                sc = _Scan()
+                u = 0
+                for br_ in range(by):
+                    for bc in range(bx):
+                        if ri and u and u % ri == 0:
+                            sc.restart((u // ri - 1) & 7)
+                        aidx, amps = sc.stats.ac(0)
+                        blk = coefs[ci][br_, bc]
+                        if ah == 0:
+                            _encode_ac_block(
+                                sc.enc, aidx, amps, sc.stats.fix_idx,
+                                sc.stats.fix_mps, blk, ss, se, al, kx)
+                        else:
+                            _encode_ac_refine_block(
+                                sc.enc, aidx, amps, sc.stats.fix_idx,
+                                sc.stats.fix_mps, blk, ss, se, ah, al)
+                        u += 1
+                out += sc.finish()
+    return bytes(out + b"\xff\xd9")
+
+
 def encode_jpeg_arith_gray_dc(blocks) -> bytes:
     """(by, bx) uint8 constant BLOCK values -> arithmetic-coded
     grayscale JPEG whose 8x8 blocks are flat (DC-only, unit quant) —

@@ -172,16 +172,21 @@ def test_dc_only_roundtrip_property(by, bx, seed):
     assert (px == want).all()
 
 
-def test_arith_progressive_and_lossless_still_rejected():
-    """SOF10/SOF11 (arithmetic progressive / lossless) stay declared
-    out with a clean ValueError, not a wrong decode."""
+def test_arith_lossless_still_rejected():
+    """SOF11 (arithmetic lossless) stays declared out with a clean
+    ValueError, not a wrong decode.  SOF10 now decodes for real
+    (tests/test_jpeg_arith_prog.py); relabeling a SEQUENTIAL scan's
+    frame as SOF10 must still fail loudly (the Ss=0/Se=63 scan is
+    illegal in a progressive frame), never decode wrong."""
     blocks = np.full((1, 1), 99, np.int64)
     jpg = bytearray(encode_jpeg_arith_gray_dc(blocks))
     i = jpg.index(b"\xff\xc9")
-    for sof in (0xCA, 0xCB):
-        jpg[i + 1] = sof
-        with pytest.raises(ValueError, match="unsupported JPEG mode"):
-            decode_jpeg(bytes(jpg))
+    jpg[i + 1] = 0xCB
+    with pytest.raises(ValueError, match="unsupported JPEG mode"):
+        decode_jpeg(bytes(jpg))
+    jpg[i + 1] = 0xCA
+    with pytest.raises(ValueError, match="Se != 0"):
+        decode_jpeg(bytes(jpg))
 
 
 def test_truncated_arith_degrades():

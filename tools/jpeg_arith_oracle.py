@@ -40,15 +40,19 @@ def _binary() -> str | None:
 
 
 def encode(px: np.ndarray, quality: int = 85, arith: bool = True,
-           restart_rows: int = 0, subsamp: int = 2) -> bytes:
+           restart_rows: int = 0, subsamp: int = 2,
+           progressive: bool = False) -> bytes:
     """Encode (h, w) gray or (h, w, 3) RGB uint8 pixels with the
-    system libjpeg; arith=True emits SOF9 arithmetic coding."""
+    system libjpeg; arith=True emits SOF9 arithmetic coding, and
+    progressive=True the jpeg_simple_progression scan script (with
+    arith=True that is SOF10 — arithmetic progressive)."""
     px = np.ascontiguousarray(px, dtype=np.uint8)
     comps = 1 if px.ndim == 2 else px.shape[2]
     h, w = px.shape[:2]
     proc = subprocess.run(
         [_binary(), "encode", str(w), str(h), str(comps), str(quality),
-         "1" if arith else "0", str(restart_rows), str(subsamp)],
+         "1" if arith else "0", str(restart_rows), str(subsamp),
+         "1" if progressive else "0"],
         input=px.tobytes(), capture_output=True, check=True)
     return proc.stdout
 

@@ -39,6 +39,7 @@ static int do_encode(int argc, char **argv) {
   int w = atoi(argv[2]), h = atoi(argv[3]), comps = atoi(argv[4]);
   int quality = atoi(argv[5]), arith = atoi(argv[6]);
   int restart_rows = atoi(argv[7]), subsamp = atoi(argv[8]);
+  int progressive = argc > 9 ? atoi(argv[9]) : 0;
   unsigned long rawlen, sz = 0;
   unsigned char *raw = read_all(stdin, &rawlen), *buf = NULL;
   struct jpeg_compress_struct cinfo;
@@ -64,6 +65,8 @@ static int do_encode(int argc, char **argv) {
     cinfo.comp_info[2].v_samp_factor = 1;
   }
   cinfo.restart_in_rows = restart_rows;
+  if (progressive)
+    jpeg_simple_progression(&cinfo); /* + arith=1 -> SOF10 */
   jpeg_start_compress(&cinfo, TRUE);
   while (cinfo.next_scanline < cinfo.image_height) {
     JSAMPROW row = raw + (size_t)cinfo.next_scanline * w * comps;

@@ -342,6 +342,83 @@ def make_jpeg_arith_goldens() -> None:
     print(f"wrote {tbl.num_rows} JPEG arithmetic goldens (libjpeg oracle)")
 
 
+def make_jpeg_arith_prog_goldens() -> None:
+    """Golden arithmetic-coded PROGRESSIVE (SOF10) JPEG payloads, each
+    paired with its progressive-HUFFMAN (SOF2) twin of the same
+    image/settings — generated by the system libjpeg with a
+    generation-time assertion of identical quantized coefficients, so
+    tests/test_jpeg_arith_prog.py can differential-check the Annex-G
+    QM decode path without libjpeg at test time (the SOF2 twin's
+    decode is itself independently validated).  Images cover the
+    model's hard branches: gradients (deep DC categories), noise
+    (long AC chains + multi-level refinements at quality extremes),
+    edges, gray + color, 4:2:0, restart intervals."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jpeg_arith_oracle as jo
+
+    if not jo.available():
+        raise SystemExit("libjpeg oracle unavailable; cannot regenerate "
+                         "JPEG arithmetic-progressive goldens on this host")
+
+    def gradient(seed, h, w, ch):
+        r = np.random.default_rng(seed)
+        a, b = int(r.integers(1, 5)), int(r.integers(1, 5))
+        base = ((np.arange(h)[:, None] * a + np.arange(w)[None, :] * b)
+                % 256).astype(np.uint8)
+        return np.stack([base, base[::-1], 255 - base], -1) if ch == 3 else base
+
+    def noise(seed, h, w, ch):
+        shape = (h, w, 3) if ch == 3 else (h, w)
+        return np.random.default_rng(seed).integers(
+            0, 256, shape, dtype=np.uint8)
+
+    def edges(seed, h, w, ch):
+        px = noise(seed, h, w, ch) // 4
+        px[:, : w // 2] += 180
+        return px
+
+    cases = [
+        ("p_gray_noise_q80", noise(21, 24, 40, 1), 80, 0, 1),
+        ("p_gray_grad_q34", gradient(22, 33, 5, 1), 34, 0, 1),
+        ("p_gray_edges_q95", edges(23, 17, 61, 1), 95, 0, 1),
+        ("p_gray_grad_q5", gradient(24, 64, 64, 1), 5, 0, 1),
+        ("p_gray_noise_rst1", noise(25, 40, 40, 1), 75, 1, 1),
+        ("p_color_444_q85", noise(26, 21, 35, 3), 85, 0, 1),
+        ("p_color_420_q60", gradient(27, 37, 43, 3), 60, 0, 2),
+        ("p_color_420_rst2", edges(28, 48, 32, 3), 70, 2, 2),
+        ("p_gray_1x1", noise(29, 1, 1, 1), 50, 0, 1),
+        ("p_color_tiny_q98", noise(30, 7, 9, 3), 98, 0, 2),
+    ]
+    names, ajpgs, hjpgs, ws, hs = [], [], [], [], []
+    for name, px, q, rst, sub in cases:
+        a = jo.encode(px, quality=q, arith=True, restart_rows=rst,
+                      subsamp=sub, progressive=True)
+        hjp = jo.encode(px, quality=q, arith=False, restart_rows=rst,
+                        subsamp=sub, progressive=True)
+        ca, ch = jo.coefficients(a), jo.coefficients(hjp)
+        assert len(ca) == len(ch) and all(
+            (x == y).all() for x, y in zip(ca, ch)), name
+        names.append(name)
+        ajpgs.append(a)
+        hjpgs.append(hjp)
+        hh, ww = px.shape[:2]
+        ws.append(ww)
+        hs.append(hh)
+    tbl = pa.table({
+        "name": pa.array(names, pa.string()),
+        "arith_jpg": pa.array(ajpgs, pa.binary()),
+        "huffman_jpg": pa.array(hjpgs, pa.binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+    })
+    pq.write_table(tbl,
+                   os.path.join(OUT, "jpeg_arith_prog_goldens.parquet"))
+    print(f"wrote {tbl.num_rows} JPEG arithmetic-progressive goldens "
+          "(libjpeg oracle)")
+
+
 def main() -> None:
     pages = generate_pages(N_PAGES, seed=SEED)
     rows = pages.to_pylist()
@@ -401,9 +478,11 @@ if __name__ == "__main__":
     elif sys.argv[1:2] == ["--jpeg-arith"]:
         # arithmetic-JPEG goldens only (needs gcc + libjpeg headers)
         make_jpeg_arith_goldens()
+        make_jpeg_arith_prog_goldens()
     else:
         main()
         make_driver_gate_goldens()
         make_approx_goldens()
         make_vp8_goldens()
         make_jpeg_arith_goldens()
+        make_jpeg_arith_prog_goldens()
