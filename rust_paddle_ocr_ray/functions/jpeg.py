@@ -5,11 +5,13 @@ public specs allow without image libraries, raise ``ValueError``
 outside the subset so the featurizer degrades to its deterministic
 fake.
 
-Supported subset: baseline sequential DCT (SOF0), progressive DCT
-(SOF2, Huffman), lossless sequential (SOF3, Huffman — T.81
-Annex H), arithmetic-coded sequential DCT (SOF9 — the Annex D
-QM-coder, functions/jpeg_arith.py) AND arithmetic-coded progressive
-DCT (SOF10 — the Annex G scan models over the same QM-coder),
+Supported subset: baseline sequential DCT (SOF0), extended
+sequential DCT (SOF1 — identical to baseline at 8-bit precision),
+progressive DCT (SOF2, Huffman), lossless sequential (SOF3, Huffman
+— T.81 Annex H), arithmetic-coded sequential DCT (SOF9 — the
+Annex D QM-coder, functions/jpeg_arith.py) AND arithmetic-coded
+progressive DCT (SOF10 — the Annex G scan models over the same
+QM-coder),
 8-bit precision, grayscale (1-component) and YCbCr color
 (3-component) scans including SUBSAMPLED chroma (4:2:0 / 4:2:2 /
 4:4:0 and any integer-ratio Hi×Vi ≤ 4×4) — interleaved MCUs per
@@ -230,9 +232,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = bytes(body[i + 17:i + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA):
-            # SOF0 / SOF2 progressive / SOF3 lossless / SOF9 arithmetic
-            # sequential / SOF10 arithmetic progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0 / SOF1 extended sequential / SOF2 progressive /
+            # SOF3 lossless / SOF9 arithmetic sequential / SOF10
+            # arithmetic progressive.  SOF1 at 8-bit precision decodes
+            # IDENTICALLY to baseline (T.81 Table B.1: extended
+            # sequential only adds 12-bit precision — rejected below —
+            # and tables 2/3, which the DHT/scan dispatch already
+            # carries), so it routes through the SOF0 path.
             progressive = marker in (0xC2, 0xCA)
             lossless = marker == 0xC3
             arith = marker in (0xC9, 0xCA)
@@ -269,7 +276,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if lossless and (hi != 1 or vi != 1):
                     raise ValueError(
                         "subsampled lossless JPEG not supported")
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG mode (SOF{marker - 0xC0})")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)

@@ -62,6 +62,24 @@ def test_ac_coefficient_and_zigzag_placement():
     assert px.min() != px.max()  # the AC coefficient actually landed
 
 
+def test_sof1_extended_sequential_decodes_as_baseline():
+    """SOF1 (extended sequential) is a strict superset of baseline at
+    8-bit precision (T.81 Table B.1: it only adds 12-bit precision
+    and Huffman tables 2/3), so relabeling a baseline frame as SOF1
+    must decode to identical pixels — and 12-bit precision must stay
+    a clean rejection."""
+    blocks = (np.arange(12, dtype=np.int64).reshape(3, 4) * 19 + 5) % 256
+    data = bytearray(encode_jpeg_gray_dc(blocks))
+    want = decode_jpeg_gray(bytes(data))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC1
+    got = decode_jpeg_gray(bytes(data))
+    assert (got == want).all()
+    data[i + 4] = 12  # P=12: extended precision stays declared out
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_jpeg_gray(bytes(data))
+
+
 def test_rejects_outside_subset():
     blocks = np.array([[7]], dtype=np.uint8)
     data = bytearray(encode_jpeg_gray_dc(blocks))
