@@ -9,16 +9,16 @@ Supported subset: baseline sequential DCT (SOF0), extended
 sequential DCT (SOF1 — identical to baseline at 8-bit precision),
 progressive DCT (SOF2, Huffman), lossless sequential (SOF3, Huffman
 — T.81 Annex H), arithmetic-coded sequential DCT (SOF9 — the
-Annex D QM-coder, functions/jpeg_arith.py) AND arithmetic-coded
+Annex D QM-coder, functions/jpeg_arith.py), arithmetic-coded
 progressive DCT (SOF10 — the Annex G scan models over the same
-QM-coder),
+QM-coder) AND arithmetic-coded lossless (SOF11 — the Annex H
+two-dimensional Da/Db conditioning over the same QM-coder),
 8-bit precision, grayscale (1-component) and YCbCr color
 (3-component) scans including SUBSAMPLED chroma (4:2:0 / 4:2:2 /
 4:4:0 and any integer-ratio Hi×Vi ≤ 4×4) — interleaved MCUs per
 T.81 §A.2.3, restart intervals (DRI/RSTn: byte-align +
 predictor/stats reset; DCT modes only).
-Declared out: hierarchical modes and arithmetic-coded lossless
-scans (SOF11).
+Declared out: hierarchical modes (SOF5-7/13-15, DHP/EXP).
 Lossless subset: predictors 1-7, point transform Pt, 1×1 sampling
 (the overwhelmingly common lossless layout), interleaved or one
 scan per component, no restarts (the spec's restart-reset
@@ -51,7 +51,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from .jpeg_arith import decode_arith_prog_scan, decode_arith_scan
+from .jpeg_arith import (
+    decode_arith_lossless_scan,
+    decode_arith_prog_scan,
+    decode_arith_scan,
+)
 
 #: corrupt-header guard, same budget as vp8/vp8l/png/raster
 MAX_PIXELS = 1 << 22
@@ -232,17 +236,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = bytes(body[i + 17:i + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             # SOF0 / SOF1 extended sequential / SOF2 progressive /
             # SOF3 lossless / SOF9 arithmetic sequential / SOF10
-            # arithmetic progressive.  SOF1 at 8-bit precision decodes
+            # arithmetic progressive / SOF11 arithmetic lossless.
+            # SOF1 at 8-bit precision decodes
             # IDENTICALLY to baseline (T.81 Table B.1: extended
             # sequential only adds 12-bit precision — rejected below —
             # and tables 2/3, which the DHT/scan dispatch already
             # carries), so it routes through the SOF0 path.
             progressive = marker in (0xC2, 0xCA)
-            lossless = marker == 0xC3
-            arith = marker in (0xC9, 0xCA)
+            lossless = marker in (0xC3, 0xCB)
+            arith = marker in (0xC9, 0xCA, 0xCB)
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h = (body[1] << 8) | body[2]
@@ -277,7 +282,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(
                         "subsampled lossless JPEG not supported")
         elif marker in (0xC5, 0xC6, 0xC7,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG mode (SOF{marker - 0xC0})")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             i = 0
@@ -299,25 +304,31 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(
                         "restart intervals in lossless JPEG not supported")
                 ns = body[0]
-                scomp = []
+                scomp = []  # (frame comp idx, Td: Huffman table OR
+                #             arithmetic conditioning/statistics id)
                 for ci in range(ns):
                     cid = body[1 + 2 * ci]
                     td = body[2 + 2 * ci] >> 4
                     idxs = [i for i, c in enumerate(comps) if c[0] == cid]
                     if not idxs:
                         raise ValueError("scan names a non-frame component")
-                    if td not in dc_tabs:
+                    if not arith and td not in dc_tabs:
                         raise ValueError("lossless scan without its table")
-                    scomp.append((idxs[0], dc_tabs[td]))
+                    scomp.append((idxs[0], td))
                 sel = body[1 + 2 * ns]           # Ss = predictor selector
                 ll_pt = body[3 + 2 * ns] & 0x0F  # Al = point transform
                 if not (1 <= sel <= 7):
                     raise ValueError(f"illegal lossless predictor {sel}")
                 if ll_pt > 7:
                     raise ValueError("point transform >= precision")
-                planes, pos = _decode_lossless_scan(
-                    data, pos + seg_len, w, h, [s[1] for s in scomp],
-                    sel, ll_pt)
+                if arith:  # SOF11: QM-coded Annex H model
+                    planes, pos = decode_arith_lossless_scan(
+                        data, pos + seg_len, w, h,
+                        [td for _i, td in scomp], sel, ll_pt, dc_cond)
+                else:
+                    planes, pos = _decode_lossless_scan(
+                        data, pos + seg_len, w, h,
+                        [dc_tabs[td] for _i, td in scomp], sel, ll_pt)
                 for (idx, _td), p in zip(scomp, planes):
                     ll_planes[idx] = p
                 if len(ll_planes) == len(comps):
@@ -479,6 +490,36 @@ def _decode_scan(data: bytes, pos: int, w: int, h: int,
     ]
 
 
+def _ll_predict(p: np.ndarray, y: int, x: int, sel: int,
+                default: int) -> int:
+    """T.81 §H.1.2.1 lossless prediction for sample (y, x) of plane
+    ``p``: the scan's first sample uses ``default``
+    (``1 << (P-1-Pt)``); the rest of the FIRST line uses Ra (left);
+    the first sample of later lines uses Rb (above); elsewhere the
+    scan-selected predictor 1-7 over Ra/Rb/Rc.  Shared by the Huffman
+    (SOF3) and arithmetic (SOF11, functions/jpeg_arith.py) paths —
+    and by the mirror encoders in sources/synth.py via this module."""
+    if y == 0:
+        return default if x == 0 else int(p[0, x - 1])
+    if x == 0:
+        return int(p[y - 1, 0])
+    a = int(p[y, x - 1])
+    b = int(p[y - 1, x])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return int(p[y - 1, x - 1])
+    if sel == 4:
+        return a + b - int(p[y - 1, x - 1])
+    if sel == 5:
+        return a + ((b - int(p[y - 1, x - 1])) >> 1)
+    if sel == 6:
+        return b + ((a - int(p[y - 1, x - 1])) >> 1)
+    return (a + b) >> 1  # 7
+
+
 def _decode_lossless_scan(data: bytes, pos: int, w: int, h: int,
                           tabs: list[_Huff], sel: int,
                           pt: int) -> tuple[list[np.ndarray], int]:
@@ -508,28 +549,8 @@ def _decode_lossless_scan(data: bytes, pos: int, w: int, h: int,
                 else:
                     diff = 0
                 p = planes[ci]
-                if y == 0:
-                    px = default if x == 0 else int(p[0, x - 1])
-                elif x == 0:
-                    px = int(p[y - 1, 0])
-                else:
-                    a = int(p[y, x - 1])
-                    b = int(p[y - 1, x])
-                    if sel == 1:
-                        px = a
-                    elif sel == 2:
-                        px = b
-                    elif sel == 3:
-                        px = int(p[y - 1, x - 1])
-                    elif sel == 4:
-                        px = a + b - int(p[y - 1, x - 1])
-                    elif sel == 5:
-                        px = a + ((b - int(p[y - 1, x - 1])) >> 1)
-                    elif sel == 6:
-                        px = b + ((a - int(p[y - 1, x - 1])) >> 1)
-                    else:  # 7
-                        px = (a + b) >> 1
-                p[y, x] = (px + diff) & 0xFFFF
+                p[y, x] = (_ll_predict(p, y, x, sel, default)
+                           + diff) & 0xFFFF
     shifted = [p << pt for p in planes]
     q = rd.pos  # skip pad bits / stuffing to the next true marker
     n = len(data)

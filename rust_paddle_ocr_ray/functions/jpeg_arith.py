@@ -62,11 +62,16 @@ modes): libjpeg SOF9/SOF10 streams decode to identical quantized
 coefficients, and streams from the mirror encoders are decoded
 identically by libjpeg.
 
+Lossless (SOF11) runs the Annex H two-dimensional Da/Db conditioning
+over the same coder and the same jpeg.py predictor layer — see the
+section comment above decode_arith_lossless_scan for the pinned
+context layout and why its gate is the mirror round trip (no
+independent SOF11 implementation exists to interop with).
+
 Reference parity note: the reference decodes JPEG via the Rust image
 crate (src/main.rs:121, src/capi.rs:274), whose decoders do NOT
 support arithmetic coding — this path EXCEEDS reference coverage.
-Remaining declared-out JPEG modes: hierarchical, and
-arithmetic-coded lossless scans (SOF11).
+Remaining declared-out JPEG modes: hierarchical only (SOF5-7/13-15).
 """
 from __future__ import annotations
 
@@ -191,6 +196,8 @@ class _Stats:
         self.dc_mps: dict[int, bytearray] = {}
         self.ac_idx: dict[int, bytearray] = {}
         self.ac_mps: dict[int, bytearray] = {}
+        self.ll_idx: dict[int, bytearray] = {}
+        self.ll_mps: dict[int, bytearray] = {}
         self.fix_idx = bytearray([FIXED])
         self.fix_mps = bytearray(1)
 
@@ -205,6 +212,17 @@ class _Stats:
             self.ac_idx[tb] = bytearray(256)
             self.ac_mps[tb] = bytearray(256)
         return self.ac_idx[tb], self.ac_mps[tb]
+
+    def ll(self, tb: int) -> tuple[bytearray, bytearray]:
+        """Lossless (SOF11) statistics area per T.81 §H.1.2.2: 158
+        bins — 25 four-bin (S0, SS, SP, SN) groups selected by the
+        (Da, Db) classification pair, then TWO 29-bin magnitude
+        areas (X1..X15, M2..M15) at offsets 100 and 129, selected by
+        Db's class (zero/small -> first, large -> second)."""
+        if tb not in self.ll_idx:
+            self.ll_idx[tb] = bytearray(158)
+            self.ll_mps[tb] = bytearray(158)
+        return self.ll_idx[tb], self.ll_mps[tb]
 
 
 def _decode_dc_block(dec: QMDecoder, didx: bytearray, dmps: bytearray,
@@ -751,4 +769,148 @@ def encode_arith_scan(blocks_per_comp: list[np.ndarray],
                         dl, du, int(zz[0]))
                     _encode_ac_block(enc, aidx, amps, stats.fix_idx,
                                      stats.fix_mps, zz, 1, 63, 0, kx)
+    return enc.finish()
+
+
+# --- lossless (SOF11): the T.81 Annex H statistical model ------------
+#
+# The decision tree per sample difference is EXACTLY the DC-difference
+# tree (S0 zero/nonzero, SS sign, SP/SN magnitude>1, X chain, M
+# mantissa — _decode_v / encode_v), but conditioning is
+# two-dimensional (§H.1.2.2): Da (the difference coded for the sample
+# to the LEFT) and Db (the difference coded for the sample ABOVE) are
+# each classified into five categories — zero, small+/-, large+/- —
+# with the same (L, U) bounds and the same MSB-of-Sz quantity the DC
+# model classifies on (F.1.4.4.1.1).  The 5x5 pair selects one of 25
+# four-bin groups; Db's class selects which of the two 29-bin
+# magnitude areas applies.  Differences outside the scan (first
+# line / first column) classify as zero.
+#
+# PINNED layout (documented because NO independent implementation of
+# SOF11 exists to interop with — libjpeg and libjpeg-turbo never
+# shipped it, so the committed gate is the mirror-encoder round trip
+# plus the shared-machinery validation of the QM coder itself, which
+# IS libjpeg-differential via SOF9/SOF10): group index
+# S0 = 4 * (5 * Q(Db) + Q(Da)) with Q in {0 zero, 1 small+, 2 small-,
+# 3 large+, 4 large-} (the DC model's own context/4 encoding);
+# magnitude chains at 100 (Q(Db) <= 2) / 129 (large Db).
+# Differences are reduced modulo 2^16 into [-32768, 32767] before
+# coding (§H.1.2.1 modulo arithmetic), which also bounds the X chain
+# at X15 exactly as the 29-bin area requires.
+
+def _classify_diff(diff: int, dl: int, du: int) -> int:
+    """Five-way F.1.4.4.1.1 classification of a coded difference via
+    the MSB of Sz = |diff| - 1 (the exact quantity _decode_dc_block
+    conditions on): 0 zero, 1 small+, 2 small-, 3 large+, 4 large-."""
+    if diff == 0:
+        return 0
+    sign = 1 if diff < 0 else 0
+    sz = (diff if diff > 0 else -diff) - 1
+    m = 0 if sz == 0 else 1 << (sz.bit_length() - 1)
+    if m < ((1 << dl) >> 1):
+        return 0
+    if m > ((1 << du) >> 1):
+        return 3 + sign
+    return 1 + sign
+
+
+def _reduce_diff(diff: int) -> int:
+    """Modulo-2^16 reduction into [-32768, 32767] (§H.1.2.1)."""
+    return ((diff + 0x8000) & 0xFFFF) - 0x8000
+
+
+def decode_arith_lossless_scan(data: bytes, pos: int, w: int, h: int,
+                               tabs: list[int], sel: int, pt: int,
+                               dc_cond: dict[int, tuple[int, int]],
+                               ) -> tuple[list[np.ndarray], int]:
+    """One arithmetic lossless scan (SOF11): same walk order,
+    prediction (jpeg._ll_predict) and output contract as the Huffman
+    path jpeg._decode_lossless_scan — ``tabs`` holds each scan
+    component's arithmetic conditioning/statistics id (the SOS Td
+    field), 1x1 sampling, no restarts.  Returns per-component int32
+    planes already shifted left by the point transform, plus the
+    offset of the next marker."""
+    from .jpeg import _ll_predict  # deferred: jpeg.py imports us
+
+    dec = QMDecoder(data, pos)
+    stats = _Stats()
+    ncs = len(tabs)
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in range(ncs)]
+    # Da/Db conditioning history: one previous-line and one
+    # current-line difference row per component.
+    above = [[0] * w for _ in range(ncs)]
+    cur = [[0] * w for _ in range(ncs)]
+    conds = [dc_cond.get(tb, DEFAULT_DC_COND) for tb in tabs]
+    default = 1 << (7 - pt)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncs):
+                lidx, lmps = stats.ll(tabs[ci])
+                dl, du = conds[ci]
+                qa = 0 if x == 0 else _classify_diff(cur[ci][x - 1],
+                                                     dl, du)
+                qb = 0 if y == 0 else _classify_diff(above[ci][x],
+                                                     dl, du)
+                s0 = 4 * (5 * qb + qa)
+                if dec.decode(lidx, lmps, s0) == 0:
+                    diff = 0
+                else:
+                    v, sign, _m = _decode_v(
+                        dec, lidx, lmps, s0, 100 if qb <= 2 else 129)
+                    diff = -v if sign else v
+                cur[ci][x] = diff
+                p = planes[ci]
+                p[y, x] = (_ll_predict(p, y, x, sel, default)
+                           + diff) & 0xFFFF
+        for ci in range(ncs):
+            above[ci], cur[ci] = cur[ci], above[ci]
+    shifted = [p << pt for p in planes]
+    return shifted, _next_marker(
+        data, dec.marker_pos if dec.marker_pos >= 0 else dec.bp)
+
+
+def encode_arith_lossless_scan(planes: list[np.ndarray], tabs: list[int],
+                               sel: int, pt: int,
+                               dc_cond: dict[int, tuple[int, int]]
+                               | None = None) -> bytes:
+    """Mirror of decode_arith_lossless_scan: ``planes`` holds each
+    component's (h, w) samples ALREADY shifted right by the point
+    transform (what the scan codes); returns the entropy-coded
+    segment bytes."""
+    from .jpeg import _ll_predict
+
+    dc_cond = dc_cond or {}
+    enc = QMEncoder()
+    stats = _Stats()
+    ncs = len(tabs)
+    h, w = planes[0].shape
+    recon = [np.zeros((h, w), dtype=np.int32) for _ in range(ncs)]
+    above = [[0] * w for _ in range(ncs)]
+    cur = [[0] * w for _ in range(ncs)]
+    conds = [dc_cond.get(tb, DEFAULT_DC_COND) for tb in tabs]
+    default = 1 << (7 - pt)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncs):
+                lidx, lmps = stats.ll(tabs[ci])
+                dl, du = conds[ci]
+                qa = 0 if x == 0 else _classify_diff(cur[ci][x - 1],
+                                                     dl, du)
+                qb = 0 if y == 0 else _classify_diff(above[ci][x],
+                                                     dl, du)
+                s0 = 4 * (5 * qb + qa)
+                p = recon[ci]
+                pred = _ll_predict(p, y, x, sel, default)
+                diff = _reduce_diff(int(planes[ci][y, x]) - pred)
+                if diff == 0:
+                    enc.encode(lidx, lmps, s0, 0)
+                else:
+                    enc.encode(lidx, lmps, s0, 1)
+                    sign = 1 if diff < 0 else 0
+                    encode_v(enc, lidx, lmps, s0,
+                             100 if qb <= 2 else 129, abs(diff), sign)
+                cur[ci][x] = diff
+                p[y, x] = (pred + diff) & 0xFFFF
+        for ci in range(ncs):
+            above[ci], cur[ci] = cur[ci], above[ci]
     return enc.finish()

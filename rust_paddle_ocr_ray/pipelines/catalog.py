@@ -3087,11 +3087,13 @@ def q82_jpeg_roundtrip(sf_dir: str):
     scan script with QM-coded DC first/refine + banded AC scans,
     sources/synth.encode_jpeg_arith_progressive, same DC-only
     coefficients) when id % 16 == 10, and
-    LOSSLESS (SOF3 per T.81 Annex H, a PER-PIXEL gradient — the one
+    LOSSLESS (T.81 Annex H, a PER-PIXEL gradient — the one
     mode where arbitrary pixels round-trip exactly — with predictor
-    1-7 and point transform cycling by id,
-    sources/synth.encode_jpeg_lossless) when id % 8 == 4; odd
-    docs encode a DC-only
+    1-7 and point transform cycling by id) when id % 8 == 4:
+    Huffman SOF3 (sources/synth.encode_jpeg_lossless) on
+    id % 16 == 4, ARITHMETIC SOF11 (the Annex H Da/Db-conditioned
+    QM model, sources/synth.encode_jpeg_arith_lossless) on
+    id % 16 == 12; odd docs encode a DC-only
     YCbCr JPEG at 4:2:0 (id % 4 == 1) or 4:2:2 (id % 4 == 3) chroma
     sampling with CROPPED frame dims (partial-MCU path,
     sources/synth.encode_jpeg_color_dc).  Every payload is DECODED by
@@ -3106,6 +3108,7 @@ def q82_jpeg_roundtrip(sf_dir: str):
     from ..functions.jpeg import decode_jpeg, decode_jpeg_gray
     from ..sources.synth import (
         encode_jpeg_arith,
+        encode_jpeg_arith_lossless,
         encode_jpeg_arith_progressive,
         encode_jpeg_color_dc,
         encode_jpeg_gray_dc,
@@ -3121,20 +3124,28 @@ def q82_jpeg_roundtrip(sf_dir: str):
         for d in b["doc_id"].to_numpy(dtype="int64"):
             d = int(d)
             if d % 8 == 4:
-                # LOSSLESS (SOF3): a PER-PIXEL gradient — lossless is
+                # LOSSLESS: a PER-PIXEL gradient — lossless is
                 # the one mode that round-trips arbitrary pixels, so
                 # the gate pattern needs no block structure.  Predictor
-                # and point transform cycle with the id.
+                # and point transform cycle with the id; the entropy
+                # coder alternates by id: Huffman (SOF3) on
+                # id % 16 == 4, ARITHMETIC (SOF11 — the Annex H
+                # Da/Db-conditioned QM model) on id % 16 == 12.
                 w, h = 8 + d % 9, 8 + (d // 2) % 7
                 i = np.arange(h, dtype=np.int64)[:, None]
                 j = np.arange(w, dtype=np.int64)[None, :]
                 img = ((i + 3 * j + d) % 256).astype(np.uint8)
                 pt = (d // 8) % 2
-                payload = encode_jpeg_lossless(
-                    img, predictor=1 + d % 7, pt=pt)
+                if d % 16 == 12:
+                    payload = encode_jpeg_arith_lossless(
+                        img, predictor=1 + d % 7, pt=pt)
+                    kind = "gray_arith_lossless"
+                else:
+                    payload = encode_jpeg_lossless(
+                        img, predictor=1 + d % 7, pt=pt)
+                    kind = "gray_lossless"
                 px = decode_jpeg_gray(payload)
                 assert px.shape == (h, w)
-                kind = "gray_lossless"
                 nch = 1
             elif d % 2 == 0:
                 bx, by = 1 + d % 3, 1 + (d // 2) % 2
@@ -3222,7 +3233,9 @@ llpx AS (
        unnest(generate_series(0, h - 1)) AS i(i),
        unnest(generate_series(0, w - 1)) AS j(j)),
 llrows AS (
-  SELECT doc_id, 'gray_lossless' AS kind,
+  SELECT doc_id,
+         CASE WHEN doc_id % 16 = 12 THEN 'gray_arith_lossless'
+              ELSE 'gray_lossless' END AS kind,
          w::BIGINT AS width, h::BIGINT AS height,
          ((SUM(v - CASE WHEN pt = 1 THEN v % 2 ELSE 0 END) * 1000000)
           // (w * h))::BIGINT AS mean_ppm

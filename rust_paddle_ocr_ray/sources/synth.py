@@ -904,6 +904,57 @@ def encode_jpeg_lossless(px, predictor: int = 1, pt: int = 0,
     return out + b"\xff\xd9"
 
 
+def encode_jpeg_arith_lossless(px, predictor: int = 1, pt: int = 0,
+                               interleaved: bool = True) -> bytes:
+    """(h, w) or (h, w, 3) uint8 -> ARITHMETIC lossless JPEG (SOF11,
+    T.81 Annex H statistical model over the Annex D QM-coder): the
+    SOF11 twin of :func:`encode_jpeg_lossless` — same predictors 1-7,
+    point transform and scan layouts, entropy-coded through
+    functions/jpeg_arith.encode_arith_lossless_scan with an explicit
+    DAC marker pinning the default DC conditioning (L=0, U=1)."""
+    import numpy as np
+
+    from ..functions.jpeg_arith import encode_arith_lossless_scan
+
+    arr = np.asarray(px, dtype=np.uint8)
+    if arr.ndim == 2:
+        planes = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        planes = [arr[:, :, i] for i in range(3)]
+    else:
+        raise ValueError("expected (h, w) or (h, w, 3) uint8")
+    if not (0 <= pt <= 7):
+        raise ValueError("point transform out of range")
+    h, w = planes[0].shape
+    nc = len(planes)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big")
+                + body)
+
+    sof_body = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof_body += bytes([nc])
+    for ci in range(nc):
+        sof_body += bytes([ci + 1, 0x11, 0])   # 1x1 sampling, Tq unused
+    sof = seg(0xCB, bytes(sof_body))
+    dac = seg(0xCC, bytes([0x00, 0x10]))  # table 0: L=0, U=1
+
+    shifted = [(p.astype(np.int64) >> pt) for p in planes]
+    out = b"\xff\xd8" + sof + dac
+    if interleaved or nc == 1:
+        sos_body = bytes([nc]) + b"".join(
+            bytes([ci + 1, 0x00]) for ci in range(nc))
+        sos_body += bytes([predictor, 0, pt])
+        ent = encode_arith_lossless_scan(shifted, [0] * nc, predictor, pt)
+        out += seg(0xDA, sos_body) + ent
+    else:
+        for ci, p in enumerate(shifted):
+            sos_body = bytes([1, ci + 1, 0x00, predictor, 0, pt])
+            ent = encode_arith_lossless_scan([p], [0], predictor, pt)
+            out += seg(0xDA, sos_body) + ent
+    return out + b"\xff\xd9"
+
+
 def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
     """(n,) or (n, ch) int16 samples -> RIFF/WAVE PCM bytes (the audio
     analog of the image encoders above; decoded by functions/audio.py

@@ -172,21 +172,113 @@ def test_dc_only_roundtrip_property(by, bx, seed):
     assert (px == want).all()
 
 
-def test_arith_lossless_still_rejected():
-    """SOF11 (arithmetic lossless) stays declared out with a clean
-    ValueError, not a wrong decode.  SOF10 now decodes for real
-    (tests/test_jpeg_arith_prog.py); relabeling a SEQUENTIAL scan's
-    frame as SOF10 must still fail loudly (the Ss=0/Se=63 scan is
-    illegal in a progressive frame), never decode wrong."""
+def test_relabelled_sequential_frame_fails_loudly():
+    """Relabeling a SEQUENTIAL arithmetic scan's frame as SOF10 must
+    still fail loudly (the Ss=0/Se=63 scan is illegal in a
+    progressive frame), never decode wrong."""
     blocks = np.full((1, 1), 99, np.int64)
     jpg = bytearray(encode_jpeg_arith_gray_dc(blocks))
     i = jpg.index(b"\xff\xc9")
-    jpg[i + 1] = 0xCB
-    with pytest.raises(ValueError, match="unsupported JPEG mode"):
-        decode_jpeg(bytes(jpg))
     jpg[i + 1] = 0xCA
     with pytest.raises(ValueError, match="Se != 0"):
         decode_jpeg(bytes(jpg))
+
+
+# --- lossless (SOF11, Annex H over the QM coder) ----------------------
+
+def test_arith_lossless_roundtrip_all_predictors():
+    """SOF11 decodes for real: arbitrary pixels round-trip EXACTLY
+    through the mirror encoder for every predictor 1-7 (the same
+    defining property as the SOF3 suite in test_jpeg.py — the two
+    modes share the prediction layer and differ only in the entropy
+    coder, whose QM machinery is libjpeg-validated via SOF9/SOF10)."""
+    from rust_paddle_ocr_ray.functions.jpeg import decode_jpeg_gray
+    from rust_paddle_ocr_ray.sources.synth import (
+        encode_jpeg_arith_lossless,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 11), dtype=np.uint8)
+    for sel in range(1, 8):
+        got = decode_jpeg_gray(encode_jpeg_arith_lossless(
+            img, predictor=sel))
+        assert (got == img).all(), f"predictor {sel}"
+        # pixel parity with the Huffman (SOF3) form of the same image
+        huff = decode_jpeg_gray(encode_jpeg_lossless(img, predictor=sel))
+        assert (got == huff).all(), f"SOF3/SOF11 split, predictor {sel}"
+
+
+def test_arith_lossless_point_transform_and_edges():
+    from rust_paddle_ocr_ray.functions.jpeg import decode_jpeg_gray
+    from rust_paddle_ocr_ray.sources.synth import encode_jpeg_arith_lossless
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (10, 7), dtype=np.uint8)
+    for pt in range(4):
+        got = decode_jpeg_gray(encode_jpeg_arith_lossless(
+            img, predictor=4, pt=pt))
+        assert (got == (img >> pt) << pt).all(), f"pt {pt}"
+    for h, w in ((1, 1), (1, 9), (9, 1)):
+        e = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        got = decode_jpeg_gray(encode_jpeg_arith_lossless(e, predictor=7))
+        assert got.shape == (h, w) and (got == e).all(), (h, w)
+
+
+def test_arith_lossless_color_both_scan_layouts():
+    """3-component SOF11, interleaved single scan AND one scan per
+    component, through the module's pinned BT.601 composition."""
+    from rust_paddle_ocr_ray.functions.jpeg import (
+        _ycbcr_to_rgb,
+        decode_jpeg,
+    )
+    from rust_paddle_ocr_ray.sources.synth import encode_jpeg_arith_lossless
+
+    rng = np.random.default_rng(13)
+    img3 = rng.integers(0, 256, (9, 8, 3), dtype=np.uint8)
+    want = _ycbcr_to_rgb([img3[:, :, i] for i in range(3)])
+    for inter in (True, False):
+        got = decode_jpeg(encode_jpeg_arith_lossless(
+            img3, predictor=5, interleaved=inter))
+        assert got.shape == (9, 8, 3) and (got == want).all(), inter
+
+
+def test_arith_lossless_nondefault_conditioning():
+    """Non-default (L, U) bounds move the Da/Db classification
+    boundaries (Annex H over F.1.4.4.1.1); encoder and decoder must
+    agree for every legal combination — including L high enough that
+    small nonzero diffs classify as 'zero'."""
+    from rust_paddle_ocr_ray.functions.jpeg_arith import (
+        decode_arith_lossless_scan,
+        encode_arith_lossless_scan,
+    )
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (8, 9), dtype=np.int32)
+    for dl, du in ((0, 1), (0, 3), (2, 4), (4, 8)):
+        cond = {0: (dl, du)}
+        ent = encode_arith_lossless_scan([img], [0], 4, 0, cond)
+        planes, _end = decode_arith_lossless_scan(
+            ent + b"\xff\xd9", 0, 9, 8, [0], 4, 0, cond)
+        assert (planes[0] == img).all(), (dl, du)
+
+
+def test_arith_lossless_truncation_degrades():
+    """Truncation feeds zero data into the QM coder; the fixed h*w
+    sample walk must terminate with wrong pixels or ValueError,
+    never hang or crash."""
+    from rust_paddle_ocr_ray.functions.jpeg import decode_jpeg
+    from rust_paddle_ocr_ray.sources.synth import encode_jpeg_arith_lossless
+
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+    jpg = encode_jpeg_arith_lossless(img, predictor=2)
+    for cut in (len(jpg) - 3, len(jpg) * 3 // 4):
+        try:
+            px = decode_jpeg(jpg[:cut] + b"\xff\xd9")
+            assert px.shape == (12, 12)
+        except ValueError:
+            pass
 
 
 def test_truncated_arith_degrades():

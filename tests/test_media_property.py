@@ -264,3 +264,25 @@ def test_jpeg_lossless_roundtrip(case):
                    ).astype(np.uint8) for i in range(3)]
         want = _ycbcr_to_rgb(planes)
     np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(lossless_jpeg_case())
+def test_jpeg_arith_lossless_roundtrip(case):
+    """SOF11 (arithmetic lossless, Annex H over the QM coder)
+    round-trips ARBITRARY pixels exactly under the same contract as
+    the SOF3 property above — same predictors, point transform and
+    scan layouts, different entropy coder."""
+    from rust_paddle_ocr_ray.functions.jpeg import _ycbcr_to_rgb
+    from rust_paddle_ocr_ray.sources.synth import encode_jpeg_arith_lossless
+
+    img, sel, pt, il = case
+    got = decode_jpeg(encode_jpeg_arith_lossless(
+        img, predictor=sel, pt=pt, interleaved=il))
+    if img.ndim == 2:
+        want = ((img.astype(np.int64) >> pt) << pt).astype(np.uint8)
+    else:
+        planes = [((img[:, :, i].astype(np.int64) >> pt) << pt
+                   ).astype(np.uint8) for i in range(3)]
+        want = _ycbcr_to_rgb(planes)
+    np.testing.assert_array_equal(got, want)
