@@ -18,7 +18,8 @@ two-dimensional Da/Db conditioning over the same QM-coder),
 4:4:0 and any integer-ratio Hi×Vi ≤ 4×4) — interleaved MCUs per
 T.81 §A.2.3, restart intervals (DRI/RSTn: byte-align +
 predictor/stats reset; DCT modes only).
-Declared out: hierarchical modes (SOF5-7/13-15, DHP/EXP).
+Hierarchical streams (DHP, Annex J — differential SOF5/7/13/15
+frames with EXP reference expansion) dispatch to jpeg_hier.py.
 Lossless subset: predictors 1-7, point transform Pt, 1×1 sampling
 (the overwhelmingly common lossless layout), interleaved or one
 scan per component, no restarts (the spec's restart-reset
@@ -283,7 +284,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         "subsampled lossless JPEG not supported")
         elif marker in (0xC5, 0xC6, 0xC7,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError(f"unsupported JPEG mode (SOF{marker - 0xC0})")
+            raise ValueError(
+                f"SOF{marker - 0xC0} differential frame outside a "
+                "hierarchical stream")
+        elif marker == 0xDE:  # DHP: hierarchical stream (Annex J)
+            from .jpeg_hier import decode_hierarchical
+            return decode_hierarchical(data, pos - 2, qt, dc_tabs,
+                                       ac_tabs, dc_cond, ac_cond,
+                                       restart_interval)
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             i = 0
             while i + 1 < len(body):
@@ -430,7 +438,8 @@ def _ycbcr_to_rgb(planes: list[np.ndarray]) -> np.ndarray:
 
 def _decode_scan(data: bytes, pos: int, w: int, h: int,
                  plan: list[tuple[np.ndarray, _Huff, _Huff, int, int]],
-                 restart_interval: int = 0) -> list[np.ndarray]:
+                 restart_interval: int = 0,
+                 differential: bool = False) -> list[np.ndarray]:
     """Interleaved baseline scan per T.81 §A.2.3: each MCU carries
     ``v_i × h_i`` 8×8 blocks per component (frame order, row-major
     within a component), with per-component DC predictors.  Every
@@ -438,14 +447,21 @@ def _decode_scan(data: bytes, pos: int, w: int, h: int,
     at an RSTn marker and the predictors reset (T.81 §B.2.1.2).
     Returns one plane per component at its NATURAL (subsampled)
     resolution ``(ceil(h·v_i/vmax), ceil(w·h_i/hmax))`` — the caller
-    upsamples (replication) and crops to the frame dims."""
+    upsamples (replication) and crops to the frame dims.
+
+    ``differential`` switches to the hierarchical differential-frame
+    semantics (SOF5, T.81 §F.1.1.5.1 / Annex J): the DC prediction
+    is ZERO for every block (the coded value IS the block's DC), no
+    +128 level shift, and the un-clipped rounded IDCT output returns
+    as signed int32 planes for the caller to add onto the reference."""
     if not w or not h:
         raise ValueError("JPEG scan before SOF0")
     hmax = max(p[3] for p in plan)
     vmax = max(p[4] for p in plan)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    outs = [np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
+    outs = [np.zeros((mcuy * vi * 8, mcux * hi * 8),
+                     dtype=np.int32 if differential else np.uint8)
             for (_q, _d, _a, hi, vi) in plan]
     rd = _BitReader(data, pos)
     preds = [0] * len(plan)
@@ -461,8 +477,11 @@ def _decode_scan(data: bytes, pos: int, w: int, h: int,
                     zz[:] = 0
                     t = rd.decode(dc)
                     diff = _extend(rd.read_bits(t), t) if t else 0
-                    preds[ci] += diff
-                    zz[0] = preds[ci]
+                    if differential:
+                        zz[0] = diff
+                    else:
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
                     k = 1
                     while k < 64:
                         rs = rd.decode(ac)
@@ -479,11 +498,14 @@ def _decode_scan(data: bytes, pos: int, w: int, h: int,
                         k += 1
                     coef = np.zeros(64, dtype=np.float64)
                     coef[ZIGZAG] = zz * quant.reshape(-1)[ZIGZAG]
-                    px = idct2(coef.reshape(8, 8)) + 128.0
+                    px = idct2(coef.reshape(8, 8))
                     r0 = (my * vi + bv) * 8
                     c0 = (mx * hi + bh) * 8
-                    outs[ci][r0:r0 + 8, c0:c0 + 8] = np.clip(
-                        np.rint(px), 0, 255)
+                    if differential:
+                        outs[ci][r0:r0 + 8, c0:c0 + 8] = np.rint(px)
+                    else:
+                        outs[ci][r0:r0 + 8, c0:c0 + 8] = np.clip(
+                            np.rint(px + 128.0), 0, 255)
     return [
         o[: -(-h * vi // vmax), : -(-w * hi // hmax)]
         for o, (_q, _d, _a, hi, vi) in zip(outs, plan)
@@ -521,8 +543,9 @@ def _ll_predict(p: np.ndarray, y: int, x: int, sel: int,
 
 
 def _decode_lossless_scan(data: bytes, pos: int, w: int, h: int,
-                          tabs: list[_Huff], sel: int,
-                          pt: int) -> tuple[list[np.ndarray], int]:
+                          tabs: list[_Huff], sel: int, pt: int,
+                          differential: bool = False,
+                          ) -> tuple[list[np.ndarray], int]:
     """One lossless scan per T.81 Annex H (1×1 sampling): each sample
     codes a Huffman category SSSS (16 means diff=32768, no extra
     bits) + EXTEND bits for the prediction difference; interleaved
@@ -533,7 +556,13 @@ def _decode_lossless_scan(data: bytes, pos: int, w: int, h: int,
     elsewhere the scan-selected predictor 1-7 over Ra/Rb/Rc.
     Reconstruction is modulo 2^16.  Returns per-component int32
     planes ALREADY shifted left by the point transform, plus the
-    offset of the next marker."""
+    offset of the next marker.
+
+    ``differential`` switches to the hierarchical differential-frame
+    semantics (SOF7, Annex J): NO prediction (the coded values are
+    the source-minus-reference differences themselves, returned
+    signed and unmasked for the caller to add modulo 2^16; the
+    caller enforces Pt = 0)."""
     rd = _BitReader(data, pos)
     ncs = len(tabs)
     planes = [np.zeros((h, w), dtype=np.int32) for _ in range(ncs)]
@@ -549,8 +578,11 @@ def _decode_lossless_scan(data: bytes, pos: int, w: int, h: int,
                 else:
                     diff = 0
                 p = planes[ci]
-                p[y, x] = (_ll_predict(p, y, x, sel, default)
-                           + diff) & 0xFFFF
+                if differential:
+                    p[y, x] = diff
+                else:
+                    p[y, x] = (_ll_predict(p, y, x, sel, default)
+                               + diff) & 0xFFFF
     shifted = [p << pt for p in planes]
     q = rd.pos  # skip pad bits / stuffing to the next true marker
     n = len(data)

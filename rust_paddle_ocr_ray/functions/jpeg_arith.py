@@ -346,18 +346,26 @@ def decode_arith_scan(data: bytes, pos: int, w: int, h: int,
                       plan: list[tuple[np.ndarray, int, int, int, int]],
                       dc_cond: dict[int, tuple[int, int]],
                       ac_cond: dict[int, int],
-                      restart_interval: int = 0) -> list[np.ndarray]:
+                      restart_interval: int = 0,
+                      differential: bool = False) -> list[np.ndarray]:
     """Interleaved sequential arithmetic scan (T.81 §F.2.4): same MCU
     geometry/output contract as functions.jpeg._decode_scan —
     ``plan`` rows are (quant_table, td, ta, hi, vi); returns one uint8
-    plane per component at its natural subsampled resolution."""
+    plane per component at its natural subsampled resolution.
+
+    ``differential`` selects the hierarchical differential-frame
+    semantics (SOF13): the DC predictor is ZERO for every block (the
+    coded value IS the block's DC — the conditioning context still
+    classifies on it, mirroring the Huffman path's F.1.1.5.1 rule),
+    no +128 level shift, un-clipped int32 planes out."""
     from .jpeg import ZIGZAG, idct2  # deferred: jpeg.py imports us
 
     hmax = max(p[3] for p in plan)
     vmax = max(p[4] for p in plan)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    outs = [np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
+    outs = [np.zeros((mcuy * vi * 8, mcux * hi * 8),
+                     dtype=np.int32 if differential else np.uint8)
             for (_q, _td, _ta, hi, vi) in plan]
     dec = QMDecoder(data, pos)
     stats = _Stats()
@@ -385,18 +393,27 @@ def decode_arith_scan(data: bytes, pos: int, w: int, h: int,
                     zz[:] = 0
                     # DC (F.2.4.1) + AC (F.2.4.2), shared with the
                     # progressive scan paths (band 1..63, Al=0)
-                    dc_ctx[ci], last_dc[ci] = _decode_dc_block(
-                        dec, didx, dmps, dc_ctx[ci], last_dc[ci], dl, du)
-                    zz[0] = last_dc[ci]
+                    if differential:
+                        dc_ctx[ci], dcv = _decode_dc_block(
+                            dec, didx, dmps, dc_ctx[ci], 0, dl, du)
+                        zz[0] = dcv
+                    else:
+                        dc_ctx[ci], last_dc[ci] = _decode_dc_block(
+                            dec, didx, dmps, dc_ctx[ci], last_dc[ci],
+                            dl, du)
+                        zz[0] = last_dc[ci]
                     _decode_ac_block(dec, aidx, amps, stats.fix_idx,
                                      stats.fix_mps, zz, 1, 63, 0, kx)
                     coef = np.zeros(64, dtype=np.float64)
                     coef[ZIGZAG] = zz * quant.reshape(-1)[ZIGZAG]
-                    px = idct2(coef.reshape(8, 8)) + 128.0
+                    px = idct2(coef.reshape(8, 8))
                     r0 = (my * vi + bv) * 8
                     c0 = (mx * hi + bh) * 8
-                    outs[ci][r0:r0 + 8, c0:c0 + 8] = np.clip(
-                        np.rint(px), 0, 255)
+                    if differential:
+                        outs[ci][r0:r0 + 8, c0:c0 + 8] = np.rint(px)
+                    else:
+                        outs[ci][r0:r0 + 8, c0:c0 + 8] = np.clip(
+                            np.rint(px + 128.0), 0, 255)
     return [
         o[: -(-h * vi // vmax), : -(-w * hi // hmax)]
         for o, (_q, _td, _ta, hi, vi) in zip(outs, plan)
@@ -743,11 +760,14 @@ def encode_arith_scan(blocks_per_comp: list[np.ndarray],
                       plan: list[tuple[int, int, int, int]],
                       mcux: int, mcuy: int,
                       dc_cond: dict[int, tuple[int, int]] | None = None,
-                      ac_cond: dict[int, int] | None = None) -> bytes:
+                      ac_cond: dict[int, int] | None = None,
+                      differential: bool = False) -> bytes:
     """Encode quantized coefficients as one interleaved sequential
     arithmetic scan (no restarts).  ``blocks_per_comp[ci]`` is
     (rows, cols, 64) int zigzag-order blocks; ``plan`` rows are
-    (td, ta, hi, vi) matching the frame header."""
+    (td, ta, hi, vi) matching the frame header.  ``differential``
+    mirrors decode_arith_scan's SOF13 semantics: DC predictor ZERO
+    for every block."""
     dc_cond = dc_cond or {}
     ac_cond = ac_cond or {}
     enc = QMEncoder()
@@ -764,9 +784,14 @@ def encode_arith_scan(blocks_per_comp: list[np.ndarray],
             for bv in range(vi):
                 for bh in range(hi):
                     zz = blocks_per_comp[ci][my * vi + bv, mx * hi + bh]
-                    dc_ctx[ci], last_dc[ci] = _encode_dc_block(
-                        enc, didx, dmps, dc_ctx[ci], last_dc[ci],
-                        dl, du, int(zz[0]))
+                    if differential:
+                        dc_ctx[ci], _ = _encode_dc_block(
+                            enc, didx, dmps, dc_ctx[ci], 0,
+                            dl, du, int(zz[0]))
+                    else:
+                        dc_ctx[ci], last_dc[ci] = _encode_dc_block(
+                            enc, didx, dmps, dc_ctx[ci], last_dc[ci],
+                            dl, du, int(zz[0]))
                     _encode_ac_block(enc, aidx, amps, stats.fix_idx,
                                      stats.fix_mps, zz, 1, 63, 0, kx)
     return enc.finish()
@@ -822,6 +847,7 @@ def _reduce_diff(diff: int) -> int:
 def decode_arith_lossless_scan(data: bytes, pos: int, w: int, h: int,
                                tabs: list[int], sel: int, pt: int,
                                dc_cond: dict[int, tuple[int, int]],
+                               differential: bool = False,
                                ) -> tuple[list[np.ndarray], int]:
     """One arithmetic lossless scan (SOF11): same walk order,
     prediction (jpeg._ll_predict) and output contract as the Huffman
@@ -829,7 +855,13 @@ def decode_arith_lossless_scan(data: bytes, pos: int, w: int, h: int,
     component's arithmetic conditioning/statistics id (the SOS Td
     field), 1x1 sampling, no restarts.  Returns per-component int32
     planes already shifted left by the point transform, plus the
-    offset of the next marker."""
+    offset of the next marker.
+
+    ``differential`` selects the hierarchical differential-frame
+    semantics (SOF15, Annex J): NO prediction — the coded values ARE
+    the source-minus-reference differences, returned signed and
+    unmasked (the Da/Db conditioning classifies on them unchanged;
+    the caller enforces Pt = 0)."""
     from .jpeg import _ll_predict  # deferred: jpeg.py imports us
 
     dec = QMDecoder(data, pos)
@@ -860,8 +892,11 @@ def decode_arith_lossless_scan(data: bytes, pos: int, w: int, h: int,
                     diff = -v if sign else v
                 cur[ci][x] = diff
                 p = planes[ci]
-                p[y, x] = (_ll_predict(p, y, x, sel, default)
-                           + diff) & 0xFFFF
+                if differential:
+                    p[y, x] = diff
+                else:
+                    p[y, x] = (_ll_predict(p, y, x, sel, default)
+                               + diff) & 0xFFFF
         for ci in range(ncs):
             above[ci], cur[ci] = cur[ci], above[ci]
     shifted = [p << pt for p in planes]
@@ -872,11 +907,14 @@ def decode_arith_lossless_scan(data: bytes, pos: int, w: int, h: int,
 def encode_arith_lossless_scan(planes: list[np.ndarray], tabs: list[int],
                                sel: int, pt: int,
                                dc_cond: dict[int, tuple[int, int]]
-                               | None = None) -> bytes:
+                               | None = None,
+                               differential: bool = False) -> bytes:
     """Mirror of decode_arith_lossless_scan: ``planes`` holds each
     component's (h, w) samples ALREADY shifted right by the point
     transform (what the scan codes); returns the entropy-coded
-    segment bytes."""
+    segment bytes.  ``differential`` mirrors the SOF15 semantics:
+    ``planes`` then holds the signed difference values themselves
+    (no prediction; caller enforces Pt = 0)."""
     from .jpeg import _ll_predict
 
     dc_cond = dc_cond or {}
@@ -899,9 +937,12 @@ def encode_arith_lossless_scan(planes: list[np.ndarray], tabs: list[int],
                 qb = 0 if y == 0 else _classify_diff(above[ci][x],
                                                      dl, du)
                 s0 = 4 * (5 * qb + qa)
-                p = recon[ci]
-                pred = _ll_predict(p, y, x, sel, default)
-                diff = _reduce_diff(int(planes[ci][y, x]) - pred)
+                if differential:
+                    diff = _reduce_diff(int(planes[ci][y, x]))
+                else:
+                    p = recon[ci]
+                    pred = _ll_predict(p, y, x, sel, default)
+                    diff = _reduce_diff(int(planes[ci][y, x]) - pred)
                 if diff == 0:
                     enc.encode(lidx, lmps, s0, 0)
                 else:
@@ -910,7 +951,8 @@ def encode_arith_lossless_scan(planes: list[np.ndarray], tabs: list[int],
                     encode_v(enc, lidx, lmps, s0,
                              100 if qb <= 2 else 129, abs(diff), sign)
                 cur[ci][x] = diff
-                p[y, x] = (pred + diff) & 0xFFFF
+                if not differential:
+                    recon[ci][y, x] = (pred + diff) & 0xFFFF
         for ci in range(ncs):
             above[ci], cur[ci] = cur[ci], above[ci]
     return enc.finish()

@@ -3077,7 +3077,13 @@ def q82_jpeg_roundtrip(sf_dir: str):
     """Baseline-JPEG decoder ON THE DRIVER GATE (companion to q81),
     now covering SUBSAMPLED COLOR and PROGRESSIVE: even docs encode a
     block-gradient grayscale JPEG (8×8 block (i, j) = (i+j+id) % 256)
-    — BASELINE (sources/synth.encode_jpeg_gray_dc) when id % 4 == 0,
+    — BASELINE (sources/synth.encode_jpeg_gray_dc) when id % 16 == 0,
+    HIERARCHICAL (DHP, T.81 Annex J — the full three-frame pyramid
+    through sources/synth.encode_jpeg_hierarchical: lossless first
+    frame, EXP reference doubling, differential DCT, differential
+    lossless; Huffman SOF3/5/7 or arithmetic SOF11/13/15 frames
+    alternating by id//16 — reconstruction is EXACT, so the same
+    closed-form pixels apply) when id % 16 == 8,
     PROGRESSIVE (SOF2, the full Annex-G scan script through
     sources/synth.encode_jpeg_progressive with the same DC-only
     coefficients, so pixels stay closed-form) when id % 8 == 2,
@@ -3112,6 +3118,7 @@ def q82_jpeg_roundtrip(sf_dir: str):
         encode_jpeg_arith_progressive,
         encode_jpeg_color_dc,
         encode_jpeg_gray_dc,
+        encode_jpeg_hierarchical,
         encode_jpeg_lossless,
         encode_jpeg_progressive,
     )
@@ -3167,6 +3174,17 @@ def q82_jpeg_roundtrip(sf_dir: str):
                     cz[..., 0] = 8 * (blocks.astype(np.int64) - 128)
                     payload = encode_jpeg_progressive([cz], [(1, 1)])
                     kind = "gray_prog"
+                elif d % 16 == 8:  # HIERARCHICAL (DHP, Annex J): the
+                    # same pixels through the full three-frame pyramid
+                    # — lossless first frame, EXP, differential DCT,
+                    # differential lossless — exact reconstruction, so
+                    # the closed-form twin is unchanged; entropy
+                    # family alternates (SOF3/5/7 vs SOF11/13/15).
+                    img = np.repeat(np.repeat(blocks, 8, axis=0),
+                                    8, axis=1).astype(np.uint8)
+                    payload = encode_jpeg_hierarchical(
+                        img, arith=bool((d // 16) % 2))
+                    kind = "gray_hier"
                 else:
                     payload = encode_jpeg_gray_dc(blocks)
                     kind = "gray"
@@ -3250,6 +3268,7 @@ grows AS (
          CASE WHEN doc_id % 8 = 6 THEN 'gray_arith'
               WHEN doc_id % 16 = 10 THEN 'gray_arith_prog'
               WHEN doc_id % 4 = 2 THEN 'gray_prog'
+              WHEN doc_id % 16 = 8 THEN 'gray_hier'
               ELSE 'gray' END AS kind,
          (bx * 8)::BIGINT AS width, (by * 8)::BIGINT AS height,
          ((SUM(v) * 64 * 1000000) // (bx * by * 64))::BIGINT AS mean_ppm

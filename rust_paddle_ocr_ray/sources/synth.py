@@ -955,6 +955,167 @@ def encode_jpeg_arith_lossless(px, predictor: int = 1, pt: int = 0,
     return out + b"\xff\xd9"
 
 
+def encode_jpeg_hierarchical(px, arith: bool = False) -> bytes:
+    """(h, w) uint8 gray or a [Y, Cb, Cr] list of same-shape (h, w)
+    uint8 planes -> HIERARCHICAL JPEG (DHP, T.81 Annex J) that
+    reconstructs the input EXACTLY through
+    functions/jpeg_hier.decode_hierarchical — the classic
+    lossy-pyramid-plus-lossless-refinement shape:
+
+    1. a non-differential LOSSLESS first frame (SOF3 Huffman /
+       SOF11 arithmetic, predictor 1) on the even-sampled half-
+       resolution grid,
+    2. EXP doubling both axes (§J.8 interpolation filter; odd target
+       dims exercise the decoder's §J.8.1 reference clip),
+    3. a DIFFERENTIAL DCT frame (SOF5 / SOF13): DC-only
+       block-constant corrections — the per-8×8-block rounded mean
+       error clamped to ±128, coded with ZERO DC prediction and no
+       level shift, folded clamp-to-[0,255] per §F.1.1.5.1,
+    4. a final DIFFERENTIAL LOSSLESS frame (SOF7 / SOF15, predictor
+       selection 0) coding the exact remaining source-minus-reference
+       differences (mod-2^16 reconstruction makes the output exact).
+
+    ``arith`` selects the QM-coded frame types (SOF11/13/15) over the
+    Huffman ones (SOF3/5/7).  Color planes are YCbCr at 1×1 sampling
+    (the decoder composes RGB through the pinned BT.601 rules).  No
+    independent Annex-J implementation exists to interop with
+    (libjpeg never shipped it), so this mirror encoder IS the gate
+    twin (catalog q82 id%16==8 rows) over scan machinery that is
+    individually libjpeg-validated — see functions/jpeg_hier.py."""
+    import numpy as np
+
+    from ..functions.jpeg_hier import _exp_double
+
+    if isinstance(px, (list, tuple)):
+        planes = [np.asarray(p, dtype=np.uint8) for p in px]
+        if len(planes) != 3 or any(p.shape != planes[0].shape
+                                   for p in planes):
+            raise ValueError("expected three same-shape YCbCr planes")
+    else:
+        arr = np.asarray(px, dtype=np.uint8)
+        if arr.ndim != 2:
+            raise ValueError("expected (h, w) uint8 or [Y, Cb, Cr]")
+        planes = [arr]
+    h, w = planes[0].shape
+    if not h or not w:
+        raise ValueError("empty image")
+    nc = len(planes)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big")
+                + body)
+
+    def frame_hdr(marker: int, fh: int, fw: int) -> bytes:
+        body = bytearray([8]) + fh.to_bytes(2, "big") + fw.to_bytes(2, "big")
+        body += bytes([nc])
+        for ci in range(nc):
+            body += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, Tq 0
+        return seg(marker, bytes(body))
+
+    dc_bits, dc_vals, dc_codes = _jpeg_dc_table()
+
+    def huff_values(values, eob_after_each: bool = False) -> bytes:
+        """Category+EXTEND emission shared by the Huffman lossless
+        scans (raw diff stream) and the DC-only differential DCT scan
+        (each value followed by the 1-bit EOB)."""
+        b = _JpegBits()
+        for d in values:
+            di = int(d)
+            t = abs(di).bit_length()
+            code, ln = dc_codes[t]
+            b.emit(code, ln)
+            if t:
+                b.emit(di if di >= 0 else di + (1 << t) - 1, t)
+            if eob_after_each:
+                b.emit(0, 1)
+        b.pad()
+        return bytes(b.out)
+
+    if arith:
+        from ..functions.jpeg_arith import (encode_arith_lossless_scan,
+                                            encode_arith_scan)
+
+    # -- frame 1: lossless first frame on the even-sampled grid ------
+    half = [p[::2, ::2].astype(np.int64) for p in planes]
+    hh, hw = half[0].shape
+    sos1 = (bytes([nc])
+            + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+            + bytes([1, 0, 0]))  # predictor 1, Se=0, Ah=0/Al(Pt)=0
+    if arith:
+        ent1 = encode_arith_lossless_scan(half, [0] * nc, 1, 0)
+        f1 = frame_hdr(0xCB, hh, hw)
+    else:
+        d1 = [v - _lossless_preds(v, 1, 0) for v in half]
+        ent1 = huff_values(np.stack([d.ravel() for d in d1],
+                                    axis=1).ravel())
+        f1 = frame_hdr(0xC3, hh, hw)
+
+    # mirror the decoder's reference chain: EXP + §J.8.1 clip
+    refs = [_exp_double(v, 1, 1)[:h, :w] for v in half]
+
+    # -- frame 2: differential DCT, DC-only block corrections --------
+    byg, bxg = -(-h // 8), -(-w // 8)
+    deltas, ref2s = [], []
+    for p, r in zip(planes, refs):
+        err = p.astype(np.int64) - r
+        dl = np.zeros((byg, bxg), dtype=np.int64)
+        for by in range(byg):
+            for bx in range(bxg):
+                blk = err[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                dl[by, bx] = max(-128, min(127, int(np.rint(blk.mean()))))
+        deltas.append(dl)
+        corr = np.repeat(np.repeat(dl, 8, axis=0), 8, axis=1)[:h, :w]
+        ref2s.append(np.clip(r + corr, 0, 255))
+    sos2 = (bytes([nc])
+            + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+            + bytes([0, 63, 0]))
+    if arith:
+        coefs = []
+        for dl in deltas:
+            cz = np.zeros((byg, bxg, 64), dtype=np.int64)
+            cz[:, :, 0] = 8 * dl
+            coefs.append(cz)
+        ent2 = encode_arith_scan(coefs, [(0, 0, 1, 1)] * nc, bxg, byg,
+                                 differential=True)
+        f2 = frame_hdr(0xCD, h, w)
+    else:
+        # interleaved MCU walk at 1x1 sampling: one block per
+        # component per MCU, raster order — DC value then EOB
+        vals = np.stack([8 * dl.ravel() for dl in deltas],
+                        axis=1).ravel()
+        ent2 = huff_values(vals, eob_after_each=True)
+        f2 = frame_hdr(0xC5, h, w)
+
+    # -- frame 3: differential lossless, exact residue ---------------
+    res = [p.astype(np.int64) - r2 for p, r2 in zip(planes, ref2s)]
+    sos3 = (bytes([nc])
+            + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+            + bytes([0, 0, 0]))  # predictor selection SHALL be 0
+    if arith:
+        ent3 = encode_arith_lossless_scan(res, [0] * nc, 0, 0,
+                                          differential=True)
+        f3 = frame_hdr(0xCF, h, w)
+    else:
+        ent3 = huff_values(np.stack([d.ravel() for d in res],
+                                    axis=1).ravel())
+        f3 = frame_hdr(0xC7, h, w)
+
+    out = b"\xff\xd8" + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    if arith:
+        # DC table 0: L=0, U=1; AC table 0: Kx=5 (the defaults, pinned)
+        out += seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+    else:
+        out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+        out += seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15)
+                   + bytes([0x00]))
+    out += frame_hdr(0xDE, h, w)  # DHP: the full output dimensions
+    out += f1 + seg(0xDA, sos1) + ent1
+    out += seg(0xDF, bytes([0x11]))  # EXP: double both axes
+    out += f2 + seg(0xDA, sos2) + ent2
+    out += f3 + seg(0xDA, sos3) + ent3
+    return out + b"\xff\xd9"
+
+
 def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
     """(n,) or (n, ch) int16 samples -> RIFF/WAVE PCM bytes (the audio
     analog of the image encoders above; decoded by functions/audio.py

@@ -44,7 +44,7 @@ def decode_payload(payload: bytes) -> np.ndarray:
     for any malformed payload (internal Index/struct/zlib errors are
     converted here — a 100 TB crawl WILL contain corrupt files, and a
     task must degrade, not die), NotImplementedError only for formats
-    with no decoder at all (PNG/BMP/GIF/JPEG-baseline+progressive+lossless/
+    with no decoder at all (PNG/BMP/GIF/JPEG-every-T.81-mode/
     WebP-lossless+lossy all decode for real)."""
     import struct
 

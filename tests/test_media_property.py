@@ -286,3 +286,40 @@ def test_jpeg_arith_lossless_roundtrip(case):
                    ).astype(np.uint8) for i in range(3)]
         want = _ycbcr_to_rgb(planes)
     np.testing.assert_array_equal(got, want)
+
+
+@st.composite
+def hier_jpeg_case(draw):
+    h = draw(st.integers(1, 28))
+    w = draw(st.integers(1, 28))
+    color = draw(st.booleans())
+    n = h * w * (3 if color else 1)
+    flat = np.asarray(draw(st.lists(st.integers(0, 255), min_size=n,
+                                    max_size=n)), dtype=np.uint8)
+    if color:
+        img = [flat[i::3].reshape(h, w) for i in range(3)]
+    else:
+        img = flat.reshape(h, w)
+    arith = draw(st.booleans())
+    return img, arith
+
+
+@settings(max_examples=40, deadline=None)
+@given(hier_jpeg_case())
+def test_jpeg_hierarchical_roundtrip(case):
+    """DHP (hierarchical, Annex J) round-trips ARBITRARY pixels
+    exactly through the full three-frame pyramid — lossless first
+    frame at half resolution, EXP reference doubling (§J.8, with the
+    §J.8.1 clip on odd dims), differential DCT corrections, final
+    differential lossless frame — in both entropy families
+    (SOF3/5/7 Huffman and SOF11/13/15 arithmetic)."""
+    from rust_paddle_ocr_ray.functions.jpeg import _ycbcr_to_rgb
+    from rust_paddle_ocr_ray.sources.synth import encode_jpeg_hierarchical
+
+    img, arith = case
+    got = decode_jpeg(encode_jpeg_hierarchical(img, arith=arith))
+    if isinstance(img, list):
+        want = _ycbcr_to_rgb([p.astype(np.int32) for p in img])
+    else:
+        want = img
+    np.testing.assert_array_equal(got, want)
