@@ -10,15 +10,16 @@ vs libwebp) — ``decode_webp`` below dispatches both halves.
 Implemented: the full prefix-code machinery (simple 1/2-symbol codes,
 code-length-coded tables with repeats 16/17/18 and the max_symbol
 early-out, canonical assignment with codes on the wire MSB-first like
-DEFLATE), color cache, LZ77 backward references with plain distance
-codes, meta prefix (entropy image) groups, and all four transforms —
-predictor (14 modes), color (signed 3.5 fixed-point deltas),
-subtract-green, color-indexing including sub-byte pixel bundling and
-the delta-coded palette.
+DEFLATE), color cache, LZ77 backward references with BOTH distance
+forms — plain distances (code > 120) and the 120-entry 2D proximity
+map (code <= 120 -> (dx, dy), distance max(1, dy*width + dx);
+vp8l_tables.CODE_TO_DXDY, behaviorally extracted from system libwebp
+and matching the published spec table) — meta prefix (entropy image)
+groups, and all four transforms — predictor (14 modes), color (signed
+3.5 fixed-point deltas), subtract-green, color-indexing including
+sub-byte pixel bundling and the delta-coded palette.
 
 Declared subset edges (each raises ValueError):
-- LZ77 neighborhood distance codes (dist_code <= 120, the 120-entry
-  2D proximity map) are unsupported — plain distances (> 120) decode.
 - Color-indexing combined with other transforms (width-change
   interactions) is rejected.
 Predictor edge rules follow libwebp exactly, including top-right at
@@ -29,6 +30,8 @@ pixel — the spec's unguarded ``argb[i - w + 1]`` access.
 from __future__ import annotations
 
 import numpy as np
+
+from .vp8l_tables import CODE_TO_DXDY
 
 #: code length code order (spec section on prefix code groups)
 CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
@@ -213,9 +216,12 @@ def _decode_entropy_image(bits: _Bits, w: int, h: int,
             length = _prefix_value(bits, s - 256)
             dist_code = _prefix_value(bits, d_code.decode(bits))
             if dist_code <= 120:
-                raise ValueError(
-                    "VP8L neighborhood distance codes unsupported")
-            distance = dist_code - 120
+                # 2D proximity map: code -> (dx, dy) neighborhood
+                # offset, effective distance dy*width + dx (min 1)
+                dx, dy = CODE_TO_DXDY[dist_code - 1]
+                distance = max(1, dy * w + dx)
+            else:
+                distance = dist_code - 120
             if distance > len(out):
                 raise ValueError("VP8L backward reference before start")
             for _ in range(length):

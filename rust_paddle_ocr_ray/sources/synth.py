@@ -1576,7 +1576,8 @@ def encode_webp_lossless(px, cache_bits: int = 0, rle: bool = False,
                          transform: str | None = None,
                          size_bits: int = 2, palette=None,
                          meta_bits: int | None = None,
-                         simple: bool = False) -> bytes:
+                         simple: bool = False,
+                         plane_ref: tuple[int, int] | None = None) -> bytes:
     """(h, w, 3|4) uint8 -> lossless WebP (RIFF + VP8L), the synthetic
     twin of functions/vp8l.decode_webp.  Balanced complete prefix
     codes emitted through the full code-length-code machinery; LZ77
@@ -1589,7 +1590,12 @@ def encode_webp_lossless(px, cache_bits: int = 0, rle: bool = False,
     tuples; indices bundle sub-byte when <= 16 entries).
     ``meta_bits``: emit a two-group META PREFIX (checkerboard entropy
     image; literal-only).  ``simple=True``: channels with <= 2
-    distinct values use the spec's short simple-code header."""
+    distinct values use the spec's short simple-code header.
+    ``plane_ref=(prefix, dist_code)``: emit the first ``prefix``
+    pixels as literals and the remainder as LZ77 backward references
+    carrying EXACTLY that raw distance code (<= 120 = the 2D
+    proximity map, > 120 = plain distance + 120) — the caller must
+    supply pixels that actually satisfy the copy relation."""
     import numpy as np
 
     px = np.asarray(px, dtype=np.uint8)
@@ -1694,7 +1700,8 @@ def encode_webp_lossless(px, cache_bits: int = 0, rle: bool = False,
     b.emit(0, 1)  # end of transforms
 
     _vp8l_emit_spatial(b, pixels, cache_bits=cache_bits, rle=rle,
-                       w=cur_w, h=h, meta_bits=meta_bits, simple=simple)
+                       w=cur_w, h=h, meta_bits=meta_bits, simple=simple,
+                       plane_ref=plane_ref)
 
     payload = bytes(b.out)
     if len(payload) & 1:
@@ -1747,7 +1754,8 @@ def _vp8l_emit_spatial(b: "_Vp8lBits", pixels, cache_bits: int,
                        rle: bool, w: int | None = None,
                        h: int | None = None,
                        meta_bits: int | None = None,
-                       simple: bool = False):
+                       simple: bool = False,
+                       plane_ref: tuple[int, int] | None = None):
     """Emit the main spatially-coded image: optional color cache;
     ``meta_bits`` adds a META PREFIX — a checkerboard entropy image
     assigning each (1<<meta_bits)-sized block to one of TWO prefix
@@ -1762,9 +1770,9 @@ def _vp8l_emit_spatial(b: "_Vp8lBits", pixels, cache_bits: int,
     if meta_bits is None:
         b.emit(0, 1)  # no meta prefix
         _vp8l_emit_groups_and_pixels(b, pixels, cache_bits, rle,
-                                     simple=simple)
+                                     simple=simple, plane_ref=plane_ref)
         return
-    if rle or cache_bits or w is None or h is None:
+    if rle or cache_bits or w is None or h is None or plane_ref:
         raise ValueError("meta-prefix emission is literal-only")
     b.emit(1, 1)
     b.emit(meta_bits - 2, 3)
@@ -1807,7 +1815,8 @@ def _vp8l_emit_spatial(b: "_Vp8lBits", pixels, cache_bits: int,
 
 def _vp8l_emit_groups_and_pixels(b: "_Vp8lBits", pixels,
                                  cache_bits: int, rle: bool,
-                                 simple: bool = False):
+                                 simple: bool = False,
+                                 plane_ref: tuple[int, int] | None = None):
     cache_size = (1 << cache_bits) if cache_bits else 0
     green_n = 256 + 24 + cache_size
     if simple and not rle and not cache_bits:
@@ -1841,6 +1850,25 @@ def _vp8l_emit_groups_and_pixels(b: "_Vp8lBits", pixels,
     n = len(pixels)
     while i < n:
         p = pixels[i]
+        if plane_ref is not None and i >= plane_ref[0]:
+            # backward reference with the EXACT raw distance code asked
+            # for (<= 120 exercises the decoder's 2D proximity map)
+            run = min(n - i, 4096)
+            code, ev, en = _vp8l_prefix_value(run)
+            if code > 23:
+                raise ValueError("LZ77 length out of the 24-code range")
+            c, ln = g_codes[256 + code]
+            b.emit_code(c, ln)
+            b.emit(ev, en)
+            dcode, dev, den = _vp8l_prefix_value(plane_ref[1])
+            c, ln = d_codes[dcode]
+            b.emit_code(c, ln)
+            b.emit(dev, den)
+            if cache_size:  # decoder inserts every copied pixel
+                for j in range(i, i + run):
+                    cache[cache_key(pixels[j])] = pixels[j]
+            i += run
+            continue
         if rle and i > 0 and pixels[i - 1] == p:
             run = 1
             while i + run < n and pixels[i + run] == p and run < 4096:

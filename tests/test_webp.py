@@ -8,6 +8,8 @@ degrade with ValueError."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from hypothesis import given, settings
@@ -168,3 +170,112 @@ def test_simple_prefix_codes_roundtrip():
                    np.array([200, 210, 220], dtype=np.uint8)).astype(np.uint8)
     got = decode_webp(encode_webp_lossless(two, simple=True))
     np.testing.assert_array_equal(got, two)
+
+
+# --- LZ77 2D proximity distance codes + REAL libwebp encodes ---------
+#
+# Distance codes <= 120 name a (dx, dy) neighborhood offset
+# (vp8l_tables.CODE_TO_DXDY, behaviorally extracted from system
+# libwebp by tools/extract_vp8l_plane.py).  Real libwebp encoders map
+# every near distance through this table, so virtually all real-world
+# lossless WebP files with backward references require it.
+
+GOLDEN_VP8L = os.path.join(os.path.dirname(__file__), "golden",
+                           "vp8l_goldens.parquet")
+
+
+def _oracle():
+    try:
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import webp_oracle as wo
+        if wo.available():
+            return wo
+    except Exception:
+        pass
+    return None
+
+
+def _plane_ref_image(code: int, w: int, h: int, seed: int) -> np.ndarray:
+    """An image whose tail satisfies the copy relation of plane code
+    ``code`` at width ``w`` (first 9 rows random, last rows copies)."""
+    from rust_paddle_ocr_ray.functions.vp8l import CODE_TO_DXDY
+
+    dx, dy = CODE_TO_DXDY[code - 1]
+    dist = max(1, dy * w + dx)
+    rng = np.random.default_rng(seed)
+    px = np.zeros((h * w, 3), dtype=np.uint8)
+    px[:9 * w] = rng.integers(0, 256, (9 * w, 3), dtype=np.uint8)
+    for i in range(9 * w, h * w):
+        px[i] = px[i - dist]
+    return px.reshape(h, w, 3)
+
+
+def test_plane_codes_roundtrip_all_120():
+    """Every proximity code round-trips through our encoder+decoder."""
+    for code in range(1, 121):
+        img = _plane_ref_image(code, 17, 12, seed=code)
+        got = decode_webp(encode_webp_lossless(img, plane_ref=(9 * 17, code)))
+        np.testing.assert_array_equal(got, img)
+
+
+def test_plane_codes_vs_libwebp_live():
+    """Sampled proximity codes at two widths: the system libwebp and
+    our decoder must agree on the same bitstream (live differential;
+    the committed-golden test below keeps the evidence without it)."""
+    wo = _oracle()
+    if wo is None:
+        pytest.skip("libwebp unavailable")
+    for code in (1, 2, 3, 4, 40, 55, 95, 100, 117, 120):
+        for w in (17, 23):
+            img = _plane_ref_image(code, w, 12, seed=1000 + code)
+            data = encode_webp_lossless(img, plane_ref=(9 * w, code))
+            np.testing.assert_array_equal(wo.decode_rgb(data), img)
+            np.testing.assert_array_equal(decode_webp(data), img)
+
+
+def test_vp8l_goldens_real_libwebp_encodes():
+    """Committed REAL libwebp lossless encodes (WebPEncodeLosslessRGB
+    over noise / gradients / tiles / palettes / photo-like / row-copy
+    images — every encoder feature class) decode bit-exactly."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(GOLDEN_VP8L)
+    assert tbl.num_rows >= 10
+    for row in tbl.to_pylist():
+        want = np.frombuffer(row["rgb"], dtype=np.uint8).reshape(
+            row["height"], row["width"], 3)
+        got = decode_webp(row["payload"])
+        if got.shape[2] == 4:  # encoder may keep an opaque alpha plane
+            assert (got[:, :, 3] == 255).all()
+            got = got[:, :, :3]
+        np.testing.assert_array_equal(got, want, err_msg=row["name"])
+
+
+def test_libwebp_lossless_live_sweep():
+    """Fresh seeded images through the REAL libwebp lossless encoder:
+    our decode must equal both the source pixels and libwebp's own
+    decode (skipped when libwebp is absent)."""
+    wo = _oracle()
+    if wo is None:
+        pytest.skip("libwebp unavailable")
+    rng = np.random.default_rng(77)
+    tile = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    imgs = [
+        rng.integers(0, 256, (19, 27, 3), dtype=np.uint8),
+        np.tile(tile, (5, 7, 1)),
+        pal[rng.integers(0, 7, (26, 34))],
+        np.repeat(rng.integers(0, 256, (1, 48, 3), dtype=np.uint8),
+                  30, axis=0),
+    ]
+    for img in imgs:
+        img = np.ascontiguousarray(img, dtype=np.uint8)
+        data = wo.encode_lossless_rgb(img)
+        got = decode_webp(data)
+        if got.shape[2] == 4:
+            got = got[:, :, :3]
+        np.testing.assert_array_equal(got, img)
+        np.testing.assert_array_equal(wo.decode_rgb(data), img)

@@ -265,6 +265,71 @@ def make_vp8_goldens() -> None:
     print(f"wrote {tbl.num_rows} VP8 goldens (libwebp oracle)")
 
 
+def make_vp8l_goldens() -> None:
+    """Golden LOSSLESS WebP (VP8L) payloads encoded by the INDEPENDENT
+    system libwebp encoder (WebPEncodeLosslessRGB) plus the exact
+    source pixels.  Committed once so tests/test_webp.py can prove
+    functions/vp8l.py decodes REAL libwebp-encoded files bit-exactly
+    WITHOUT libwebp at test time — the image classes are chosen to
+    make libwebp emit every decoder feature: LZ77 with 2D proximity
+    distance codes (tiled/row-copy images), color cache, predictor +
+    subtract-green/color transforms (smooth gradients, photo-like),
+    color-indexing incl. sub-byte bundling (few-color images), and
+    plain literals (noise)."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import webp_oracle as wo
+
+    if not wo.available():
+        raise SystemExit("libwebp oracle unavailable; cannot regenerate "
+                         "VP8L goldens on this host")
+
+    rng = np.random.default_rng(20260819)
+    g = np.add.outer(np.arange(40), np.arange(48)).astype(np.uint8)
+    tile = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    pal4 = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    pal13 = rng.integers(0, 256, (13, 3), dtype=np.uint8)
+    pal40 = rng.integers(0, 256, (40, 3), dtype=np.uint8)
+    y = (np.add.outer(np.sin(np.arange(33) / 5),
+                      np.cos(np.arange(47) / 7)) * 60 + 128)
+    photo = np.clip(np.stack([y, y * 0.9, y * 1.1], axis=2)
+                    + rng.normal(0, 6, (33, 47, 3)), 0, 255).astype(np.uint8)
+    row = rng.integers(0, 256, (1, 64, 3), dtype=np.uint8)
+    cases = [
+        ("noise_16x16", rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)),
+        ("noise_31x29", rng.integers(0, 256, (31, 29, 3), dtype=np.uint8)),
+        ("gradient_40x48",
+         np.stack([g, g + 40, g * 2], axis=2).astype(np.uint8)),
+        ("tiled_48x48", np.tile(tile, (6, 6, 1))),
+        ("pal4_32x32", pal4[rng.integers(0, 4, (32, 32))]),
+        ("pal13_21x35", pal13[rng.integers(0, 13, (21, 35))]),
+        ("pal40_24x56", pal40[rng.integers(0, 40, (24, 56))]),
+        ("flat_20x20", np.full((20, 20, 3), 77, dtype=np.uint8)),
+        ("photo_33x47", photo),
+        ("rows_40x64", np.repeat(row, 40, axis=0)),
+    ]
+    names, payloads, rgbs, ws, hs = [], [], [], [], []
+    for name, img in cases:
+        img = np.ascontiguousarray(img, dtype=np.uint8)
+        data = wo.encode_lossless_rgb(img)
+        assert np.array_equal(wo.decode_rgb(data), img)  # truly lossless
+        names.append(name)
+        payloads.append(data)
+        rgbs.append(img.tobytes())
+        hs.append(img.shape[0])
+        ws.append(img.shape[1])
+    tbl = pa.Table.from_pydict({
+        "name": pa.array(names, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "rgb": pa.array(rgbs, pa.binary()),
+    })
+    pq.write_table(tbl, os.path.join(OUT, "vp8l_goldens.parquet"))
+    print(f"wrote {tbl.num_rows} VP8L goldens (libwebp lossless encoder)")
+
+
 def make_jpeg_arith_goldens() -> None:
     """Golden arithmetic-coded (SOF9) JPEG payloads, each paired with
     its HUFFMAN twin of the same image/settings — generated by the
@@ -475,6 +540,9 @@ if __name__ == "__main__":
     elif sys.argv[1:2] == ["--vp8"]:
         # VP8 goldens only (needs libwebp on the regeneration host)
         make_vp8_goldens()
+    elif sys.argv[1:2] == ["--vp8l"]:
+        # lossless-WebP goldens only (needs libwebp on the host)
+        make_vp8l_goldens()
     elif sys.argv[1:2] == ["--jpeg-arith"]:
         # arithmetic-JPEG goldens only (needs gcc + libjpeg headers)
         make_jpeg_arith_goldens()
@@ -484,5 +552,6 @@ if __name__ == "__main__":
         make_driver_gate_goldens()
         make_approx_goldens()
         make_vp8_goldens()
+        make_vp8l_goldens()
         make_jpeg_arith_goldens()
         make_jpeg_arith_prog_goldens()

@@ -237,6 +237,26 @@ def encode_rgb_simple(rgb: np.ndarray, quality: float = 75.0) -> bytes:
     return data
 
 
+def encode_lossless_rgb(rgb: np.ndarray) -> bytes:
+    """Encode via the simple WebPEncodeLosslessRGB API -> a real VP8L
+    (lossless WebP) bitstream, the independent-encoder source for the
+    functions/vp8l differential sweep."""
+    lib = _load()
+    h, w, c = rgb.shape
+    assert c == 3 and rgb.dtype == np.uint8
+    out_ptr = POINTER(c_ubyte)()
+    lib.WebPEncodeLosslessRGB.restype = c_size_t
+    buf = np.ascontiguousarray(rgb)
+    n = lib.WebPEncodeLosslessRGB(
+        buf.ctypes.data_as(POINTER(c_ubyte)), c_int(w), c_int(h),
+        c_int(w * 3), byref(out_ptr))
+    if n == 0:
+        raise ValueError("WebPEncodeLosslessRGB failed")
+    data = ctypes.string_at(out_ptr, n)
+    lib.WebPFree(out_ptr)
+    return data
+
+
 def decode_yuv(data: bytes):
     """Decode a WebP payload to libwebp's own (y, u, v) uint8 planes.
 
