@@ -1,17 +1,22 @@
 """Pure-Python PNG pixel decode (RFC 2083 / ISO 15948) — the real-decode
 path of the multimodal featurizer (stages/multimodal.py).
 
-Public-spec subset, same approach as the PDF reader (functions/pdf.py):
-non-interlaced images in the five standard color types (greyscale,
-RGB, palette, grey+alpha, RGBA) at bit depth 8, plus sub-byte depths
-(1/2/4) for greyscale and palette images (byte-wise filtering per
-RFC 2083 §6.2, MSB-first unpack, left-bit-replication scaling).  IDAT
-chunks concatenate into one zlib stream; each scanline is prefixed by
-a filter-type byte (None/Sub/Up/Average/Paeth, RFC 2083 §6) and
-unfiltered against the prior scanline.  Anything outside the subset
-(16-bit, Adam7 interlace) raises ValueError and the caller degrades to
-the deterministic fake decoder — mirroring the PDF route's
-degrade-to-zero contract.
+Public-spec coverage, same approach as the PDF reader
+(functions/pdf.py): the five standard color types (greyscale, RGB,
+palette, grey+alpha, RGBA) at bit depths 8 and 16 (16-bit reduces to
+the high byte of each big-endian sample — the pinned 16->8 rule,
+exact on left-bit-replicated v*257 samples), sub-byte depths (1/2/4)
+for greyscale and palette images (byte-wise filtering per RFC 2083
+§6.2, MSB-first unpack, left-bit-replication scaling), Adam7
+interlace for all of them (seven independently-filtered passes
+scattered onto the pixel grid, ISO 15948 §8.2), and palette tRNS
+transparency (expands to RGBA).  IDAT chunks concatenate into one
+zlib stream; each scanline is prefixed by a filter-type byte
+(None/Sub/Up/Average/Paeth, RFC 2083 §6) and unfiltered against the
+prior scanline of its (sub)image.  Malformed streams and
+spec-illegal depth/color combinations raise ValueError and the
+caller degrades to the deterministic fake decoder — mirroring the
+PDF route's degrade-to-zero contract.
 
 Reference analog: the det stage actually consumes pixels
 (/root/reference/src/det.rs:176-230); this closes the round-3 gap where
@@ -98,16 +103,62 @@ def _unfilter(raw: np.ndarray, height: int, width: int, bpp: int) -> np.ndarray:
     return out
 
 
+#: Adam7 pass grids (x_start, y_start, x_step, y_step), ISO 15948 §8.2
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _raw_rows(w: int, h: int, bitdepth: int, color: int) -> int:
+    """Filtered byte count of one sub-image: h rows of (1 filter byte
+    + ceil(w * bits_per_pixel / 8))."""
+    bits = bitdepth * _CHANNELS[color]
+    return h * (1 + (w * bits + 7) // 8)
+
+
+def _decode_subimage(raw: np.ndarray, w: int, h: int, bitdepth: int,
+                     color: int) -> np.ndarray:
+    """One filtered sub-image (the whole image, or one Adam7 pass) ->
+    (h, w, channels) uint8.  Palette stays as index values here (the
+    caller expands once, so tRNS applies uniformly)."""
+    if bitdepth in (1, 2, 4):
+        # sub-byte depths (grey / palette): filtering is byte-wise with
+        # bpp=1 per RFC 2083 §6.2, then rows unpack MSB-first
+        row_bytes = (w * bitdepth + 7) // 8
+        flat = _unfilter(raw, h, row_bytes, 1)
+        bits = np.unpackbits(flat, axis=1)[:, : w * bitdepth]
+        weights = 1 << np.arange(bitdepth - 1, -1, -1, dtype=np.int64)
+        vals = bits.reshape(h, w, bitdepth) @ weights
+        if color == 3:
+            return vals.astype(np.uint8)[:, :, None]
+        # grey: left-bit replication == exact integer scaling here
+        scale = 255 // ((1 << bitdepth) - 1)
+        return (vals * scale).astype(np.uint8)[:, :, None]
+    ch = _CHANNELS[color]
+    if bitdepth == 16:
+        # byte-wise filtering at bpp = 2*channels, then the HIGH byte
+        # of each big-endian sample (pinned 16->8 rule; exact whenever
+        # samples carry the v*257 left-bit-replicated form)
+        flat = _unfilter(raw, h, w, 2 * ch)
+        return flat.reshape(h, w, ch, 2)[:, :, :, 0]
+    flat = _unfilter(raw, h, w, ch)
+    return flat.reshape(h, w, ch)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG payload -> (height, width, channels) uint8 pixel array.
 
-    Palette images expand to RGB via PLTE.  Raises ValueError outside
-    the supported subset (bit depth != 8, interlaced)."""
+    All five color types at bit depths 8 and 16 (16-bit reduces to the
+    high byte of each big-endian sample), sub-byte depths 1/2/4 for
+    greyscale/palette, Adam7 interlace for all of them, palette tRNS
+    (expands to RGBA).  Palette images expand to RGB via PLTE.  Raises
+    ValueError outside the subset (16-bit palette, depth/color combos
+    the spec forbids) and for any malformed stream."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     width = height = None
     bitdepth = color = interlace = None
     plte = None
+    trns = None
     idat = bytearray()
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
@@ -115,6 +166,8 @@ def decode_png(data: bytes) -> np.ndarray:
                 ">IIBBBBB", body[:13])
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat += body
     if width is None or not width or not height:
@@ -123,49 +176,62 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(
             f"PNG dims {width}x{height} out of range (corrupt-header "
             "guard)")
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
+    if not (bitdepth in (8, 16) or (bitdepth in (1, 2, 4)
+                                    and color in (0, 3))):
+        raise ValueError(
+            f"unsupported PNG bit depth {bitdepth} for color {color}")
+    if bitdepth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is illegal")
     # Bound the inflate output by what the declared geometry can use:
     # a zlib bomb behind a small-dims IHDR otherwise expands ~1000x
     # (1 MB payload -> 1 GB heap) before any length check runs.
-    max_raw = height * (1 + width * 4) + 1
+    # 16-bit RGBA is 8 bytes/px; Adam7 adds at most ~2*height extra
+    # filter bytes across the seven passes.
+    max_raw = height * width * 8 + 2 * height + 16
     dec = zlib.decompressobj()
     raw_b = dec.decompress(bytes(idat), max_raw)
     if dec.unconsumed_tail:
         raise ValueError("PNG IDAT inflates past the declared dims")
     raw = np.frombuffer(raw_b, dtype=np.uint8)
-    if bitdepth in (1, 2, 4) and color in (0, 3):
-        # sub-byte depths (grey / palette): filtering is byte-wise with
-        # bpp=1 per RFC 2083 §6.2, then rows unpack MSB-first
-        row_bytes = (width * bitdepth + 7) // 8
-        expect = height * (1 + row_bytes)
+    if interlace == 0:
+        expect = _raw_rows(width, height, bitdepth, color)
         if raw.size != expect:
             raise ValueError(f"IDAT size {raw.size} != expected {expect}")
-        flat = _unfilter(raw, height, row_bytes, 1)
-        bits = np.unpackbits(flat, axis=1)[:, : width * bitdepth]
-        weights = 1 << np.arange(bitdepth - 1, -1, -1, dtype=np.int64)
-        vals = bits.reshape(height, width, bitdepth) @ weights
-        if color == 3:
-            if plte is None:
-                raise ValueError("palette image without PLTE")
-            return plte[vals]
-        # grey: left-bit replication == exact integer scaling here
-        scale = 255 // ((1 << bitdepth) - 1)
-        return (vals * scale).astype(np.uint8)[:, :, None]
-    if bitdepth != 8:
-        raise ValueError(f"unsupported PNG bit depth {bitdepth}")
-    bpp = _CHANNELS[color]
-    expect = height * (1 + width * bpp)
-    if raw.size != expect:
-        raise ValueError(f"IDAT size {raw.size} != expected {expect}")
-    flat = _unfilter(raw, height, width, bpp)
-    px = flat.reshape(height, width, bpp)
+        px = _decode_subimage(raw, width, height, bitdepth, color)
+    else:
+        ch = _CHANNELS[color]
+        px = np.zeros((height, width, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            n = _raw_rows(pw, ph, bitdepth, color)
+            if off + n > raw.size:
+                raise ValueError("IDAT shorter than the Adam7 passes")
+            px[y0::dy, x0::dx] = _decode_subimage(
+                raw[off:off + n], pw, ph, bitdepth, color)
+            off += n
+        if off != raw.size:
+            raise ValueError(f"IDAT size {raw.size} != expected {off}")
     if color == 3:
         if plte is None:
             raise ValueError("palette image without PLTE")
-        px = plte[px[:, :, 0]]
+        idx = px[:, :, 0]
+        if trns is not None:
+            # palette transparency: alpha per entry, missing tail
+            # entries are opaque -> RGBA output
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[:min(len(trns), len(plte))] = trns[:len(plte)]
+            px = np.concatenate([plte[idx], alpha[idx][:, :, None]],
+                                axis=2)
+        else:
+            px = plte[idx]
     return px
 
 

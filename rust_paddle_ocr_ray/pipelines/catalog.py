@@ -2988,7 +2988,10 @@ def q81_pixel_roundtrip(sf_dir: str):
     """Real-decoder round-trip ON THE DRIVER GATE: a deterministic
     gradient raster per doc_id (format cycles BMP 24-bit / GIF LZW /
     PNG / LOSSLESS WEBP; pixel (x,y) = (x+y+id) % 256 on every
-    channel) is ENCODED and then DECODED by the pure-Python decoders
+    channel; PNG docs further split by id % 16 into plain 8-bit /
+    Adam7 interlaced / 16-bit high-byte / 16-bit interlaced layouts —
+    all lossless, so the twin is unchanged) is ENCODED and then
+    DECODED by the pure-Python decoders
     (functions/raster.py, functions/png.py, functions/vp8l.py), and
     the decoded dimensions + integer-exact pixel
     mean (ppm) are hash-checked against a closed-form SQL twin that

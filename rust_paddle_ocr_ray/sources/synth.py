@@ -589,8 +589,15 @@ def encode_gif8(idx, palette) -> bytes:
     return head + img + bytes([mcs]) + sub + b"\x00" + b"\x3b"
 
 
-def encode_png_rgb(px) -> bytes:
-    """(h, w, 3) uint8 RGB -> PNG bytes (color type 2, filter 0 rows)."""
+def encode_png_rgb(px, interlace: bool = False,
+                   bitdepth: int = 8) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (color type 2, filter 0 rows).
+
+    ``interlace=True`` emits Adam7 (seven independently-filtered
+    passes, forward order per ISO 15948 §8.2); ``bitdepth=16`` emits
+    each sample left-bit-replicated (v*257, big-endian) so the
+    decoder's pinned high-byte 16->8 reduction round-trips exactly.
+    Either way the decoded pixels equal ``px`` bit-for-bit."""
     import struct
     import zlib
 
@@ -603,8 +610,25 @@ def encode_png_rgb(px) -> bytes:
         return (struct.pack(">I", len(body)) + ctype + body
                 + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + r.tobytes() for r in px)
+    def rows(sub) -> bytes:
+        if bitdepth == 16:
+            v16 = sub.astype(">u2") * 257
+            return b"".join(b"\x00" + v16[y].tobytes()
+                            for y in range(sub.shape[0]))
+        return b"".join(b"\x00" + sub[y].tobytes()
+                        for y in range(sub.shape[0]))
+
+    if interlace:
+        # Adam7 pass grids (x0, y0, dx, dy), ISO 15948 §8.2
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        raw = b"".join(rows(px[y0::dy, x0::dx])
+                       for x0, y0, dx, dy in passes
+                       if px[y0::dy, x0::dx].size)
+    else:
+        raw = rows(px)
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, 2, 0, 0,
+                       1 if interlace else 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
@@ -615,7 +639,11 @@ def gradient_image(doc_id: int) -> tuple[str, bytes, int, int]:
     format cycles bmp/gif/png/webp-lossless by id % 4.  Returns
     (fmt, payload, w, h).  The closed-form pixel mean makes the
     decode round-trip SQL-checkable (catalog q81); webp is VP8L so
-    the round-trip stays lossless."""
+    the round-trip stays lossless.  PNG docs split by id % 16 to put
+    every decoder layout on the gate with the SAME pixels (all
+    lossless, so the SQL twin is unchanged): 2 = plain 8-bit, 6 =
+    Adam7 interlaced, 10 = 16-bit (v*257 samples, high-byte
+    reduction), 14 = 16-bit Adam7 interlaced."""
     import numpy as np
 
     w = 8 + doc_id % 9
@@ -632,7 +660,10 @@ def gradient_image(doc_id: int) -> tuple[str, bytes, int, int]:
     elif fmt == "webp":
         payload = encode_webp_lossless(np.repeat(v[:, :, None], 3, axis=2))
     else:
-        payload = encode_png_rgb(np.repeat(v[:, :, None], 3, axis=2))
+        payload = encode_png_rgb(np.repeat(v[:, :, None], 3, axis=2),
+                                 interlace=doc_id % 16 in (6, 14),
+                                 bitdepth=16 if doc_id % 16 in (10, 14)
+                                 else 8)
     return fmt, payload, w, h
 
 

@@ -22,47 +22,80 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body)))
 
 
-def encode_png(px: np.ndarray, color: int, row_filters, palette=None) -> bytes:
-    """From-spec encoder: per-row filter chosen from ``row_filters``
-    (cycled), filter math applied FORWARD per RFC 2083 §6 with plain
-    per-pixel loops — structurally independent of the decoder."""
-    h, w, c = px.shape
-    assert c == _CH[color]
-    bpp = c
+def _filter_bytes(rows8: np.ndarray, bpp: int, row_filters) -> bytes:
+    """Forward-filter byte rows per RFC 2083 §6 (the inverse of the
+    decoder's unfilter — forward math needs no reconstruction
+    feedback, so a shifted-row formulation is exact)."""
+    h, stride = rows8.shape
     out = bytearray()
-    prev = np.zeros((w, bpp), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+
+    def shl(a):  # the value bpp bytes to the left, 0 at row start
+        return np.concatenate([np.zeros(bpp, dtype=np.int32), a[:-bpp]])
+
     for y in range(h):
         f = row_filters[y % len(row_filters)]
         out.append(f)
-        cur = px[y].astype(np.int32)
-        left = np.zeros(bpp, dtype=np.int32)
-        ul = np.zeros(bpp, dtype=np.int32)
-        for x in range(w):
-            raw = cur[x]
-            if f == 0:
-                filt = raw
-            elif f == 1:
-                filt = raw - left
-            elif f == 2:
-                filt = raw - prev[x]
-            elif f == 3:
-                filt = raw - ((left + prev[x]) >> 1)
-            else:  # Paeth
-                p = left + prev[x] - ul
-                pa_ = np.abs(p - left)
-                pb_ = np.abs(p - prev[x])
-                pc_ = np.abs(p - ul)
-                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
-                                np.where(pb_ <= pc_, prev[x], ul))
-                filt = raw - pred
-            out.extend((filt & 0xFF).astype(np.uint8).tobytes())
-            left = raw
-            ul = prev[x].copy()
+        cur = rows8[y].astype(np.int32)
+        left = shl(cur)
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            ul = shl(prev)
+            p = left + prev - ul
+            pa_ = np.abs(p - left)
+            pb_ = np.abs(p - prev)
+            pc_ = np.abs(p - ul)
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                            np.where(pb_ <= pc_, prev, ul))
+            filt = cur - pred
+        out.extend((filt & 0xFF).astype(np.uint8).tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return bytes(out)
+
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def encode_png(px: np.ndarray, color: int, row_filters, palette=None,
+               interlace: int = 0, bitdepth: int = 8,
+               trns: bytes | None = None) -> bytes:
+    """From-spec encoder: per-row filter chosen from ``row_filters``
+    (cycled), filter math applied FORWARD per RFC 2083 §6 —
+    structurally independent of the decoder's inverse.  ``bitdepth=16``
+    emits left-bit-replicated (v*257) big-endian samples;
+    ``interlace=1`` emits Adam7 passes, each filtered independently;
+    ``trns`` attaches a palette-transparency chunk."""
+    h, w, c = px.shape
+    assert c == _CH[color]
+    bpp = c * (2 if bitdepth == 16 else 1)
+
+    def byte_rows(sub: np.ndarray) -> np.ndarray:
+        sh = sub.shape[0]
+        if bitdepth == 16:
+            v16 = (sub.astype(np.uint16) * 257).astype(">u2")
+            return np.ascontiguousarray(v16).view(np.uint8).reshape(sh, -1)
+        return sub.reshape(sh, -1)
+
+    if interlace:
+        out = b"".join(
+            _filter_bytes(byte_rows(px[y0::dy, x0::dx]), bpp, row_filters)
+            for x0, y0, dx, dy in _ADAM7 if px[y0::dy, x0::dx].size)
+    else:
+        out = _filter_bytes(byte_rows(px), bpp, row_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, color, 0, 0, interlace)
     body = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
     if palette is not None:
         body += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if trns is not None:
+        body += _chunk(b"tRNS", trns)
     comp = zlib.compress(bytes(out))
     # split IDAT in two chunks to exercise concatenation
     mid = len(comp) // 2
@@ -92,16 +125,83 @@ def test_palette_expands_to_rgb():
 def test_unsupported_subsets_raise():
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     good = encode_png(px, 2, [0])
-    bit16 = bytearray(good)
-    bit16[8 + 8 + 8] = 16  # IHDR bit depth byte
+    bad_depth = bytearray(good)
+    bad_depth[8 + 8 + 8] = 4  # depth 4 is illegal for color type 2
     with pytest.raises(ValueError, match="bit depth"):
-        decode_png(bytes(bit16))
-    interlaced = bytearray(good)
-    interlaced[8 + 8 + 12] = 1  # IHDR interlace byte
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_png(bytes(interlaced))
+        decode_png(bytes(bad_depth))
+    bad_interlace = bytearray(good)
+    bad_interlace[8 + 8 + 12] = 2  # only methods 0/1 exist
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bytes(bad_interlace))
+    # a header FLIPPED to a supported layout must fail the size check,
+    # never mis-decode (16-bit and Adam7 are real paths now)
+    flipped16 = bytearray(good)
+    flipped16[8 + 8 + 8] = 16
+    with pytest.raises(ValueError, match="IDAT size"):
+        decode_png(bytes(flipped16))
+    flipped_adam = bytearray(good)
+    flipped_adam[8 + 8 + 12] = 1
+    with pytest.raises(ValueError, match="IDAT|Adam7"):
+        decode_png(bytes(flipped_adam))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"JUNK")
+
+
+@pytest.mark.parametrize("color", [0, 2, 4, 6])
+def test_adam7_interlace_roundtrip(color):
+    """Seven independently-filtered passes scatter back bit-exactly,
+    mixed filter types, dims hitting partial pass grids."""
+    rng = np.random.RandomState(40 + color)
+    px = rng.randint(0, 256, size=(13, 11, _CH[color]), dtype=np.uint8)
+    got = decode_png(encode_png(px, color, [0, 1, 2, 3, 4], interlace=1))
+    np.testing.assert_array_equal(got, px)
+
+
+@pytest.mark.parametrize("dims", [(1, 1), (2, 3), (3, 2), (1, 9), (9, 1),
+                                  (8, 8), (17, 5)])
+def test_adam7_tiny_dims(dims):
+    """Dims where some Adam7 passes are EMPTY (the spec's ceil grids)."""
+    h, w = dims
+    rng = np.random.RandomState(h * 16 + w)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = decode_png(encode_png(px, 2, [4], interlace=1))
+    np.testing.assert_array_equal(got, px)
+
+
+@pytest.mark.parametrize("color", [0, 2, 4, 6])
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_16bit_high_byte_roundtrip(color, interlace):
+    """16-bit samples (v*257, the left-bit-replicated form) reduce to
+    the exact 8-bit values via the pinned high-byte rule — plain and
+    interlaced, byte-wise filtering at bpp = 2*channels."""
+    rng = np.random.RandomState(60 + color + interlace)
+    px = rng.randint(0, 256, size=(9, 14, _CH[color]), dtype=np.uint8)
+    got = decode_png(encode_png(px, color, [0, 1, 2, 3, 4],
+                                interlace=interlace, bitdepth=16))
+    np.testing.assert_array_equal(got, px)
+
+
+def test_16bit_palette_is_illegal():
+    px = np.zeros((2, 2, 1), dtype=np.uint8)
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    data = encode_png(px, 3, [0], palette=pal)
+    bad = bytearray(data)
+    bad[8 + 8 + 8] = 16
+    with pytest.raises(ValueError, match="16-bit palette"):
+        decode_png(bytes(bad))
+
+
+def test_palette_trns_expands_to_rgba():
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(8, 9, 1), dtype=np.uint8)
+    got = decode_png(encode_png(idx, 3, [0, 2], palette=pal,
+                                trns=bytes([0, 128, 255])))
+    assert got.shape == (8, 9, 4)
+    alpha = np.full(16, 255, dtype=np.uint8)
+    alpha[:3] = [0, 128, 255]
+    np.testing.assert_array_equal(got[:, :, :3], pal[idx[:, :, 0]])
+    np.testing.assert_array_equal(got[:, :, 3], alpha[idx[:, :, 0]])
 
 
 def test_pixel_feature_golden():
