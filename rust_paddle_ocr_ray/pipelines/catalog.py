@@ -3610,6 +3610,68 @@ FROM h GROUP BY 1, 2
 """
 
 
+def q90_link_rank(sf_dir: str):
+    """ITERATIVE distributed graph scoring ON THE DRIVER GATE —
+    PageRank-style link authority, the crawl-quality weighting shape
+    (rank URLs by incoming-link mass before sampling a training mix;
+    the CommonCrawl-style harmonic/page-rank filter).  A deterministic
+    3-out-degree link graph over doc ids (dst = md5_head32(doc_id*3+j)
+    % n, j in 0..2 — the synthetic twin of a real link table) runs 5
+    synchronous rounds of stages/graph.link_rank: per round ONE
+    co-partitioned hash join (ranks keyed src) and ONE coarse-bucket
+    grouped_sum (contributions keyed dst), all INTEGER ppb arithmetic
+    (floor division) so the unrolled-CTE DuckDB twin replays every
+    round bit-for-bit.  Slim tables only — (node, rank) and (dst,
+    contrib) int64 rows; at 10^11 URLs the loop never touches text."""
+    from ..functions.textstats import md5_head32, md5_hex
+    from ..stages.graph import link_rank
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()  # parquet metadata count, no scan
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype="int64")
+        src = np.repeat(ids, 3)
+        key = src * 3 + np.tile(np.arange(3, dtype="int64"), len(ids))
+        h = md5_head32(md5_hex(pd.Series(key).astype(str)))
+        return pd.DataFrame({"src": src, "dst": h % n})
+
+    def nodes(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["doc_id"].astype("int64")})
+
+    return link_rank(docs.map_batches(edges, batch_format="pandas"),
+                     docs.map_batches(nodes, batch_format="pandas"),
+                     n_nodes=n, iters=5, rows_hint=3 * n)
+
+
+def _q90_sql(iters: int = 5) -> str:
+    """Unrolled-CTE twin of q90: the SAME integer-ppb rounds (SUM of
+    r//3 inflow per dst, base + 85%·inflow//100, LEFT JOIN keeping
+    no-inlink nodes) so values hash-match exactly."""
+    n = "(SELECT COUNT(*) FROM documents)"
+    parts = [f"""
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT node AS src,
+         (('0x' || substr(md5(CAST(node * 3 + t.j AS VARCHAR)), 1, 8))::BIGINT
+          % {n}) AS dst
+  FROM nodes, range(3) t(j)),
+r0 AS (SELECT node, (1000000000 // {n})::BIGINT AS r FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+s{i} AS (SELECT e.dst AS node, SUM(r.r // 3)::BIGINT AS s
+        FROM edges e JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst),
+r{i} AS (SELECT nodes.node,
+               ((15 * (1000000000 // {n})) // 100
+                + (85 * COALESCE(s.s, 0)) // 100)::BIGINT AS r
+        FROM nodes LEFT JOIN s{i} s ON s.node = nodes.node)""")
+    parts.append(f"\nSELECT node, r AS rank_ppb FROM r{iters}")
+    return "".join(parts)
+
+
+SQL_Q90 = _q90_sql()
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3704,4 +3766,5 @@ QUERIES: dict[str, tuple] = {
     "q87_hll_registers": (q87_hll_registers, SQL_Q87),
     "q88_interleave_order": (q88_interleave_order, SQL_Q88),
     "q89_windowed_hll": (q89_windowed_hll, SQL_Q89),
+    "q90_link_rank": (q90_link_rank, SQL_Q90),
 }

@@ -3,7 +3,7 @@
 The driver's correctness harness records at most 50 ``queries()`` rows
 (CORRECTNESS_r04 stopped at q50 of 89 registered queries, leaving the
 sketch/media/packing families with no driver-verified row — VERDICT r4
-item 1).  This module folds the full 89-query catalog
+item 1).  This module folds the full 90-query catalog
 (``catalog.QUERIES``, still what ``bench.py`` measures) into a gate of
 exactly 50 entries so EVERY operator family earns a driver-green
 correctness row regardless of how the driver truncates:
@@ -107,6 +107,7 @@ MELT_SPECS: dict[str, list[tuple[str, str]]] = {
     "q62_trim_outliers": [("source", "s"), ("kept", "i"), ("kept_chars", "i"),
                           ("min_len", "i"), ("max_len", "i")],
     "q76_embedding_norms": [("label", "i"), ("n", "i"), ("avg_norm", "f")],
+    "q90_link_rank": [("node", "i"), ("rank_ppb", "i")],
 }
 
 # Suite membership — one gate row per suite, full hash power per member.
@@ -124,7 +125,7 @@ COMPOSITES: dict[str, list[str]] = {
     "g08_window_suite": ["q08_window_bucket", "q34_hopping_window"],
     "g09_asof_suite": ["q27_asof_join", "q46_asof_tolerance"],
     "g10_rank_stats": ["q58_percent_rank", "q59_distinct_users", "q60_length_token_corr",
-                       "q69_zscore", "q71_lang_entropy"],
+                       "q69_zscore", "q71_lang_entropy", "q90_link_rank"],
     "g11_pivot_rollup": ["q64_modal_user", "q70_event_pivot", "q75_grouping_sets"],
     "g12_sample_suite": ["q41_stratified_sample", "q52_weighted_sample", "q66_hash_split"],
     "g13_event_suite": ["q55_funnel", "q57_user_cumspend", "q63_inter_event_gaps",

@@ -1,0 +1,171 @@
+"""Iterative distributed graph scoring — PageRank-style link
+authority over a directed edge list, the crawl-quality weighting
+shape (rank URLs by incoming-link mass before sampling/mixing a
+training corpus).
+
+This is the catalog's ITERATIVE-dataflow family: a fixed number of
+synchronous rounds.  Two measured execution shapes (the same
+broadcast-vs-distributed selection the as-of join and quantile
+join-backs use):
+
+- **broadcast** (node count <= ``broadcast_max_nodes``): the rank map
+  is a plain int->int dict put in the object store once per round and
+  read once per worker (``_get_broadcast``); each round is ONE
+  streaming pass over the edges (per-batch pre-aggregated dst sums)
+  plus ONE coarse-bucket ``grouped_sum`` exchange, and the new map is
+  a vocabulary-sized driver collect.  Measured 5 rounds at sf0.01
+  (5k nodes / 15k edges): 43.5 s -> ~6 s vs the join shape — the
+  per-round sort-groupby join exchange dominates tiny rounds.
+- **distributed** (above the cap): ranks stay a Dataset; each round is
+  one co-partitioned hash join (edges keyed src) + one
+  ``grouped_sum`` (keyed dst) with a zero-contribution union keeping
+  no-inlink nodes alive.  Nothing vocabulary-sized touches the
+  driver.  This is the 10^11-node shape.
+
+All arithmetic is INTEGER (parts-per-billion ranks, floor division)
+so a SQL twin replays it exactly — no float accumulation-order drift
+across engines; both shapes produce IDENTICAL tables (equivalence is
+pinned in tests/test_graph.py).
+
+100 TB posture: ranks are one int64 row per node and contributions
+one int64 row per edge; the edge list materializes once into the
+object store and is re-read per round.  Rounds are synchronous
+barriers by nature of the algorithm — ``iters`` is small and fixed;
+each round's frontier materializes (slim by design) so the lineage
+does not re-execute prior rounds.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from .distinct import grouped_sum
+from .join import hash_join
+
+#: fixed-point scale for ranks (parts per billion)
+PPB = 10 ** 9
+
+#: broadcast-mode cap: a 2M-entry int->int dict is ~100 MB in the
+#: object store — comfortably a once-per-round broadcast; above it the
+#: distributed join shape takes over
+BROADCAST_MAX_NODES = 2_000_000
+
+
+def link_rank(edges, nodes, n_nodes: int, iters: int = 5,
+              out_degree: int = 3, damping_pct: int = 85,
+              rows_hint: int | None = None,
+              broadcast_max_nodes: int = BROADCAST_MAX_NODES):
+    """PageRank-style iteration over ``edges`` (columns ``src``,
+    ``dst``) and ``nodes`` (column ``node``), all integer ids.
+
+    Every node starts at ``PPB // n_nodes``; each round a node sends
+    ``rank // out_degree`` along each outgoing edge (the caller
+    guarantees a CONSTANT out-degree — the synthetic-edge catalog
+    shape; a variable-degree variant would join a degree column) and
+    the new rank is ``(100-damping_pct)%`` of the base plus
+    ``damping_pct%`` of the received mass, floor-divided so both
+    engines agree bit-for-bit:
+
+        rank' = (100-d) * (PPB // n) // 100  +  d * inflow // 100
+
+    Nodes with no inbound edges keep a row at the base rank (the
+    twin's LEFT JOIN + COALESCE).  Edge ``dst`` values must come from
+    the node-id domain (true by construction for the catalog's
+    modulo-derived edges).
+
+    Returns a Dataset (node, rank_ppb int64).
+    """
+    base = (100 - damping_pct) * (PPB // n_nodes) // 100
+    r0 = PPB // n_nodes
+    edges = edges.materialize()  # re-read per round, scanned once
+    if n_nodes <= broadcast_max_nodes:
+        return _link_rank_broadcast(edges, nodes, n_nodes, iters,
+                                    out_degree, damping_pct, base, r0)
+    return _link_rank_distributed(edges, nodes, iters, out_degree,
+                                  damping_pct, base, r0, rows_hint)
+
+
+def _link_rank_broadcast(edges, nodes, n_nodes, iters, out_degree,
+                         damping_pct, base, r0):
+    import ray
+
+    from .merge import _get_broadcast
+
+    node_ids = [int(v) for v in
+                nodes.to_pandas()["node"].to_numpy(dtype="int64")]
+    rank_map = {v: r0 for v in node_ids}
+    for _ in range(iters):
+        ref = ray.put(rank_map)
+
+        def contrib(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            m = _get_broadcast(_ref)
+            c = (b["src"].map(m).astype("int64") // out_degree)
+            out = pd.DataFrame({"dst": b["dst"].astype("int64"), "c": c})
+            # per-batch pre-aggregation before the exchange
+            return out.groupby("dst", as_index=False)["c"].sum()
+
+        sums = grouped_sum(
+            edges.map_batches(contrib, batch_format="pandas"),
+            "dst", ["c"]).to_pandas()
+        inflow = dict(zip(sums["dst"].astype("int64"),
+                          sums["c"].astype("int64")))
+        rank_map = {v: base + damping_pct * inflow.get(v, 0) // 100
+                    for v in node_ids}
+
+    def final(b: pd.DataFrame, _ref=ray.put(rank_map)) -> pd.DataFrame:
+        m = _get_broadcast(_ref)
+        return pd.DataFrame({
+            "node": b["node"].astype("int64"),
+            "rank_ppb": b["node"].map(m).astype("int64"),
+        })
+
+    return nodes.map_batches(final, batch_format="pandas")
+
+
+def _link_rank_distributed(edges, nodes, iters, out_degree,
+                           damping_pct, base, r0, rows_hint):
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": b["node"].astype("int64"),
+                             "rank_ppb": r0})
+
+    def zeros(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"dst": b["node"].astype("int64"), "c": 0})
+
+    # Each round's frontier is SLIM ((node, rank) int64 rows), so
+    # materializing it is the correct iteration shape: without it the
+    # lazy lineage re-executes every prior round per hash_join schema
+    # probe and the final DAG re-runs the whole history (measured
+    # 191 s -> ~10 s at sf0.001 for 5 rounds).
+    ranks = nodes.map_batches(init, batch_format="pandas").materialize()
+    zero_rows = nodes.map_batches(zeros,
+                                  batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        joined = hash_join(edges, ranks, on="src", rows_hint=rows_hint)
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "dst": b["dst"].astype("int64"),
+                "c": b["rank_ppb"].astype("int64") // out_degree,
+            })
+            return out.groupby("dst", as_index=False)["c"].sum()
+
+        sums = grouped_sum(
+            joined.map_batches(contrib, batch_format="pandas")
+            .union(zero_rows), "dst", ["c"])
+
+        def renew(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "src": b["dst"].astype("int64"),
+                "rank_ppb": base
+                + damping_pct * b["c"].astype("int64") // 100,
+            })
+
+        ranks = sums.map_batches(renew,
+                                 batch_format="pandas").materialize()
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["src"].astype("int64"),
+                             "rank_ppb": b["rank_ppb"].astype("int64")})
+
+    return ranks.map_batches(final, batch_format="pandas")
