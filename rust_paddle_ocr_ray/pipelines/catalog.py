@@ -3317,17 +3317,23 @@ UNION ALL SELECT * FROM llrows
 
 def q83_wav_roundtrip(sf_dir: str):
     """Audio modality ON THE DRIVER GATE (companion to q81/q82): per
-    doc a deterministic oscillating PCM16 waveform
+    doc a deterministic oscillating waveform
     (s(t) = 2·((t·k) % 2000) − 1999, k = 613 + id % 977 — odd values,
     never zero) is ENCODED as a real RIFF/WAVE payload
     (sources/synth.encode_wav_pcm16) and DECODED by the pure-Python
     WAV reader (functions/audio.py); sample count, integer sum,
     |x|-sum and zero-crossing count hash-check against a closed-form
-    LAG-window SQL twin."""
+    LAG-window SQL twin.  The on-wire layout cycles by id % 6 —
+    PCM 16/24/32-bit, IEEE float32 (k/32768 values, the pinned trunc
+    rule reverses exactly), and WAVE_FORMAT_EXTENSIBLE wrapping
+    PCM16/float32 — every layout decodes to the SAME integers, so the
+    twin is layout-independent."""
     from ..functions.audio import decode_wav, wav_feature
     from ..sources.synth import encode_wav_pcm16
 
     ds = _rp(sf_dir, "documents", columns=["doc_id"])
+    layouts = ("pcm16", "pcm24", "pcm32", "float32",
+               "ext_pcm16", "ext_float32")
 
     def rt(b: pd.DataFrame) -> pd.DataFrame:
         rows = {"doc_id": [], "n_samples": [], "sum_amp": [],
@@ -3338,7 +3344,8 @@ def q83_wav_roundtrip(sf_dir: str):
             k = 613 + d % 977
             t = np.arange(n, dtype=np.int64)
             s = (2 * ((t * k) % 2000) - 1999).astype(np.int16)
-            samples, _rate, _bits = decode_wav(encode_wav_pcm16(s))
+            samples, _rate, _bits = decode_wav(
+                encode_wav_pcm16(s, layout=layouts[d % 6]))
             f = wav_feature(samples)
             rows["doc_id"].append(d)
             for c in ("n_samples", "sum_amp", "sum_abs", "zero_crossings"):

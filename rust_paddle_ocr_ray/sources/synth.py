@@ -1147,23 +1147,57 @@ def encode_jpeg_hierarchical(px, arith: bool = False) -> bytes:
     return out + b"\xff\xd9"
 
 
-def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
-    """(n,) or (n, ch) int16 samples -> RIFF/WAVE PCM bytes (the audio
+def encode_wav_pcm16(samples, rate: int = 8000,
+                     layout: str = "pcm16") -> bytes:
+    """(n,) or (n, ch) int16 samples -> RIFF/WAVE bytes (the audio
     analog of the image encoders above; decoded by functions/audio.py
-    on the driver gate, catalog q83)."""
+    on the driver gate, catalog q83).
+
+    ``layout`` picks the on-wire encoding of the SAME sample values
+    (every layout decodes back to the identical int matrix, so the
+    gate twin is layout-independent): ``pcm16`` | ``pcm24`` | ``pcm32``
+    | ``float32`` (values / 32768 — exact in f32 for int16 range,
+    reversed by the decoder's pinned trunc rule) | ``ext_pcm16``
+    (WAVE_FORMAT_EXTENSIBLE wrapping PCM16) | ``ext_float32``."""
     import struct
 
     import numpy as np
 
-    s = np.asarray(samples, dtype="<i2")
+    s = np.asarray(samples, dtype=np.int64)
     if s.ndim == 1:
         s = s[:, None]
     ch = s.shape[1]
-    body = s.tobytes()
-    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    if layout == "pcm16" or layout == "ext_pcm16":
+        body = s.astype("<i2").tobytes()
+        code, bits = 1, 16
+    elif layout == "pcm24":
+        v = (s & 0xFFFFFF).astype("<u4")
+        raw = v.astype("<u4").view(np.uint8).reshape(-1, 4)[:, :3]
+        body = np.ascontiguousarray(raw).tobytes()
+        code, bits = 1, 24
+    elif layout == "pcm32":
+        body = s.astype("<i4").tobytes()
+        code, bits = 1, 32
+    elif layout == "float32" or layout == "ext_float32":
+        body = (s.astype(np.float64) / 32768.0).astype("<f4").tobytes()
+        code, bits = 3, 32
+    else:
+        raise ValueError(f"unknown WAV layout {layout!r}")
+    w = bits // 8
+    if layout.startswith("ext_"):
+        from ..functions.audio import _EXT_GUID_TAIL
+
+        ext = (struct.pack("<HHI", 22, bits, (1 << ch) - 1)
+               + struct.pack("<H", code) + _EXT_GUID_TAIL)
+        fmt = struct.pack("<HHIIHH", 0xFFFE, ch, rate, rate * ch * w,
+                          ch * w, bits) + ext
+    else:
+        fmt = struct.pack("<HHIIHH", code, ch, rate, rate * ch * w,
+                          ch * w, bits)
     riff = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(body)) + body)
+            + b"data" + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b""))
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 

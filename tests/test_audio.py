@@ -48,11 +48,63 @@ def test_pcm8_shifts_to_signed():
 def test_rejects_outside_subset():
     with pytest.raises(ValueError):
         decode_wav(b"not riff")
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float PCM
-    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", 0))
-    with pytest.raises(ValueError):
-        decode_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+    def wav_with_fmt(fmt: bytes) -> bytes:
+        riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 0))
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    # ADPCM (format 2) is a compressed codec, honestly out
+    with pytest.raises(ValueError, match="non-PCM"):
+        decode_wav(wav_with_fmt(
+            struct.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 4)))
+    # float at a non-IEEE width
+    with pytest.raises(ValueError, match="float bit depth"):
+        decode_wav(wav_with_fmt(
+            struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)))
+    # extensible wrapping an unknown subformat GUID
+    bad_ext = (struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+               + struct.pack("<HHI", 22, 16, 1)
+               + struct.pack("<H", 1) + b"\x00" * 14)
+    with pytest.raises(ValueError, match="subformat"):
+        decode_wav(wav_with_fmt(bad_ext))
+
+
+@pytest.mark.parametrize("layout", ["pcm16", "pcm24", "pcm32", "float32",
+                                    "ext_pcm16", "ext_float32"])
+def test_all_layouts_decode_identically(layout):
+    """Every on-wire layout of the same int16-range values decodes to
+    the SAME sample matrix (the q83 gate's layout-independence)."""
+    rng = np.random.RandomState(7)
+    s = rng.randint(-2000, 2000, (101, 2)).astype(np.int64)
+    got, _rate, _bits = decode_wav(encode_wav_pcm16(s, layout=layout))
+    np.testing.assert_array_equal(got, s)
+
+
+def test_pcm24_and_pcm32_full_range():
+    """24/32-bit values beyond int16 range sign-extend exactly."""
+    big = np.array([[8388607], [-8388608], [70000], [-70000]],
+                   dtype=np.int64)
+    got, _, bits = decode_wav(encode_wav_pcm16(big, layout="pcm24"))
+    assert bits == 24
+    np.testing.assert_array_equal(got, big)
+    big32 = np.array([[2 ** 31 - 1], [-2 ** 31], [123456789]],
+                     dtype=np.int64)
+    got, _, bits = decode_wav(encode_wav_pcm16(big32, layout="pcm32"))
+    assert bits == 32
+    np.testing.assert_array_equal(got, big32)
+
+
+def test_float_clip_rule_pinned():
+    """Out-of-range float samples clip to the int16 rails via the
+    pinned trunc(f*32768) rule — deterministic, never wrapping."""
+    pat = struct.pack("<f", 1 / 32768.0)
+    base = encode_wav_pcm16(np.array([[1]], dtype=np.int64),
+                            layout="float32")
+    assert base.count(pat) == 1
+    hi, _, _ = decode_wav(base.replace(pat, struct.pack("<f", 7.5)))
+    lo, _, _ = decode_wav(base.replace(pat, struct.pack("<f", -7.5)))
+    assert hi[0, 0] == 32767 and lo[0, 0] == -32768
 
 
 def test_zero_crossings_inherit_sign_through_zero():
