@@ -85,6 +85,13 @@ def link_rank(edges, nodes, n_nodes: int, iters: int = 5,
                                   damping_pct, base, r0, rows_hint)
 
 
+#: below this node count the per-round combine of per-block partials
+#: happens on the driver (<= blocks x nodes slim int rows, trivially
+#: pandas-summed — saves the ~1 s/round exchange fixed cost); above
+#: it the partials go through one grouped_sum exchange per round
+DRIVER_COMBINE_MAX_NODES = 100_000
+
+
 def _link_rank_broadcast(edges, nodes, n_nodes, iters, out_degree,
                          damping_pct, base, r0):
     import ray
@@ -101,12 +108,15 @@ def _link_rank_broadcast(edges, nodes, n_nodes, iters, out_degree,
             m = _get_broadcast(_ref)
             c = (b["src"].map(m).astype("int64") // out_degree)
             out = pd.DataFrame({"dst": b["dst"].astype("int64"), "c": c})
-            # per-batch pre-aggregation before the exchange
+            # per-batch pre-aggregation before any combine
             return out.groupby("dst", as_index=False)["c"].sum()
 
-        sums = grouped_sum(
-            edges.map_batches(contrib, batch_format="pandas"),
-            "dst", ["c"]).to_pandas()
+        partials = edges.map_batches(contrib, batch_format="pandas")
+        if n_nodes <= DRIVER_COMBINE_MAX_NODES:
+            part = partials.to_pandas()
+            sums = part.groupby("dst", as_index=False)["c"].sum()
+        else:
+            sums = grouped_sum(partials, "dst", ["c"]).to_pandas()
         inflow = dict(zip(sums["dst"].astype("int64"),
                           sums["c"].astype("int64")))
         rank_map = {v: base + damping_pct * inflow.get(v, 0) // 100
