@@ -3679,6 +3679,51 @@ r{i} AS (SELECT nodes.node,
 SQL_Q90 = _q90_sql()
 
 
+def q91_lm_perplexity(sf_dir: str):
+    """CCNet-style bigram-LM quality scoring (Wenzek et al. 2020) —
+    train a cheap LM on the corpus, score every document's perplexity,
+    the filter large-scale pipelines run between dedup and mixing.
+    stages/lm.bigram_lm_score: per-batch (w1, w2, cnt) partials →
+    ONE vocabulary-sized grouped_sum (documents never shuffle), then a
+    PINNED integer micro-bits LUT (floor(log2((c1+V)/(c12+1))·10⁶),
+    add-one smoothing) broadcast via ray.put and a ZERO-exchange
+    scoring pass — a doc's bigrams live in its own row, so per-batch
+    groupby(doc) sums are final.  Above 2M distinct bigrams the LUT
+    stays distributed and scoring goes through a bucket hash_join
+    (equivalence-tested).  Integer sums are order-free, so the twin
+    hash-matches exactly; the single float (one log2 per DISTINCT
+    bigram) is floor-quantized identically on both engines."""
+    from ..stages.lm import bigram_lm_score
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_lm_score(ds, id_col="doc_id", text_col="text")
+
+
+SQL_Q91 = r"""
+WITH raw AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l
+             FROM documents),
+     toks AS (SELECT doc_id, unnest(l) AS tok,
+                     generate_subscripts(l, 1) AS pos
+              FROM raw),
+     v AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+     pairs AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+               FROM toks a JOIN toks b
+                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+     big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+     lefts AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY w1),
+     lut AS (SELECT big.w1, big.w2,
+                    CAST(floor(log2((c1 + v) / (c12 + 1.0)) * 1000000)
+                         AS BIGINT) AS ubits
+             FROM big JOIN lefts ON big.w1 = lefts.w1 CROSS JOIN v)
+SELECT p.doc_id,
+       COUNT(*)::BIGINT AS n_bigrams,
+       SUM(ubits)::BIGINT AS score_ubits,
+       (SUM(ubits) // COUNT(*))::BIGINT AS avg_ubits
+FROM pairs p JOIN lut ON p.w1 = lut.w1 AND p.w2 = lut.w2
+GROUP BY p.doc_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3774,4 +3819,5 @@ QUERIES: dict[str, tuple] = {
     "q88_interleave_order": (q88_interleave_order, SQL_Q88),
     "q89_windowed_hll": (q89_windowed_hll, SQL_Q89),
     "q90_link_rank": (q90_link_rank, SQL_Q90),
+    "q91_lm_perplexity": (q91_lm_perplexity, SQL_Q91),
 }

@@ -3,7 +3,7 @@
 The driver's correctness harness records at most 50 ``queries()`` rows
 (CORRECTNESS_r04 stopped at q50 of 89 registered queries, leaving the
 sketch/media/packing families with no driver-verified row — VERDICT r4
-item 1).  This module folds the full 90-query catalog
+item 1).  This module folds the full 91-query catalog
 (``catalog.QUERIES``, still what ``bench.py`` measures) into a gate of
 exactly 50 entries so EVERY operator family earns a driver-green
 correctness row regardless of how the driver truncates:
@@ -108,6 +108,10 @@ MELT_SPECS: dict[str, list[tuple[str, str]]] = {
                           ("min_len", "i"), ("max_len", "i")],
     "q76_embedding_norms": [("label", "i"), ("n", "i"), ("avg_norm", "f")],
     "q90_link_rank": [("node", "i"), ("rank_ppb", "i")],
+    # all-integer spec: every column keys exactly (score_ubits is an
+    # order-free integer sum, so the stringified key is engine-exact)
+    "q91_lm_perplexity": [("doc_id", "i"), ("n_bigrams", "i"),
+                          ("score_ubits", "i"), ("avg_ubits", "i")],
 }
 
 # Suite membership — one gate row per suite, full hash power per member.
@@ -131,7 +135,7 @@ COMPOSITES: dict[str, list[str]] = {
     "g13_event_suite": ["q55_funnel", "q57_user_cumspend", "q63_inter_event_gaps",
                         "q72_hopping_distinct_users", "q73_retention_cohorts"],
     "g14_text_agg": ["q13_tokens_by_source", "q38_vocab_topk", "q47_posting_lists",
-                     "q53_tfdf_top_terms"],
+                     "q53_tfdf_top_terms", "q91_lm_perplexity"],
     "g15_chunk_trim": ["q51_chunk_documents", "q62_trim_outliers", "q76_embedding_norms"],
 }
 
