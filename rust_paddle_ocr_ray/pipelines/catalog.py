@@ -3724,6 +3724,75 @@ GROUP BY p.doc_id
 """
 
 
+def q92_kmeans(sf_dir: str):
+    """ITERATIVE distributed k-means over the embedding corpus — the
+    trainer that completes the ANN family (q35's IVF scorer consumes
+    centroids; this is where they come from, and the generic "cluster
+    the embeddings, then balance / dedup / mix per cluster" curation
+    pass).  stages/kmeans.kmeans_quantized: 3 Lloyd rounds, each ONE
+    streaming pass — centroids broadcast via ray.put, every batch
+    assigns by exact int64 micro-unit distance (ties → lowest cid)
+    and collapses to a k×(dim+1) partial, so the per-round combine
+    moves blocks × k × 65 slim int rows and vectors never shuffle.
+    Updates use sign-magnitude TRUNCATING division (DuckDB ``//``
+    semantics; Python's floors negatives) and empty clusters keep
+    their centroid, so the unrolled-CTE twin replays every round
+    bit-for-bit.  Init: the k=8 lowest vec_ids (row-filter pushed
+    into the parquet read)."""
+    from ..stages.kmeans import SCALE, _quantize, kmeans_quantized
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    k = 8
+    tbl = pq.read_table(
+        _t(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).to_pandas().sort_values("vec_id")
+    init = _quantize(tbl["embedding"], SCALE)
+    return kmeans_quantized(ds, init, iters=3)
+
+
+def _q92_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled-CTE twin of q92: the SAME quantization (floor of one
+    double multiply), exact integer distances with the (dist, cid)
+    tie-break, toward-zero ``//`` centroid updates and keep-on-empty
+    rule, so every round replays bit-for-bit."""
+    parts = [f"""
+WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                       AS BIGINT) AS x
+           FROM embeddings),
+c0 AS (SELECT vec_id AS cid, dim, x AS c FROM q WHERE vec_id < {k})"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+d{i} AS (SELECT q.vec_id, c.cid,
+               SUM((q.x - c.c) * (q.x - c.c)) AS dist
+         FROM q JOIN c{i - 1} c ON q.dim = c.dim
+         GROUP BY q.vec_id, c.cid),
+a{i} AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+           FROM d{i}) WHERE rn = 1),
+s{i} AS (SELECT a.cid, q.dim, SUM(q.x) AS sx, COUNT(*) AS n
+         FROM a{i} a JOIN q ON q.vec_id = a.vec_id
+         GROUP BY a.cid, q.dim),
+c{i} AS (SELECT p.cid, p.dim,
+                COALESCE((s.sx // s.n)::BIGINT, p.c) AS c
+         FROM c{i - 1} p LEFT JOIN s{i} s
+           ON s.cid = p.cid AND s.dim = p.dim)""")
+    parts.append(f""",
+m AS (SELECT cid, COUNT(DISTINCT vec_id) AS n_members FROM a{iters}
+      GROUP BY cid)
+SELECT c.cid, COALESCE(m.n_members, 0)::BIGINT AS n_members,
+       c.dim, c.c::BIGINT AS cval
+FROM c{iters} c LEFT JOIN m ON m.cid = c.cid""")
+    return "".join(parts)
+
+
+SQL_Q92 = _q92_sql()
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3820,4 +3889,5 @@ QUERIES: dict[str, tuple] = {
     "q89_windowed_hll": (q89_windowed_hll, SQL_Q89),
     "q90_link_rank": (q90_link_rank, SQL_Q90),
     "q91_lm_perplexity": (q91_lm_perplexity, SQL_Q91),
+    "q92_kmeans": (q92_kmeans, SQL_Q92),
 }
