@@ -3793,6 +3793,31 @@ FROM c{iters} c LEFT JOIN m ON m.cid = c.cid""")
 SQL_Q92 = _q92_sql()
 
 
+def q93_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training — the "train the tokenizer
+    on the corpus" pass of an LLM data pipeline (stages/bpe.py).  One
+    streaming word-count pass (per-batch value_counts partials → one
+    vocabulary-sized grouped_sum — the standard histogram trick:
+    corpus size never enters the merge loop), then 10 merge rounds
+    over the histogram Dataset: per-batch weighted pair counts,
+    driver combine (pair space is vocabulary-sized), winning pair
+    (max count, ties to the lexicographically smallest) broadcast
+    into a left-greedy apply pass.  Iterative and stateful — not
+    SQL-expressible — so the twin is the committed golden of the
+    INDEPENDENT plain-dict trainer (tests/oracle_impl.oracle_bpe_train
+    via tools/make_goldens.py --approx-sf), the q17/q23 mechanism."""
+    from ..stages.bpe import bpe_train
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return bpe_train(ds, merges=10)
+
+
+SQL_Q93 = f"""
+SELECT merge_rank, lhs, rhs, pair_count
+FROM read_parquet('{_GOLDEN_DIR}/q93_sf0.01.parquet')
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3890,4 +3915,5 @@ QUERIES: dict[str, tuple] = {
     "q90_link_rank": (q90_link_rank, SQL_Q90),
     "q91_lm_perplexity": (q91_lm_perplexity, SQL_Q91),
     "q92_kmeans": (q92_kmeans, SQL_Q92),
+    "q93_bpe_train": (q93_bpe_train, SQL_Q93),
 }

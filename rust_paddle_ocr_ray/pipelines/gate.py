@@ -3,7 +3,7 @@
 The driver's correctness harness records at most 50 ``queries()`` rows
 (CORRECTNESS_r04 stopped at q50 of 89 registered queries, leaving the
 sketch/media/packing families with no driver-verified row — VERDICT r4
-item 1).  This module folds the full 92-query catalog
+item 1).  This module folds the full 93-query catalog
 (``catalog.QUERIES``, still what ``bench.py`` measures) into a gate of
 exactly 50 entries so EVERY operator family earns a driver-green
 correctness row regardless of how the driver truncates:
@@ -114,6 +114,8 @@ MELT_SPECS: dict[str, list[tuple[str, str]]] = {
                           ("score_ubits", "i"), ("avg_ubits", "i")],
     "q92_kmeans": [("cid", "i"), ("n_members", "i"), ("dim", "i"),
                    ("cval", "i")],
+    "q93_bpe_train": [("merge_rank", "i"), ("lhs", "s"), ("rhs", "s"),
+                      ("pair_count", "i")],
 }
 
 # Suite membership — one gate row per suite, full hash power per member.
@@ -138,7 +140,7 @@ COMPOSITES: dict[str, list[str]] = {
     "g13_event_suite": ["q55_funnel", "q57_user_cumspend", "q63_inter_event_gaps",
                         "q72_hopping_distinct_users", "q73_retention_cohorts"],
     "g14_text_agg": ["q13_tokens_by_source", "q38_vocab_topk", "q47_posting_lists",
-                     "q53_tfdf_top_terms", "q91_lm_perplexity"],
+                     "q53_tfdf_top_terms", "q91_lm_perplexity", "q93_bpe_train"],
     "g15_chunk_trim": ["q51_chunk_documents", "q62_trim_outliers", "q76_embedding_norms"],
 }
 

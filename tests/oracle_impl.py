@@ -840,3 +840,54 @@ def oracle_knn_ivf(ids, mat, q_ids, q_mat, k=5, nlist=16, nprobe=4,
         return rows
 
     return _oracle_topk(list(ids), x, list(q_ids), q_n, cand, k)
+
+
+def oracle_bpe_train(texts, merges: int = 10):
+    """Independent plain-dict BPE trainer over the word histogram —
+    the spec's reference for catalog q93 (stages/bpe.py implements the
+    SAME pinned rules distributed):
+
+    - words = text.lower().split(); train on the (word, count)
+      HISTOGRAM (the standard scalability device — corpus size never
+      enters the loop);
+    - initial symbols = the word's characters; each round counts
+      adjacent symbol pairs weighted by word count (overlapping
+      occurrences each count: 'aaa' has ('a','a') twice);
+    - best pair = max count, ties to the lexicographically SMALLEST
+      (left, right); stop early when no pair remains;
+    - apply = single left-greedy scan per word ('aaa' + ('a','a') →
+      ['aa', 'a']).
+
+    Returns [(merge_rank, left, right, pair_count), ...].
+    """
+    hist: dict[str, int] = {}
+    for t in texts:
+        for w in str(t).lower().split():
+            hist[w] = hist.get(w, 0) + 1
+    seg = {w: list(w) for w in hist}
+    out = []
+    for rank in range(1, merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seg.items():
+            c = hist[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), n = best
+        out.append((rank, left, right, n))
+        merged = left + right
+        for w, syms in seg.items():
+            res, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == left
+                        and syms[i + 1] == right):
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            seg[w] = res
+    return out

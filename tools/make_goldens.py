@@ -191,8 +191,19 @@ def make_approx_goldens(sf_dir: str = GATE_SF_DIR) -> None:
     pq.write_table(topk_table(lsh), os.path.join(OUT, f"q21_{sf_tag}.parquet"))
     ivf = oracle_knn_ivf(vec_ids, mat, q_ids, q_mat, k=5, nlist=16, nprobe=4)
     pq.write_table(topk_table(ivf), os.path.join(OUT, f"q35_{sf_tag}.parquet"))
+
+    from tests.oracle_impl import oracle_bpe_train
+
+    bpe = oracle_bpe_train(texts, merges=10)
+    q93 = pa.Table.from_pydict(
+        {"merge_rank": pa.array([r[0] for r in bpe], pa.int64()),
+         "lhs": pa.array([r[1] for r in bpe], pa.string()),
+         "rhs": pa.array([r[2] for r in bpe], pa.string()),
+         "pair_count": pa.array([r[3] for r in bpe], pa.int64())})
+    pq.write_table(q93, os.path.join(OUT, f"q93_{sf_tag}.parquet"))
     print(f"wrote approx goldens: q17 {q17.num_rows} pairs, q18 {q18.num_rows} "
-          f"pairs, q21 {len(lsh)} rows, q35 {len(ivf)} rows")
+          f"pairs, q21 {len(lsh)} rows, q35 {len(ivf)} rows, "
+          f"q93 {q93.num_rows} merges")
 
 
 def make_vp8_goldens() -> None:
