@@ -3818,6 +3818,29 @@ FROM read_parquet('{_GOLDEN_DIR}/q93_sf0.01.parquet')
 """
 
 
+def q94_bpe_encode(sf_dir: str):
+    """BPE train→APPLY over the corpus (stages/bpe.bpe_encode_counts)
+    — the companion to q93: after training, the apply side never
+    touches per-document strings.  Training already segmented every
+    DISTINCT word, so the per-word token count is a vocabulary-sized
+    LUT broadcast once via ray.put; scoring is a single ZERO-exchange
+    map_batches (explode words → LUT map → per-doc sum; a doc's words
+    live in its own row, so per-batch sums are final — the q91 shape).
+    Output: (doc_id, n_words, n_bpe_tokens) for every document, zeros
+    for wordless ones.  Twin: committed independent-oracle golden
+    (tests/oracle_impl.oracle_bpe_encode), the q93 mechanism."""
+    from ..stages.bpe import bpe_encode_counts
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_encode_counts(ds, merges=10)
+
+
+SQL_Q94 = f"""
+SELECT doc_id, n_words, n_bpe_tokens
+FROM read_parquet('{_GOLDEN_DIR}/q94_sf0.01.parquet')
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3916,4 +3939,5 @@ QUERIES: dict[str, tuple] = {
     "q91_lm_perplexity": (q91_lm_perplexity, SQL_Q91),
     "q92_kmeans": (q92_kmeans, SQL_Q92),
     "q93_bpe_train": (q93_bpe_train, SQL_Q93),
+    "q94_bpe_encode": (q94_bpe_encode, SQL_Q94),
 }

@@ -3,7 +3,7 @@
 The driver's correctness harness records at most 50 ``queries()`` rows
 (CORRECTNESS_r04 stopped at q50 of 89 registered queries, leaving the
 sketch/media/packing families with no driver-verified row — VERDICT r4
-item 1).  This module folds the full 93-query catalog
+item 1).  This module folds the full 94-query catalog
 (``catalog.QUERIES``, still what ``bench.py`` measures) into a gate of
 exactly 50 entries so EVERY operator family earns a driver-green
 correctness row regardless of how the driver truncates:
@@ -116,6 +116,8 @@ MELT_SPECS: dict[str, list[tuple[str, str]]] = {
                    ("cval", "i")],
     "q93_bpe_train": [("merge_rank", "i"), ("lhs", "s"), ("rhs", "s"),
                       ("pair_count", "i")],
+    "q94_bpe_encode": [("doc_id", "i"), ("n_words", "i"),
+                       ("n_bpe_tokens", "i")],
 }
 
 # Suite membership — one gate row per suite, full hash power per member.
@@ -125,7 +127,8 @@ COMPOSITES: dict[str, list[str]] = {
     "g02_join_suite": ["q04_join_broadcast", "q05_join_hash", "q28_json_extract",
                        "q29_multijoin"],
     "g03_doc_profile": ["q11_langid", "q12_quality", "q14_fingerprint",
-                        "q32_rolling_fingerprint", "q33_bpe_tokens", "q44_repetition_stats"],
+                        "q32_rolling_fingerprint", "q33_bpe_tokens", "q44_repetition_stats",
+                        "q94_bpe_encode"],
     "g04_exact_dedup": ["q15_dedup_exact", "q16_dedup_exact_text", "q48_normalized_dedup"],
     "g05_neardup_pairs": ["q18_simhash_pairs", "q19_jaccard_pairs", "q22_embedding_dups"],
     "g06_knn_suite": ["q20_knn_bruteforce", "q21_knn_lsh", "q35_knn_ivf",

@@ -63,13 +63,9 @@ def _apply_merge(syms, left: str, right: str, merged: str):
     return res
 
 
-def bpe_train(docs, text_col: str = "text",
-              merges: int = 10) -> pd.DataFrame:
-    """Learn ``merges`` BPE merges from ``docs[text_col]``.
-
-    Returns a DataFrame of ``(merge_rank, lhs, rhs, pair_count)``
-    rows in learning order (possibly fewer than ``merges`` when the
-    histogram runs out of adjacent pairs)."""
+def _train(docs, text_col: str, merges: int):
+    """The shared training loop: returns (merge rows, final
+    segmentation Dataset of (word, syms, cnt))."""
     from .distinct import grouped_sum
 
     def wc(b: pd.DataFrame) -> pd.DataFrame:
@@ -82,7 +78,8 @@ def bpe_train(docs, text_col: str = "text",
                        "word", ["cnt"], num_buckets=8)
 
     def init_syms(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"syms": [list(w) for w in b["word"]],
+        return pd.DataFrame({"word": b["word"],
+                             "syms": [list(w) for w in b["word"]],
                              "cnt": b["cnt"].astype("int64")})
 
     seg = hist.map_batches(init_syms, batch_format="pandas").materialize()
@@ -104,16 +101,72 @@ def bpe_train(docs, text_col: str = "text",
         def apply(b: pd.DataFrame, _l=left, _r=right,
                   _m=merged) -> pd.DataFrame:
             return pd.DataFrame({
+                "word": b["word"],
                 "syms": [_apply_merge(s, _l, _r, _m)
                          for s in b["syms"].to_numpy()],
                 "cnt": b["cnt"],
             })
 
         seg = seg.map_batches(apply, batch_format="pandas").materialize()
+    return rows, seg
 
+
+def bpe_train(docs, text_col: str = "text",
+              merges: int = 10) -> pd.DataFrame:
+    """Learn ``merges`` BPE merges from ``docs[text_col]``.
+
+    Returns a DataFrame of ``(merge_rank, lhs, rhs, pair_count)``
+    rows in learning order (possibly fewer than ``merges`` when the
+    histogram runs out of adjacent pairs)."""
+    rows, _seg = _train(docs, text_col, merges)
     return pd.DataFrame({
         "merge_rank": pd.Series([r[0] for r in rows], dtype="int64"),
         "lhs": pd.Series([r[1] for r in rows], dtype=object),
         "rhs": pd.Series([r[2] for r in rows], dtype=object),
         "pair_count": pd.Series([r[3] for r in rows], dtype="int64"),
     })
+
+
+def bpe_encode_counts(docs, id_col: str = "doc_id",
+                      text_col: str = "text", merges: int = 10):
+    """Train ``merges`` BPE merges, then encode the whole corpus —
+    the train→apply tokenizer loop (q94).
+
+    The apply side never touches per-document strings: training
+    already segmented every DISTINCT word, so the per-word token
+    count is a vocabulary-sized LUT that broadcasts once via
+    ``ray.put``; the scoring pass is a single zero-exchange
+    ``map_batches`` (explode words → LUT map → per-doc sum — a doc's
+    words live in its own row, so per-batch sums are final, the q91
+    shape).  Returns a Dataset of ``(id_col, n_words,
+    n_bpe_tokens)`` — one row per document, zero counts for
+    wordless documents."""
+    import ray
+
+    from .merge import _get_broadcast
+
+    _rows, seg = _train(docs, text_col, merges)
+    lens = seg.map_batches(
+        lambda b: pd.DataFrame({
+            "word": b["word"],
+            "n": np.fromiter((len(s) for s in b["syms"].to_numpy()),
+                             dtype="int64", count=len(b))}),
+        batch_format="pandas").to_pandas()
+    lut = lens.set_index("word")["n"]
+    ref = ray.put(lut)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        m = _get_broadcast(ref)
+        toks = b[text_col].str.lower().str.split()
+        e = toks.explode().dropna()
+        # trained on this corpus: every word is in the LUT
+        n_tok = e.map(m).astype("int64").groupby(level=0).sum()
+        n_w = e.groupby(level=0).size()
+        out = pd.DataFrame({id_col: b[id_col].astype("int64")},
+                           index=b.index)
+        out["n_words"] = n_w.reindex(b.index, fill_value=0).astype("int64")
+        out["n_bpe_tokens"] = n_tok.reindex(b.index,
+                                            fill_value=0).astype("int64")
+        return out.reset_index(drop=True)
+
+    return docs.map_batches(score, batch_format="pandas")

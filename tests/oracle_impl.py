@@ -891,3 +891,45 @@ def oracle_bpe_train(texts, merges: int = 10):
                     i += 1
             seg[w] = res
     return out
+
+
+def oracle_bpe_encode(ids, texts, merges: int = 10):
+    """Independent train→apply BPE encode (catalog q94's reference):
+    train with the oracle_bpe_train rules, then per document count
+    words and post-merge tokens (wordless documents emit zeros).
+
+    Returns [(doc_id, n_words, n_bpe_tokens), ...] in input order.
+    """
+    hist: dict[str, int] = {}
+    for t in texts:
+        for w in str(t).lower().split():
+            hist[w] = hist.get(w, 0) + 1
+    seg = {w: list(w) for w in hist}
+    for _rank in range(merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seg.items():
+            c = hist[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + c
+        if not counts:
+            break
+        (left, right), _n = min(counts.items(),
+                                key=lambda kv: (-kv[1], kv[0]))
+        merged = left + right
+        for w, syms in seg.items():
+            res, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == left
+                        and syms[i + 1] == right):
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            seg[w] = res
+    out = []
+    for d, t in zip(ids, texts):
+        ws = str(t).lower().split()
+        out.append((d, len(ws), sum(len(seg[w]) for w in ws)))
+    return out

@@ -47,3 +47,22 @@ def test_merged_symbols_chain(ray_session):
     out = _run(["abab abab abab"], merges=2)
     assert out[0][1:3] == ("a", "b")
     assert out[1][1:3] == ("ab", "ab")
+
+
+def test_encode_matches_oracle(ray_session):
+    from rust_paddle_ocr_ray.stages.bpe import bpe_encode_counts
+    from tests.oracle_impl import oracle_bpe_encode
+
+    texts = ["the cat the cat", "aaa the", "", "banana bandana", "THE Cat"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (bpe_encode_counts(rd.from_pandas(df), merges=6).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = pd.DataFrame(
+        oracle_bpe_encode(list(range(len(texts))), texts, merges=6),
+        columns=["doc_id", "n_words", "n_bpe_tokens"]).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+    # the wordless doc is PRESENT with zeros, not dropped
+    assert got.set_index("doc_id").loc[2, "n_words"] == 0
+    # merges compress: token count strictly below character count
+    chars = sum(len(w) for w in "the cat the cat".split())
+    assert got.set_index("doc_id").loc[0, "n_bpe_tokens"] < chars

@@ -192,7 +192,7 @@ def make_approx_goldens(sf_dir: str = GATE_SF_DIR) -> None:
     ivf = oracle_knn_ivf(vec_ids, mat, q_ids, q_mat, k=5, nlist=16, nprobe=4)
     pq.write_table(topk_table(ivf), os.path.join(OUT, f"q35_{sf_tag}.parquet"))
 
-    from tests.oracle_impl import oracle_bpe_train
+    from tests.oracle_impl import oracle_bpe_encode, oracle_bpe_train
 
     bpe = oracle_bpe_train(texts, merges=10)
     q93 = pa.Table.from_pydict(
@@ -201,9 +201,16 @@ def make_approx_goldens(sf_dir: str = GATE_SF_DIR) -> None:
          "rhs": pa.array([r[2] for r in bpe], pa.string()),
          "pair_count": pa.array([r[3] for r in bpe], pa.int64())})
     pq.write_table(q93, os.path.join(OUT, f"q93_{sf_tag}.parquet"))
+
+    enc = oracle_bpe_encode(ids, texts, merges=10)
+    q94 = pa.Table.from_pydict(
+        {"doc_id": pa.array([r[0] for r in enc], pa.int64()),
+         "n_words": pa.array([r[1] for r in enc], pa.int64()),
+         "n_bpe_tokens": pa.array([r[2] for r in enc], pa.int64())})
+    pq.write_table(q94, os.path.join(OUT, f"q94_{sf_tag}.parquet"))
     print(f"wrote approx goldens: q17 {q17.num_rows} pairs, q18 {q18.num_rows} "
           f"pairs, q21 {len(lsh)} rows, q35 {len(ivf)} rows, "
-          f"q93 {q93.num_rows} merges")
+          f"q93 {q93.num_rows} merges, q94 {q94.num_rows} docs")
 
 
 def make_vp8_goldens() -> None:
