@@ -3841,6 +3841,80 @@ FROM read_parquet('{_GOLDEN_DIR}/q94_sf0.01.parquet')
 """
 
 
+#: pinned BM25 gate queries — rare + mid + common df terms so the idf
+#: spectrum is exercised ('dup' is the corpus's one rare token)
+_Q95_QUERIES: dict[int, list[str]] = {
+    1: ["dup", "key", "fast"],
+    2: ["hash", "join", "merge"],
+    3: ["window", "sort", "order"],
+    4: ["vector", "scan", "column", "stream"],
+}
+
+
+def q95_bm25(sf_dir: str):
+    """BM25 lexical retrieval (stages/retrieval.bm25_topk) — top-10
+    documents per query for a pinned 4-query set, the first-stage
+    retriever of the decontamination / targeted-curation loop (the
+    embedding rerank is q20/q21/q35).  Two streaming passes, zero wide
+    exchange: a vocabulary-restricted (term, df) grouped_sum with the
+    corpus totals riding as sentinel rows, then a broadcast-idf scoring
+    pass keeping per-batch local top-k (exact under the pinned
+    (score desc, doc_id asc) order).  Arithmetic is integer-exact: with
+    k1=6/5, b=3/4 each contribution is the floor division
+    idf_ubits*22*T*tf // (10*T*tf + 3*T + 9*N*dl) — the twin runs the
+    identical expression in HUGEINT; the only float is one log2 per
+    distinct query term, floor-quantized to micro-bits on both engines
+    (the q91 LUT discipline)."""
+    from ..stages.retrieval import bm25_topk
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, _Q95_QUERIES, k=10)
+
+
+_Q95_VALUES = ", ".join(
+    f"({q}, '{t}')" for q, ts in sorted(_Q95_QUERIES.items()) for t in sorted(set(ts))
+)
+
+SQL_Q95 = rf"""
+WITH qt(query_id, term) AS (VALUES {_Q95_VALUES}),
+     raw AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l
+             FROM documents),
+     dl AS (SELECT doc_id, COALESCE(len(l), 0)::BIGINT AS dl FROM raw),
+     tot AS (SELECT COUNT(*)::BIGINT AS n, COALESCE(SUM(dl), 0)::BIGINT AS t
+             FROM dl),
+     toks AS (SELECT doc_id, unnest(l) AS tok FROM raw),
+     qtoks AS (SELECT doc_id, tok AS term FROM toks
+               WHERE tok IN (SELECT term FROM qt)),
+     df AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
+            FROM qtoks GROUP BY term),
+     idf AS (SELECT term,
+                    CAST(floor(log2(1.0 + (n - df + 0.5) / (df + 0.5))
+                               * 1000000) AS BIGINT) AS idf
+             FROM df CROSS JOIN tot),
+     tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+            FROM qtoks GROUP BY doc_id, term),
+     contrib AS (SELECT qt.query_id, tf.doc_id,
+                        CAST((idf.idf::HUGEINT * 22 * tot.t * tf.tf)
+                             // (10::HUGEINT * tot.t * tf.tf + 3 * tot.t
+                                 + 9 * tot.n * dl.dl) AS BIGINT) AS c
+                 FROM tf
+                 JOIN idf USING (term)
+                 JOIN qt ON qt.term = tf.term
+                 JOIN dl ON dl.doc_id = tf.doc_id
+                 CROSS JOIN tot),
+     scores AS (SELECT query_id, doc_id, SUM(c)::BIGINT AS score_ubits
+                FROM contrib GROUP BY query_id, doc_id),
+     ranked AS (SELECT query_id, doc_id, score_ubits,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score_ubits DESC,
+                                                   doc_id ASC) AS rank
+                FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, score_ubits
+FROM ranked WHERE rank <= 10
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3940,4 +4014,5 @@ QUERIES: dict[str, tuple] = {
     "q92_kmeans": (q92_kmeans, SQL_Q92),
     "q93_bpe_train": (q93_bpe_train, SQL_Q93),
     "q94_bpe_encode": (q94_bpe_encode, SQL_Q94),
+    "q95_bm25": (q95_bm25, SQL_Q95),
 }
