@@ -3752,11 +3752,10 @@ def q92_kmeans(sf_dir: str):
     return kmeans_quantized(ds, init, iters=3)
 
 
-def _q92_sql(k: int = 8, iters: int = 3) -> str:
-    """Unrolled-CTE twin of q92: the SAME quantization (floor of one
-    double multiply), exact integer distances with the (dist, cid)
-    tie-break, toward-zero ``//`` centroid updates and keep-on-empty
-    rule, so every round replays bit-for-bit."""
+def _kmeans_rounds_sql(k: int, iters: int) -> str:
+    """The shared unrolled-Lloyd CTE body (quantized q, seed c0, then
+    d/a/s/c per round) — q92 appends the centroid report, q98 appends
+    the within-cluster pair scan over one extra assignment round."""
     parts = [f"""
 WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
@@ -3781,6 +3780,15 @@ c{i} AS (SELECT p.cid, p.dim,
                 COALESCE((s.sx // s.n)::BIGINT, p.c) AS c
          FROM c{i - 1} p LEFT JOIN s{i} s
            ON s.cid = p.cid AND s.dim = p.dim)""")
+    return "".join(parts)
+
+
+def _q92_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled-CTE twin of q92: the SAME quantization (floor of one
+    double multiply), exact integer distances with the (dist, cid)
+    tie-break, toward-zero ``//`` centroid updates and keep-on-empty
+    rule, so every round replays bit-for-bit."""
+    parts = [_kmeans_rounds_sql(k, iters)]
     parts.append(f""",
 m AS (SELECT cid, COUNT(DISTINCT vec_id) AS n_members FROM a{iters}
       GROUP BY cid)
@@ -3915,6 +3923,155 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q96_dsir(sf_dir: str):
+    """DSIR importance weighting (Xie et al. 2023) — hashed-unigram
+    importance ratios against the lang='en' target slice
+    (stages/dsir.py).  One fixed-bucket grouped_sum (documents never
+    shuffle), a 1024-entry int64 LUT broadcast via ray.put, then a
+    ZERO-exchange scoring pass.  Integer-exact: the word→bucket hash
+    is the q32 polynomial (8-term powers VALUES table in the twin),
+    per-doc scores are order-free int sums, and the per-bucket log2
+    is floor-quantized to micro-bits on both engines."""
+    from ..stages.dsir import dsir_scores
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return dsir_scores(ds, id_col="doc_id", text_col="text",
+                       target_col="lang", target_value="en")
+
+
+def _q96_sql(n_buckets: int = 1024) -> str:
+    from ..stages.dsir import _MOD, _POWS
+
+    pw = ", ".join(f"({j + 1}, {p}::HUGEINT)" for j, p in enumerate(_POWS))
+    return rf"""
+WITH pw(j, p) AS (VALUES {pw}),
+raw AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '\S+') AS l
+        FROM documents),
+tk AS (SELECT doc_id, lang, unnest(l) AS tok,
+              generate_subscripts(l, 1) AS pos
+       FROM raw),
+hb AS (SELECT t.doc_id, t.lang,
+              ((SUM(CASE WHEN pw.j <= length(t.tok)
+                     THEN unicode(substr(t.tok, pw.j, 1))::HUGEINT
+                     ELSE 0 END * pw.p) % {_MOD}::HUGEINT)
+               % {n_buckets})::BIGINT AS bucket
+       FROM tk t CROSS JOIN pw
+       GROUP BY t.doc_id, t.lang, t.pos),
+cnt AS (SELECT bucket,
+               COUNT(*) FILTER (WHERE lang = 'en') AS ct,
+               COUNT(*) AS cr
+        FROM hb GROUP BY bucket),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt),
+lut AS (SELECT bucket,
+               CAST(floor(log2(
+                 ((ct + 1) * (tr + {n_buckets}))::DOUBLE /
+                 ((cr + 1) * (tt + {n_buckets}))::DOUBLE) * 1000000)
+                    AS BIGINT) AS ubits
+        FROM cnt CROSS JOIN tot)
+SELECT d.doc_id,
+       COUNT(h.bucket)::BIGINT AS n_words,
+       COALESCE(SUM(l.ubits), 0)::BIGINT AS dsir_ubits
+FROM documents d
+LEFT JOIN hb h ON h.doc_id = d.doc_id
+LEFT JOIN lut l ON l.bucket = h.bucket
+GROUP BY d.doc_id
+"""
+
+
+SQL_Q96 = _q96_sql()
+
+
+#: pinned tagging dictionary (q97) — shared verbatim by both engines
+TAG_PHRASES = [
+    "table", "hash join", "row scan", "data", "query", "slow",
+    "fast merge", "customer", "spark", "order data", "window",
+    "value part",
+]
+
+
+def q97_keyword_tags(sf_dir: str):
+    """Dictionary tagging (stages/tagging.py): per-document counts for
+    a pinned phrase dictionary via ONE Aho-Corasick pass per document
+    (automaton built once per actor — the ST2 pattern; per-batch cost
+    O(bytes + matches) regardless of dictionary size).  Counts are
+    pinned to per-phrase non-overlapping leftmost-greedy == Python
+    ``str.count`` == the twin's replace-length formula (randomized
+    equivalence sweep in tests/test_tagging.py)."""
+    from ..stages.tagging import keyword_tags
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return keyword_tags(ds, TAG_PHRASES, id_col="doc_id",
+                        text_col="text", concurrency=4)
+
+
+def _q97_sql() -> str:
+    vals = ", ".join("('" + p.replace("'", "''") + "')" for p in TAG_PHRASES)
+    return f"""
+WITH ph(phrase) AS (VALUES {vals}),
+d AS (SELECT doc_id, lower(text) AS t FROM documents)
+SELECT doc_id, phrase,
+       ((length(t) - length(replace(t, phrase, ''))) // length(phrase)
+        )::BIGINT AS cnt
+FROM d CROSS JOIN ph
+WHERE length(t) - length(replace(t, phrase, '')) > 0
+"""
+
+
+SQL_Q97 = _q97_sql()
+
+
+def q98_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, stages/semdedup.py): k-means
+    clusters (the q92 integer-exact trainer, k=8 / 3 rounds / lowest-id
+    seeds), one extra assignment pass against the FINAL centroids,
+    then per-cluster exact integer cosine pair scans (τ = 0.35,
+    τ² = 49/400) marking ``removed(i) ⇔ ∃ j < i in-cluster with
+    cos ≥ τ``.  Vectors shuffle ONCE, keyed cid.  The twin replays
+    training via the shared unrolled-Lloyd CTE plus a HUGEINT pair
+    scan over the extra assignment round."""
+    from ..stages.kmeans import SCALE, _quantize
+    from ..stages.semdedup import semdedup
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    k = 8
+    tbl = pq.read_table(
+        _t(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).to_pandas().sort_values("vec_id")
+    init = _quantize(tbl["embedding"], SCALE)
+    return semdedup(ds, init, iters=3)
+
+
+def _q98_sql(k: int = 8, iters: int = 3, tau_num: int = 49,
+             tau_den: int = 400) -> str:
+    # one extra unrolled round: a{iters+1} is the assignment against
+    # the FINAL trained centroids c{iters} (its s/c CTEs go unused)
+    it = iters + 1
+    rounds = _kmeans_rounds_sql(k, it)
+    return rounds + f""",
+nrm AS (SELECT vec_id, SUM(x * x)::HUGEINT AS n2 FROM q GROUP BY vec_id),
+pr AS (SELECT a1.vec_id AS i, a2.vec_id AS j, a1.cid
+       FROM a{it} a1 JOIN a{it} a2
+         ON a1.cid = a2.cid AND a2.vec_id < a1.vec_id),
+dp AS (SELECT pr.i, pr.j, SUM(qi.x * qj.x)::HUGEINT AS dot
+       FROM pr JOIN q qi ON qi.vec_id = pr.i
+               JOIN q qj ON qj.vec_id = pr.j AND qj.dim = qi.dim
+       GROUP BY pr.i, pr.j),
+rem AS (SELECT DISTINCT dp.i AS vec_id
+        FROM dp JOIN nrm ni ON ni.vec_id = dp.i
+                JOIN nrm nj ON nj.vec_id = dp.j
+        WHERE dp.dot > 0
+          AND dp.dot * dp.dot * {tau_den} >= {tau_num} * ni.n2 * nj.n2)
+SELECT a.vec_id, a.cid::BIGINT AS cid,
+       (CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS removed
+FROM a{it} a LEFT JOIN rem r ON r.vec_id = a.vec_id
+"""
+
+
+SQL_Q98 = _q98_sql()
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -4015,4 +4172,7 @@ QUERIES: dict[str, tuple] = {
     "q93_bpe_train": (q93_bpe_train, SQL_Q93),
     "q94_bpe_encode": (q94_bpe_encode, SQL_Q94),
     "q95_bm25": (q95_bm25, SQL_Q95),
+    "q96_dsir": (q96_dsir, SQL_Q96),
+    "q97_keyword_tags": (q97_keyword_tags, SQL_Q97),
+    "q98_semdedup": (q98_semdedup, SQL_Q98),
 }

@@ -3,7 +3,7 @@
 The driver's correctness harness records at most 50 ``queries()`` rows
 (CORRECTNESS_r04 stopped at q50 of 89 registered queries, leaving the
 sketch/media/packing families with no driver-verified row — VERDICT r4
-item 1).  This module folds the full 95-query catalog
+item 1).  This module folds the full 98-query catalog
 (``catalog.QUERIES``, still what ``bench.py`` measures) into a gate of
 exactly 50 entries so EVERY operator family earns a driver-green
 correctness row regardless of how the driver truncates:
@@ -122,6 +122,11 @@ MELT_SPECS: dict[str, list[tuple[str, str]]] = {
     # discipline), so every column keys exactly
     "q95_bm25": [("query_id", "i"), ("rank", "i"), ("doc_id", "i"),
                  ("score_ubits", "i")],
+    # all-integer (dsir_ubits is an order-free int sum of floor-
+    # quantized per-bucket micro-bit weights — the q91 discipline)
+    "q96_dsir": [("doc_id", "i"), ("n_words", "i"), ("dsir_ubits", "i")],
+    "q97_keyword_tags": [("doc_id", "i"), ("phrase", "s"), ("cnt", "i")],
+    "q98_semdedup": [("vec_id", "i"), ("cid", "i"), ("removed", "i")],
 }
 
 # Suite membership — one gate row per suite, full hash power per member.
@@ -132,11 +137,11 @@ COMPOSITES: dict[str, list[str]] = {
                        "q29_multijoin"],
     "g03_doc_profile": ["q11_langid", "q12_quality", "q14_fingerprint",
                         "q32_rolling_fingerprint", "q33_bpe_tokens", "q44_repetition_stats",
-                        "q94_bpe_encode"],
+                        "q94_bpe_encode", "q96_dsir"],
     "g04_exact_dedup": ["q15_dedup_exact", "q16_dedup_exact_text", "q48_normalized_dedup"],
     "g05_neardup_pairs": ["q18_simhash_pairs", "q19_jaccard_pairs", "q22_embedding_dups"],
     "g06_knn_suite": ["q20_knn_bruteforce", "q21_knn_lsh", "q35_knn_ivf",
-                      "q92_kmeans", "q95_bm25"],
+                      "q92_kmeans", "q95_bm25", "q98_semdedup"],
     "g07_media_meta": ["q25_media_meta", "q31_frame_sample"],
     "g08_window_suite": ["q08_window_bucket", "q34_hopping_window"],
     "g09_asof_suite": ["q27_asof_join", "q46_asof_tolerance"],
@@ -147,7 +152,8 @@ COMPOSITES: dict[str, list[str]] = {
     "g13_event_suite": ["q55_funnel", "q57_user_cumspend", "q63_inter_event_gaps",
                         "q72_hopping_distinct_users", "q73_retention_cohorts"],
     "g14_text_agg": ["q13_tokens_by_source", "q38_vocab_topk", "q47_posting_lists",
-                     "q53_tfdf_top_terms", "q91_lm_perplexity", "q93_bpe_train"],
+                     "q53_tfdf_top_terms", "q91_lm_perplexity", "q93_bpe_train",
+                     "q97_keyword_tags"],
     "g15_chunk_trim": ["q51_chunk_documents", "q62_trim_outliers", "q76_embedding_norms"],
 }
 
