@@ -4072,6 +4072,54 @@ FROM a{it} a LEFT JOIN rem r ON r.vec_id = a.vec_id
 SQL_Q98 = _q98_sql()
 
 
+def q99_cluster_balance(sf_dir: str):
+    """Cluster-balanced selection — the "cluster the corpus, then cap
+    each cluster" curation pass (the balance half of the SemDeDup/
+    DeepCore recipe): train k-means (the shared q92 integer-exact
+    loop), assign every vector with ONE slim streaming pass
+    (stages/kmeans.assign_with_distance — vectors never shuffle,
+    only (id, cid, dist) int64 rows), keep the 16 closest-to-centroid
+    members per cluster via grouped_topk (ties → lowest vec_id).
+    The twin replays training through the shared unrolled-Lloyd CTE
+    and ranks the extra assignment round's exact distances."""
+    from ..stages.kmeans import SCALE, _quantize, assign_with_distance, kmeans_quantized
+    from ..stages.topk import grouped_topk
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    k = 8
+    tbl = pq.read_table(
+        _t(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).to_pandas().sort_values("vec_id")
+    init = _quantize(tbl["embedding"], SCALE)
+    cent = kmeans_quantized(ds, init, iters=3)
+    cmat = (cent.pivot(index="cid", columns="dim", values="cval")
+            .sort_index().to_numpy().astype("int64"))
+    slim = assign_with_distance(ds, cmat)
+    return grouped_topk(slim, ["cid"], "dist", k=16, tie_cols=["vec_id"],
+                        ascending=True, with_rank="rnk",
+                        num_buckets=8)
+
+
+def _q99_sql(k: int = 8, iters: int = 3, keep: int = 16) -> str:
+    it = iters + 1
+    rounds = _kmeans_rounds_sql(k, it)
+    return rounds + f""",
+ad AS (SELECT d.vec_id, d.cid, d.dist
+       FROM d{it} d JOIN a{it} a ON a.vec_id = d.vec_id AND a.cid = d.cid),
+rk AS (SELECT vec_id, cid, dist,
+              ROW_NUMBER() OVER (PARTITION BY cid
+                                 ORDER BY dist, vec_id) AS rnk
+       FROM ad)
+SELECT vec_id, cid::BIGINT AS cid, dist::BIGINT AS dist, rnk::BIGINT AS rnk
+FROM rk WHERE rnk <= {keep}
+"""
+
+
+SQL_Q99 = _q99_sql()
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -4175,4 +4223,5 @@ QUERIES: dict[str, tuple] = {
     "q96_dsir": (q96_dsir, SQL_Q96),
     "q97_keyword_tags": (q97_keyword_tags, SQL_Q97),
     "q98_semdedup": (q98_semdedup, SQL_Q98),
+    "q99_cluster_balance": (q99_cluster_balance, SQL_Q99),
 }

@@ -3,7 +3,7 @@
 The driver's correctness harness records at most 50 ``queries()`` rows
 (CORRECTNESS_r04 stopped at q50 of 89 registered queries, leaving the
 sketch/media/packing families with no driver-verified row — VERDICT r4
-item 1).  This module folds the full 98-query catalog
+item 1).  This module folds the full 99-query catalog
 (``catalog.QUERIES``, still what ``bench.py`` measures) into a gate of
 exactly 50 entries so EVERY operator family earns a driver-green
 correctness row regardless of how the driver truncates:
@@ -127,6 +127,8 @@ MELT_SPECS: dict[str, list[tuple[str, str]]] = {
     "q96_dsir": [("doc_id", "i"), ("n_words", "i"), ("dsir_ubits", "i")],
     "q97_keyword_tags": [("doc_id", "i"), ("phrase", "s"), ("cnt", "i")],
     "q98_semdedup": [("vec_id", "i"), ("cid", "i"), ("removed", "i")],
+    "q99_cluster_balance": [("vec_id", "i"), ("cid", "i"), ("dist", "i"),
+                            ("rnk", "i")],
 }
 
 # Suite membership — one gate row per suite, full hash power per member.
@@ -141,7 +143,8 @@ COMPOSITES: dict[str, list[str]] = {
     "g04_exact_dedup": ["q15_dedup_exact", "q16_dedup_exact_text", "q48_normalized_dedup"],
     "g05_neardup_pairs": ["q18_simhash_pairs", "q19_jaccard_pairs", "q22_embedding_dups"],
     "g06_knn_suite": ["q20_knn_bruteforce", "q21_knn_lsh", "q35_knn_ivf",
-                      "q92_kmeans", "q95_bm25", "q98_semdedup"],
+                      "q92_kmeans", "q95_bm25", "q98_semdedup",
+                      "q99_cluster_balance"],
     "g07_media_meta": ["q25_media_meta", "q31_frame_sample"],
     "g08_window_suite": ["q08_window_bucket", "q34_hopping_window"],
     "g09_asof_suite": ["q27_asof_join", "q46_asof_tolerance"],

@@ -145,3 +145,36 @@ def kmeans_quantized(vectors, init: np.ndarray, vec_col: str = "embedding",
         "dim": np.tile(np.arange(dim, dtype="int64"), k),
         "cval": cents.ravel(),
     })
+
+
+def assign_with_distance(vectors, cmat: np.ndarray,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id", scale: int = SCALE):
+    """One streaming assignment pass against trained centroids: a
+    Dataset of slim ``(id_col, cid, dist)`` int64 rows — ``dist`` is
+    the EXACT squared micro-unit distance to the assigned centroid
+    (the same int64 arithmetic as training, so a DuckDB twin's d/a
+    round replays it bit-for-bit; ties → lowest cid).  The vectors
+    never shuffle: this is the slim front half of any
+    "cluster-then-curate" pass (balance caps, exemplar picks,
+    per-cluster quotas)."""
+    import ray
+
+    from .merge import _get_broadcast
+
+    ref = ray.put(np.ascontiguousarray(cmat.astype("int64")))
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        c = _get_broadcast(ref)
+        x = _quantize(b[vec_col], scale)
+        d2 = ((x * x).sum(axis=1)[:, None]
+              - 2 * (x @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        a = np.argmin(d2, axis=1)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(dtype="int64"),
+            "cid": a.astype("int64"),
+            "dist": d2[np.arange(len(a)), a].astype("int64"),
+        })
+
+    return vectors.map_batches(f, batch_format="pandas")

@@ -100,3 +100,14 @@ def test_overflow_guard_raises(ray_session, monkeypatch):
     monkeypatch.setattr(m, "_EXACT_F64", 10)
     with pytest.raises(ValueError, match="exact float64"):
         dsir_scores(rd.from_pandas(DOCS), n_buckets=64).to_pandas()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=20),
+       st.sampled_from([64, 1024, 4096]))
+def test_hypothesis_hash_matches_reference(word, nb):
+    assert word_bucket(word, nb) == _ref_bucket(word, nb)

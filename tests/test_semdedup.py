@@ -116,3 +116,21 @@ def test_max_cluster_raises(ray_session):
     with pytest.raises(Exception, match="max_cluster"):
         semdedup(rd.from_pandas(df), init, iters=1,
                  max_cluster=3).to_pandas()
+
+
+def test_assign_with_distance_matches_replay(ray_session):
+    from rust_paddle_ocr_ray.stages.kmeans import assign_with_distance
+
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(40, 5)).astype("float32")
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype="int64"),
+                       "embedding": list(emb)})
+    c = _quantize(df["embedding"][:4], SCALE)
+    out = (assign_with_distance(rd.from_pandas(df), c)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    x = _quantize(df["embedding"], SCALE)
+    a = _assign(x, c)
+    d2 = ((x * x).sum(axis=1)[:, None] - 2 * (x @ c.T)
+          + (c * c).sum(axis=1)[None, :])
+    assert out["cid"].tolist() == a.tolist()
+    assert out["dist"].tolist() == d2[np.arange(len(a)), a].tolist()

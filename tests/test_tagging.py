@@ -90,3 +90,21 @@ def test_stage_matches_sql_semantics(ray_session):
     pd.testing.assert_frame_equal(
         out.astype({"doc_id": "int64", "cnt": "int64"}),
         want_df.astype({"doc_id": "int64", "cnt": "int64"}))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.sets(st.text(alphabet="ab", min_size=1, max_size=5),
+            min_size=1, max_size=8),
+    st.text(alphabet="ab ", max_size=120),
+)
+def test_hypothesis_equivalence_vs_str_count(pats, text):
+    ordered = sorted(pats)
+    ac = AhoCorasick(ordered)
+    got = ac.count_nonoverlapping(text)
+    for i, p in enumerate(ordered):
+        assert got.get(i, 0) == text.count(p)
