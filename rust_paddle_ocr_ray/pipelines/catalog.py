@@ -4120,6 +4120,46 @@ FROM rk WHERE rnk <= {keep}
 SQL_Q99 = _q99_sql()
 
 
+def q100_source_temperature(sf_dir: str):
+    """Temperature-scaled source mixing (stages/mixing.py) — the
+    mT5/PaLM α-sampling rule at the one temperature with an EXACT
+    integer form, α = 1/2: per-source weights ``isqrt(tokens_s)``
+    (SQL replays isqrt as floor(sqrt) corrected by ±1 integer
+    comparisons), document quotas ``budget·w // Σw``, selection =
+    the quota_s first docs per source under the pinned
+    ``(md5(str(doc_id)), doc_id)`` order (the q66 idiom).  One
+    token-count pass + one slim grouped_topk; documents never
+    shuffle."""
+    from ..stages.mixing import temperature_mix
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return temperature_mix(ds, budget_docs=200)
+
+
+SQL_Q100 = r"""
+WITH tok AS (SELECT source, SUM(len(regexp_extract_all(text, '\S+'))) AS toks
+             FROM documents GROUP BY source),
+s0 AS (SELECT source, toks,
+              CAST(floor(sqrt(toks::DOUBLE)) AS BIGINT) AS s0
+       FROM tok),
+w AS (SELECT source,
+             (s0 - CASE WHEN s0 * s0 > toks THEN 1 ELSE 0 END
+                 + CASE WHEN (s0 + 1) * (s0 + 1) <= toks THEN 1 ELSE 0 END
+              ) AS w
+      FROM s0),
+tw AS (SELECT SUM(w) AS sw FROM w),
+q AS (SELECT source, (200 * w) // sw AS quota FROM w CROSS JOIN tw),
+r AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rnk
+      FROM documents)
+SELECT r.doc_id, r.source, r.rnk::BIGINT AS rnk
+FROM r JOIN q USING (source)
+WHERE r.rnk <= q.quota
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -4224,4 +4264,5 @@ QUERIES: dict[str, tuple] = {
     "q97_keyword_tags": (q97_keyword_tags, SQL_Q97),
     "q98_semdedup": (q98_semdedup, SQL_Q98),
     "q99_cluster_balance": (q99_cluster_balance, SQL_Q99),
+    "q100_source_temperature": (q100_source_temperature, SQL_Q100),
 }

@@ -3,7 +3,7 @@
 The driver's correctness harness records at most 50 ``queries()`` rows
 (CORRECTNESS_r04 stopped at q50 of 89 registered queries, leaving the
 sketch/media/packing families with no driver-verified row — VERDICT r4
-item 1).  This module folds the full 99-query catalog
+item 1).  This module folds the full 100-query catalog
 (``catalog.QUERIES``, still what ``bench.py`` measures) into a gate of
 exactly 50 entries so EVERY operator family earns a driver-green
 correctness row regardless of how the driver truncates:
@@ -129,6 +129,8 @@ MELT_SPECS: dict[str, list[tuple[str, str]]] = {
     "q98_semdedup": [("vec_id", "i"), ("cid", "i"), ("removed", "i")],
     "q99_cluster_balance": [("vec_id", "i"), ("cid", "i"), ("dist", "i"),
                             ("rnk", "i")],
+    "q100_source_temperature": [("doc_id", "i"), ("source", "s"),
+                                ("rnk", "i")],
 }
 
 # Suite membership — one gate row per suite, full hash power per member.
@@ -151,7 +153,8 @@ COMPOSITES: dict[str, list[str]] = {
     "g10_rank_stats": ["q58_percent_rank", "q59_distinct_users", "q60_length_token_corr",
                        "q69_zscore", "q71_lang_entropy", "q90_link_rank"],
     "g11_pivot_rollup": ["q64_modal_user", "q70_event_pivot", "q75_grouping_sets"],
-    "g12_sample_suite": ["q41_stratified_sample", "q52_weighted_sample", "q66_hash_split"],
+    "g12_sample_suite": ["q41_stratified_sample", "q52_weighted_sample", "q66_hash_split",
+                         "q100_source_temperature"],
     "g13_event_suite": ["q55_funnel", "q57_user_cumspend", "q63_inter_event_gaps",
                         "q72_hopping_distinct_users", "q73_retention_cohorts"],
     "g14_text_agg": ["q13_tokens_by_source", "q38_vocab_topk", "q47_posting_lists",
