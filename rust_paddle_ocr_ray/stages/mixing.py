@@ -70,8 +70,11 @@ def temperature_mix(docs, budget_docs: int, id_col: str = "doc_id",
             "h": md5_hex(b[id_col].astype("int64").astype(str)),
         })
 
+    # the rank pass needs only (id, source): project text away so the
+    # second read moves two slim columns, not the corpus
     ranked = grouped_topk(
-        docs.map_batches(key_rows, batch_format="pandas"),
+        docs.select_columns([id_col, source_col])
+            .map_batches(key_rows, batch_format="pandas"),
         [source_col], "h", k=max(max_q, 1), tie_cols=[id_col],
         ascending=True, with_rank="rnk", num_buckets=8)
 

@@ -50,32 +50,47 @@ from .kmeans import SCALE, _assign, _quantize, kmeans_quantized
 TAU_NUM = 49
 TAU_DEN = 400
 
-#: per-cluster member bound — above it the pair scan would be a
-#: silent O(m²) stall; raise instead (resize k)
-MAX_CLUSTER = 100_000
+#: per-cluster member bound — the pair scan MATERIALIZES m×m int64/
+#: float64 matrices (~24·m² bytes: dot + prefilter + norm outer), so
+#: the cap is a MEMORY bound, not just a wall-clock one: 10k members
+#: ≈ 2.4 GB per in-flight cluster task.  Above it, raise loudly
+#: (resize k — real SemDeDup deployments pick k ≈ √N exactly so
+#: clusters stay this size) instead of OOM-killing a worker.
+MAX_CLUSTER = 10_000
 
 
-def _pair_removed(x: np.ndarray, tau_num: int, tau_den: int) -> np.ndarray:
+def _pair_removed(x: np.ndarray, tau_num: int, tau_den: int,
+                  chunk: int = 1024) -> np.ndarray:
     """removed[i] ⇔ ∃ j < i with cos(x_i, x_j) ≥ sqrt(num/den), rows
     ordered as given (callers sort by vec_id).  Exact (module
-    docstring): float64 prefilter with margin, Python-int confirm."""
+    docstring): float64 prefilter with margin, Python-int confirm.
+
+    The scan is CHUNKED (``chunk`` rows × all-prior columns per
+    block), so peak memory is O(chunk·m), not O(m²) — at the
+    MAX_CLUSTER cap that is ~0.2 GB of transient int64/float64 per
+    in-flight task instead of 2.4 GB; wall-clock keeps the inherent
+    O(m²·dim)."""
     m = len(x)
     removed = np.zeros(m, dtype=bool)
     if m < 2:
         return removed
-    dot = x @ x.T  # int64-safe: |q| ≤ 5·10⁵/dim ⇒ ≤ 6.4e13 over 64 dims
     n2 = np.einsum("ij,ij->i", x, x)
+    n2f = n2.astype("float64")
     tau = np.sqrt(tau_num / tau_den)
-    approx = dot.astype("float64") / np.sqrt(
-        np.outer(n2.astype("float64"), n2.astype("float64")))
-    ii, jj = np.tril_indices(m, -1)  # j < i
-    cand = (dot[ii, jj] > 0) & (approx[ii, jj] >= tau - 1e-6)
-    for i, j in zip(ii[cand], jj[cand]):
-        if removed[i]:
-            continue
-        d = int(dot[i, j])
-        if d * d * tau_den >= tau_num * int(n2[i]) * int(n2[j]):
-            removed[i] = True
+    for lo in range(1, m, chunk):
+        hi = min(lo + chunk, m)
+        # int64-safe: |q| ≤ 5·10⁵/dim ⇒ per-pair dot ≤ 6.4e13 (64 dims)
+        dot = x[lo:hi] @ x[:hi].T
+        approx = dot.astype("float64") / np.sqrt(
+            np.outer(n2f[lo:hi], n2f[:hi]))
+        ii, jj = np.nonzero((dot > 0) & (approx >= tau - 1e-6))
+        for ic, j in zip(ii, jj):
+            i = ic + lo
+            if j >= i or removed[i]:
+                continue
+            d = int(dot[ic, j])
+            if d * d * tau_den >= tau_num * int(n2[i]) * int(n2[j]):
+                removed[i] = True
     return removed
 
 

@@ -134,3 +134,14 @@ def test_assign_with_distance_matches_replay(ray_session):
           + (c * c).sum(axis=1)[None, :])
     assert out["cid"].tolist() == a.tolist()
     assert out["dist"].tolist() == d2[np.arange(len(a)), a].tolist()
+
+
+def test_pair_removed_chunked_equals_unchunked():
+    rng = np.random.default_rng(9)
+    x = rng.integers(-300_000, 300_000, size=(37, 6)).astype("int64")
+    x[5] = x[2]
+    x[30] = x[7]
+    full = _pair_removed(x, TAU_NUM, TAU_DEN, chunk=1024)
+    for chunk in (1, 2, 7, 36, 37):
+        assert _pair_removed(x, TAU_NUM, TAU_DEN, chunk=chunk).tolist() \
+            == full.tolist(), chunk
