@@ -3724,6 +3724,20 @@ GROUP BY p.doc_id
 """
 
 
+def _seed_centroids(sf_dir: str, k: int) -> "np.ndarray":
+    """The pinned k-means seed rule shared by q92/q98/q99 (and their
+    twins' c0 CTE): the k lowest vec_ids, row-filter pushed into the
+    parquet read, quantized to int64 micro-units."""
+    from ..stages.kmeans import SCALE, _quantize
+
+    tbl = pq.read_table(
+        _t(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).to_pandas().sort_values("vec_id")
+    return _quantize(tbl["embedding"], SCALE)
+
+
 def q92_kmeans(sf_dir: str):
     """ITERATIVE distributed k-means over the embedding corpus — the
     trainer that completes the ANN family (q35's IVF scorer consumes
@@ -3739,17 +3753,10 @@ def q92_kmeans(sf_dir: str):
     their centroid, so the unrolled-CTE twin replays every round
     bit-for-bit.  Init: the k=8 lowest vec_ids (row-filter pushed
     into the parquet read)."""
-    from ..stages.kmeans import SCALE, _quantize, kmeans_quantized
+    from ..stages.kmeans import kmeans_quantized
 
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    k = 8
-    tbl = pq.read_table(
-        _t(sf_dir, "embeddings"),
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", k)],
-    ).to_pandas().sort_values("vec_id")
-    init = _quantize(tbl["embedding"], SCALE)
-    return kmeans_quantized(ds, init, iters=3)
+    return kmeans_quantized(ds, _seed_centroids(sf_dir, 8), iters=3)
 
 
 def _kmeans_rounds_sql(k: int, iters: int) -> str:
@@ -4029,18 +4036,10 @@ def q98_semdedup(sf_dir: str):
     cos ≥ τ``.  Vectors shuffle ONCE, keyed cid.  The twin replays
     training via the shared unrolled-Lloyd CTE plus a HUGEINT pair
     scan over the extra assignment round."""
-    from ..stages.kmeans import SCALE, _quantize
     from ..stages.semdedup import semdedup
 
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    k = 8
-    tbl = pq.read_table(
-        _t(sf_dir, "embeddings"),
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", k)],
-    ).to_pandas().sort_values("vec_id")
-    init = _quantize(tbl["embedding"], SCALE)
-    return semdedup(ds, init, iters=3)
+    return semdedup(ds, _seed_centroids(sf_dir, 8), iters=3)
 
 
 def _q98_sql(k: int = 8, iters: int = 3, tau_num: int = 49,
@@ -4082,18 +4081,11 @@ def q99_cluster_balance(sf_dir: str):
     members per cluster via grouped_topk (ties → lowest vec_id).
     The twin replays training through the shared unrolled-Lloyd CTE
     and ranks the extra assignment round's exact distances."""
-    from ..stages.kmeans import SCALE, _quantize, assign_with_distance, kmeans_quantized
+    from ..stages.kmeans import assign_with_distance, kmeans_quantized
     from ..stages.topk import grouped_topk
 
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    k = 8
-    tbl = pq.read_table(
-        _t(sf_dir, "embeddings"),
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", k)],
-    ).to_pandas().sort_values("vec_id")
-    init = _quantize(tbl["embedding"], SCALE)
-    cent = kmeans_quantized(ds, init, iters=3)
+    cent = kmeans_quantized(ds, _seed_centroids(sf_dir, 8), iters=3)
     cmat = (cent.pivot(index="cid", columns="dim", values="cval")
             .sort_index().to_numpy().astype("int64"))
     slim = assign_with_distance(ds, cmat)

@@ -133,13 +133,17 @@ def dsir_scores(docs, id_col: str = "doc_id", text_col: str = "text",
     tt = int(ct.sum())
     tr = int(cr.sum())
 
-    num = (ct + 1) * (tr + n_buckets)
-    den = (cr + 1) * (tt + n_buckets)
-    if num.max(initial=0) >= _EXACT_F64 or den.max(initial=0) >= _EXACT_F64:
+    # guard FIRST, in Python ints (arbitrary precision): the int64
+    # products below could wrap past 2^63 before an int64-side check
+    # ever saw them, silently bypassing the guard they implement
+    if ((int(ct.max(initial=0)) + 1) * (tr + n_buckets) >= _EXACT_F64
+            or (int(cr.max(initial=0)) + 1) * (tt + n_buckets) >= _EXACT_F64):
         # the exact-in-float64 product guard (module docstring); the
         # log-difference fallback is deliberately NOT silent
         raise ValueError("dsir count products exceed exact float64 range; "
                          "use the log-difference form (tolerance-checked)")
+    num = (ct + 1) * (tr + n_buckets)
+    den = (cr + 1) * (tt + n_buckets)
     lut = np.floor(
         np.log2(num.astype("float64") / den.astype("float64")) * UNIT
     ).astype("int64")

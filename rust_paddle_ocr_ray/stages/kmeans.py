@@ -58,13 +58,19 @@ def _quantize(col: pd.Series, scale: int) -> np.ndarray:
     ).astype("int64")
 
 
+def _dist2(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """The pinned exact-int64 squared-distance matrix (|x|² − 2x·Cᵀ +
+    |c|²) — the ONE place the bit-replay arithmetic lives; _assign and
+    assign_with_distance must not re-derive it."""
+    return ((x * x).sum(axis=1)[:, None]
+            - 2 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :])
+
+
 def _assign(x: np.ndarray, c: np.ndarray) -> np.ndarray:
     """Exact int64 squared-distance argmin; ties take the lowest cid
     (np.argmin returns the first minimum)."""
-    d2 = ((x * x).sum(axis=1)[:, None]
-          - 2 * (x @ c.T)
-          + (c * c).sum(axis=1)[None, :])
-    return np.argmin(d2, axis=1)
+    return np.argmin(_dist2(x, c), axis=1)
 
 
 def _trunc_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
@@ -167,9 +173,7 @@ def assign_with_distance(vectors, cmat: np.ndarray,
     def f(b: pd.DataFrame) -> pd.DataFrame:
         c = _get_broadcast(ref)
         x = _quantize(b[vec_col], scale)
-        d2 = ((x * x).sum(axis=1)[:, None]
-              - 2 * (x @ c.T)
-              + (c * c).sum(axis=1)[None, :])
+        d2 = _dist2(x, c)
         a = np.argmin(d2, axis=1)
         return pd.DataFrame({
             id_col: b[id_col].to_numpy(dtype="int64"),

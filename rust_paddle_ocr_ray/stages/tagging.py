@@ -120,6 +120,10 @@ class KeywordTagger:
         cnts: list[int] = []
         for did, text in zip(b[self._id].to_numpy(),
                              b[self._text].to_numpy()):
+            if pd.isna(text):
+                # NULL text emits no rows — lower(NULL) is NULL in the
+                # SQL twin; str(NaN) would match 'nan'-substring phrases
+                continue
             for pi, c in self._ac.count_nonoverlapping(str(text).lower()).items():
                 ids.append(did)
                 pis.append(pi)

@@ -111,3 +111,14 @@ from hypothesis import strategies as st
        st.sampled_from([64, 1024, 4096]))
 def test_hypothesis_hash_matches_reference(word, nb):
     assert word_bucket(word, nb) == _ref_bucket(word, nb)
+
+
+def test_overflow_guard_uses_python_ints(ray_session, monkeypatch):
+    # the guard must fire even where the int64 product would WRAP past
+    # 2^63 (review finding): with the bound pushed to 2^63+1, a wrapped
+    # int64 check would see a negative product and stay silent
+    import rust_paddle_ocr_ray.stages.dsir as m
+
+    monkeypatch.setattr(m, "_EXACT_F64", 40)
+    with pytest.raises(ValueError, match="exact float64"):
+        dsir_scores(rd.from_pandas(DOCS), n_buckets=64).to_pandas()

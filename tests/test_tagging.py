@@ -108,3 +108,13 @@ def test_hypothesis_equivalence_vs_str_count(pats, text):
     got = ac.count_nonoverlapping(text)
     for i, p in enumerate(ordered):
         assert got.get(i, 0) == text.count(p)
+
+
+def test_null_text_emits_no_rows():
+    # the SQL twin's lower(NULL) yields NULL -> no row; str(NaN) would
+    # have matched 'nan'-substring phrases (review finding)
+    b = pd.DataFrame({"doc_id": [1, 2], "text": [None, "nan banana"]})
+    out = KeywordTagger(["nan", "an"], "doc_id", "text")(b)
+    assert set(out["doc_id"]) == {2}
+    rows = {(r.doc_id, r.phrase): r.cnt for r in out.itertuples()}
+    assert rows == {(2, "nan"): 2, (2, "an"): 3}
