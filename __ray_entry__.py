@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """The curated 50-entry correctness gate: every operator family from
-    the 100-query catalog earns a driver row — 35 queries under their
+    the 101-query catalog earns a driver row — 35 queries under their
     catalog names plus 15 melted suite composites (g01-g15) folding the
     relational/statistics warm-ups (pipelines/gate.py documents the
     membership and the engine-identical melt).  The full catalog stays

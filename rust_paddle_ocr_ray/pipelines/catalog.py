@@ -4152,6 +4152,55 @@ WHERE r.rnk <= q.quota
 """
 
 
+def q101_duplicate_spans(sf_dir: str):
+    """Duplicate-substring span detection (stages/substring.py) — the
+    window-hash form of Lee et al. 2022's ExactSubstr dedup: flag
+    every 16-char window whose content repeats anywhere in the corpus
+    (the q32 Karp-Rabin contract, no padding), merge flagged windows
+    into maximal per-document intervals, report the cut a removal
+    pass would make.  One corpus-character-scale (h, cnt) grouped_sum
+    + a measured broadcast/bucket-join flag pass; text never shuffles
+    on the broadcast path."""
+    from ..stages.substring import duplicate_span_stats
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_span_stats(ds, id_col="doc_id", text_col="text")
+
+
+# the q32 powers table (257^(16-j) mod 2^61, j = 1..16) replayed here
+# with the SAME VALUES form; no padding — sub-16-char docs have no
+# windows and pass through uncut via the LEFT JOIN
+SQL_Q101 = f"""
+WITH pw(j, p) AS (VALUES {_RFP_POWS}),
+docs AS (SELECT doc_id, text, length(text) AS L FROM documents),
+win AS (SELECT doc_id, unnest(generate_series(1, L - 15)) AS i
+        FROM docs WHERE L >= 16),
+h AS (SELECT w.doc_id, w.i,
+        (SUM(unicode(substr(d.text, w.i + pw.j - 1, 1))::HUGEINT * pw.p)
+         % {_RFP_MOD}::HUGEINT)::BIGINT AS hv
+      FROM win w JOIN docs d USING (doc_id) CROSS JOIN pw
+      GROUP BY w.doc_id, w.i),
+dup AS (SELECT hv FROM h GROUP BY hv HAVING COUNT(*) > 1),
+f AS (SELECT doc_id, i FROM h JOIN dup USING (hv)),
+isl AS (SELECT doc_id, i,
+               CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                         < 16 THEN 0 ELSE 1 END AS b
+        FROM f),
+g AS (SELECT doc_id, i,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM isl),
+iv AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 16 AS e
+       FROM g GROUP BY doc_id, grp),
+agg AS (SELECT doc_id, SUM(e - s) AS cut, COUNT(*) AS n_spans
+        FROM iv GROUP BY doc_id)
+SELECT d.doc_id, d.L::BIGINT AS n_chars,
+       COALESCE(agg.cut, 0)::BIGINT AS cut_chars,
+       (d.L - COALESCE(agg.cut, 0))::BIGINT AS kept_chars,
+       COALESCE(agg.n_spans, 0)::BIGINT AS n_cut_spans
+FROM docs d LEFT JOIN agg USING (doc_id)
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -4257,4 +4306,5 @@ QUERIES: dict[str, tuple] = {
     "q98_semdedup": (q98_semdedup, SQL_Q98),
     "q99_cluster_balance": (q99_cluster_balance, SQL_Q99),
     "q100_source_temperature": (q100_source_temperature, SQL_Q100),
+    "q101_duplicate_spans": (q101_duplicate_spans, SQL_Q101),
 }

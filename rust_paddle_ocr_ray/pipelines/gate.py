@@ -3,7 +3,7 @@
 The driver's correctness harness records at most 50 ``queries()`` rows
 (CORRECTNESS_r04 stopped at q50 of 89 registered queries, leaving the
 sketch/media/packing families with no driver-verified row — VERDICT r4
-item 1).  This module folds the full 100-query catalog
+item 1).  This module folds the full 101-query catalog
 (``catalog.QUERIES``, still what ``bench.py`` measures) into a gate of
 exactly 50 entries so EVERY operator family earns a driver-green
 correctness row regardless of how the driver truncates:
@@ -131,6 +131,9 @@ MELT_SPECS: dict[str, list[tuple[str, str]]] = {
                             ("rnk", "i")],
     "q100_source_temperature": [("doc_id", "i"), ("source", "s"),
                                 ("rnk", "i")],
+    "q101_duplicate_spans": [("doc_id", "i"), ("n_chars", "i"),
+                             ("cut_chars", "i"), ("kept_chars", "i"),
+                             ("n_cut_spans", "i")],
 }
 
 # Suite membership — one gate row per suite, full hash power per member.
@@ -142,7 +145,8 @@ COMPOSITES: dict[str, list[str]] = {
     "g03_doc_profile": ["q11_langid", "q12_quality", "q14_fingerprint",
                         "q32_rolling_fingerprint", "q33_bpe_tokens", "q44_repetition_stats",
                         "q94_bpe_encode", "q96_dsir"],
-    "g04_exact_dedup": ["q15_dedup_exact", "q16_dedup_exact_text", "q48_normalized_dedup"],
+    "g04_exact_dedup": ["q15_dedup_exact", "q16_dedup_exact_text", "q48_normalized_dedup",
+                        "q101_duplicate_spans"],
     "g05_neardup_pairs": ["q18_simhash_pairs", "q19_jaccard_pairs", "q22_embedding_dups"],
     "g06_knn_suite": ["q20_knn_bruteforce", "q21_knn_lsh", "q35_knn_ivf",
                       "q92_kmeans", "q95_bm25", "q98_semdedup",

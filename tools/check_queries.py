@@ -4,7 +4,7 @@ compare row-count + column names + sorted values.
 
     python tools/check_queries.py [sf_dir] [name ...]
 
-``--full`` checks the complete 100-query catalog (catalog.QUERIES)
+``--full`` checks the complete 101-query catalog (catalog.QUERIES)
 instead of the driver-facing curated 50-entry gate.
 """
 
