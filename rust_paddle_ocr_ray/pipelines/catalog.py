@@ -4008,7 +4008,7 @@ def q97_keyword_tags(sf_dir: str):
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     return keyword_tags(ds, TAG_PHRASES, id_col="doc_id",
-                        text_col="text", concurrency=4)
+                        text_col="text", concurrency=(1, 4))
 
 
 def _q97_sql() -> str:

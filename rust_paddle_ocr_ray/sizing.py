@@ -80,7 +80,16 @@ def proportional_pool(share: float = 0.75, warm: bool = False) -> tuple[int, int
     dominates and the spawn cost amortizes (pipelines/extract.py;
     measured round 2: eager beat the cap/2 ramp at BOTH 8 and 32 cpus
     on the 100k-page corpus, ~-10-20% wall; the 1/4 cpu headroom for
-    read/finalize task stages is preserved by the 3/4 share)."""
+    read/finalize task stages is preserved by the 3/4 share).
+
+    On SMALL clusters (< 16 cpus) ``warm`` degrades to the ramp: a
+    hard ``min == cap`` there can DEADLOCK against resources a
+    just-finished pipeline's actor pool is still releasing (observed
+    in a 4-cpu test session: the new pool's third actor pended
+    forever behind an asynchronously-draining predecessor while the
+    read task held the last cpu — Ray Data will not run the stage
+    below ``min``).  At that width the warm saving is noise; the
+    ramp starts with whatever is free and grows."""
     total = cluster_cpus()
     cap = max(1, int(total * share))
-    return (cap, cap) if warm else (1, cap)
+    return (cap, cap) if warm and total >= 16 else (1, cap)

@@ -137,11 +137,15 @@ class KeywordTagger:
 
 
 def keyword_tags(docs, patterns: list[str], id_col: str = "doc_id",
-                 text_col: str = "text", concurrency: int | None = None):
+                 text_col: str = "text",
+                 concurrency: int | tuple[int, int] | None = None):
     """Tag ``docs`` against ``patterns`` (module docstring).  A
     zero-exchange streaming pass; ``concurrency`` sizes the actor pool
     (None = stateless tasks re-building the automaton per task — fine
-    for small dictionaries, wrong for 10⁵-phrase ones)."""
+    for small dictionaries, wrong for 10⁵-phrase ones).  Prefer a
+    ``(1, cap)`` tuple: a FIXED-size pool (plain int) whose size
+    approaches the cluster width can deadlock behind a predecessor
+    pool's asynchronous teardown (sizing.proportional_pool notes)."""
     if concurrency is None:
         tagger = KeywordTagger(patterns, id_col, text_col)
         return docs.map_batches(tagger, batch_format="pandas")
